@@ -1,0 +1,107 @@
+"""Transcript-level Spark stages: language-ID, perplexity, embedding,
+quality features, token counts, fingerprints.
+
+Design rules (BASELINE.json input_hint: "no per-row Python"):
+  - anything expressible with built-in pyspark.sql.functions is a
+    column expression (JVM, whole-stage codegen);
+  - the three model kernels (langid / ppl / embed) are Arrow-batched
+    pandas UDFs over NumPy kernels in textkernels.py — model tables
+    are trained once per executor (lru_cache) and reused across
+    batches, the PySpark analog of the reference's per-GPU model load
+    (LLM_scoring/scoring.py:149-160).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import textkernels as tk
+
+_LANGID_SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("lang_margin", T.DoubleType()),
+        T.StructField("lang_logp", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_LANGID_SCHEMA)
+def langid_udf(texts: pd.Series) -> pd.DataFrame:
+    """fastText-style language ID (hashed byte-n-gram NB)."""
+    vals = texts.fillna("").tolist()
+    idx, margin, top = tk.langid_scores(vals)
+    _, langs = tk.langid_model()
+    return pd.DataFrame(
+        {
+            "lang": [langs[i] for i in idx],
+            "lang_margin": margin,
+            "lang_logp": top,
+        }
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def ppl_udf(texts: pd.Series) -> pd.Series:
+    """KN-style (absolute-discount) byte-trigram perplexity."""
+    return pd.Series(tk.perplexities(texts.fillna("").tolist()))
+
+
+def embed_udf(dim: int = tk.EMBED_DIM_DEFAULT):
+    """Hashed n-gram sentence embedding (array<float>, L2-normalized) —
+    the deterministic analog of the reference's BGE encoder stage
+    (docta/core/preprocess.py:33-84)."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        mat = tk.embed_texts(texts.fillna("").tolist(), dim=dim)
+        return pd.Series(list(mat))
+
+    return _embed
+
+
+# ----------------------------------------------------- built-in features
+
+def with_quality_features(df: DataFrame, text_col: str = "transcript") -> DataFrame:
+    """Pure column-expression quality features (no Python):
+    n_chars, n_tokens, alpha/digit/space/punct ratios, upper ratio."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(t)
+    n = F.length(t)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+
+    def _ratio(non_class_pattern: str) -> Column:
+        # strip everything NOT in the class; what's left over n = ratio
+        return F.length(F.regexp_replace(t, non_class_pattern, "")) / safe_n
+
+    return (
+        df.withColumn("n_chars", F.length(trimmed))
+        .withColumn(
+            "n_tokens",
+            F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+                F.size(F.split(trimmed, r"\s+"))
+            ),
+        )
+        .withColumn("alpha_ratio", _ratio(r"[^\p{L}]"))
+        .withColumn("digit_ratio", _ratio(r"[^0-9]"))
+        .withColumn("space_ratio", _ratio(r"[^\s]"))
+        .withColumn("punct_ratio", _ratio(r"[^\p{P}]"))
+    )
+
+
+def token_count_col(text_col: str = "transcript") -> Column:
+    """Whitespace+punctuation token count (BPE-ish regex split)."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"[\s\p{P}]+"))
+    )
+
+
+def fingerprint_col(text_col: str = "transcript") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (exact-dup key; identical function exists in DuckDB for the oracle)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
+    return F.md5(norm)

@@ -1,0 +1,85 @@
+"""The quality-filter pipeline over the clips table.
+
+Stage layout (SURVEY.md §4.3):
+
+  1. scan clips (column-pruned: transcript stages never read `bytes`)
+  2. transcript features: built-in quality ratios + langid + ppl UDFs
+     + regex scrub (all vectorized)
+  3. audio sanity over (clip_id, bytes, ...) only — see operators/audio.py
+  4. heuristic rule decisions with reason codes
+  5. (calibration + diversity selection layered on by plans/curation)
+
+Everything is a lazy DataFrame; Catalyst prunes/pushes down. Skew
+control: an optional salted repartition spreads hot languages / long
+transcripts before the UDF stages (north_rule requirement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..functions.scrub import scrub_col
+from ..functions.text import langid_udf, ppl_udf, with_quality_features
+
+
+def salted_repartition(df: DataFrame, n: int, salt_buckets: int = 64) -> DataFrame:
+    """Spread rows evenly regardless of key skew: repartition by a
+    deterministic hash salt (pmod(hash(clip_id), S)) rather than by a
+    hot natural key (SURVEY.md §4.2)."""
+    return df.repartition(
+        n, F.pmod(F.hash("clip_id"), F.lit(salt_buckets))
+    )
+
+
+def transcript_features(clips: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Stage 2: per-clip transcript signals. Never touches `bytes`."""
+    cfg = cfg or PipelineConfig()
+    pruned = clips.select("clip_id", "transcript", "codec", "dur_ms")
+    lid = langid_udf(F.col("transcript"))
+    return (
+        with_quality_features(pruned)
+        .withColumn("_lid", lid)
+        .select("*", "_lid.lang", "_lid.lang_margin", "_lid.lang_logp")
+        .drop("_lid")
+        .withColumn("ppl", ppl_udf(F.col("transcript")))
+        .withColumn("transcript_scrubbed", scrub_col("transcript"))
+    )
+
+
+def rule_decisions(
+    features: DataFrame,
+    audio: DataFrame | None = None,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Stage 4: heuristic keep/drop with a first-failing reason code.
+
+    reason ∈ {candidate, empty_transcript, bad_codec, dur_mismatch,
+    langid_fail, ppl_outlier}; `candidate` rows proceed to calibrated
+    selection (which refines them to selected/low_score).
+    """
+    q = (cfg or PipelineConfig()).quality
+    df = features
+    if audio is not None:
+        # audio output is (clip_id, metrics) — small relative to clips;
+        # joined on the key, never shipping bytes through the shuffle.
+        df = df.join(audio.select("clip_id", "pcm_ok", "dur_ok"), "clip_id", "left")
+    else:
+        df = df.withColumn("pcm_ok", F.lit(True)).withColumn("dur_ok", F.lit(True))
+
+    reason = (
+        F.when(F.col("n_chars") < q.min_transcript_chars, "empty_transcript")
+        .when(~F.col("codec").isin(*q.codec_whitelist), "bad_codec")
+        .when(~F.coalesce(F.col("dur_ok"), F.lit(False)), "dur_mismatch")
+        .when(
+            (~F.col("lang").isin(*q.allowed_langs))
+            | (F.col("lang_margin") < q.langid_margin_min),
+            "langid_fail",
+        )
+        .when(F.col("ppl") > q.ppl_max, "ppl_outlier")
+        .otherwise("candidate")
+    )
+    return df.withColumn("reason", reason).withColumn(
+        "keep_rules", F.col("reason") == "candidate"
+    )

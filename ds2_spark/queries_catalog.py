@@ -1,0 +1,514 @@
+"""Driver-contract query catalog.
+
+Each entry demonstrates one (or a tight group) of the operators in
+SURVEY.md §2 over the driver testdata tables, paired with an exact
+DuckDB oracle in ORACLE_SQL. Conventions that make the driver's
+row-count + schema + value-hash comparison deterministic:
+
+  - every computed column is aliased identically in both engines;
+  - float outputs are ROUND()ed (sum-order differences live far below
+    the rounding grain); money sums use an exact integer-cents trick;
+  - timestamps are emitted as formatted strings (Spark session TZ may
+    differ from DuckDB's naive timestamps);
+  - ranking ties are broken by a unique key column.
+
+Queries whose semantics are not SQL-expressible (model UDF stages,
+the calibration pipeline) appear in `queries()` only — the driver
+records a rows-only check for those, per the contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scrub import scrub_col, scrub_sql
+from .functions.text import langid_udf, ppl_udf, token_count_col, with_quality_features
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Exact money aggregation: round to integer cents, sum as long."""
+    return F.round(col * 100).cast("long")
+
+
+# --------------------------------------------------------------- queries
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter plan over `documents` (transcript analog):
+    built-in quality features + langid + ppl UDFs + scrub + keep/drop.
+    Operators: K9, P-group, F1/F4; rows-only check (model UDFs are not
+    SQL-expressible)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumnRenamed("text", "transcript")
+        .drop("lang")
+    )
+    lid = langid_udf(F.col("transcript"))
+    out = (
+        with_quality_features(docs)
+        .withColumn("_lid", lid)
+        .withColumn("lang_pred", F.col("_lid.lang"))
+        .withColumn("lang_margin", F.col("_lid.lang_margin"))
+        .drop("_lid")
+        .withColumn("ppl", ppl_udf(F.col("transcript")))
+        .withColumn("transcript_scrubbed", scrub_col("transcript"))
+        .withColumn(
+            "keep",
+            (F.col("n_chars") >= 2)
+            & (F.col("lang_margin") >= 0.2)
+            & (F.col("ppl") <= 40.0),
+        )
+    )
+    return out.select(
+        "doc_id", "n_chars", "n_tokens", "lang_pred",
+        F.round("lang_margin", 4).alias("lang_margin"),
+        F.round("ppl", 4).alias("ppl"),
+        "transcript_scrubbed", "keep",
+    )
+
+
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 scrub: PII/toxicity regexp_replace chain (JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", scrub_col("text").alias("text_scrubbed")
+    ).orderBy("doc_id")
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in quality features + token count (F1/F4 analogs) —
+    fully SQL-expressible."""
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "transcript")
+    return (
+        with_quality_features(docs)
+        .withColumn("n_tokens_bpe", token_count_col("transcript"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "n_tokens_bpe",
+            F.round("digit_ratio", 6).alias("digit_ratio"),
+            F.round("space_ratio", 6).alias("space_ratio"),
+        )
+    )
+
+
+def q_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 score compress (clamp [4,9] − 4) + A1 histogram, applied to
+    a synthetic 1-10 rating derived from events.value."""
+    ev = _t(spark, sf_dir, "events")
+    rating = (F.col("event_id") % 10 + 1).cast("int")
+    score = F.least(F.greatest(rating, F.lit(4)), F.lit(9)) - F.lit(4)
+    return (
+        ev.select(score.alias("score"))
+        .groupBy("score")
+        .agg(F.count("*").alias("n"))
+        .orderBy("score")
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi-joins (broadcast dims) + A-group aggregation with exact
+    integer-cents money sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev_cents).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A10 grouped aggregation (TPC-H Q1 shape), exact cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/O3 window rank + filter: top-3 orders per customer by price,
+    ties broken by o_orderkey."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents"), "rk")
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 semi-join + J3 anti-join (U2 set difference) on customers
+    vs orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(o, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("with_orders").alias("side")
+    )
+    anti = c.join(o, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("side")
+    )
+    return semi.unionByName(anti).orderBy("side", "c_custkey")
+
+
+def q_grouped_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 per-class exact percentile (linear interpolation — matches
+    np.percentile / duckdb quantile_cont)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_acctbal"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50_acctbal"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + rowsBetween rolling sum over events (SURVEY §2.5
+    'built-in analytic frames' row)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.round(F.lag("value", 1).over(w), 2), F.lit(-1.0)).alias("prev_value"),
+        F.coalesce(F.round(F.lead("value", 1).over(w), 2), F.lit(-1.0)).alias("next_value"),
+        F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 2).alias("rolling3"),
+    )
+
+
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc tumbling buckets over events (batch-mode analog of
+    the streaming window agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-analog JSON field extraction from events.props."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    ).orderBy("event_id")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 fingerprint of normalized text (O5 analog /
+    training-data dedup), per language."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return (
+        docs.select("lang", fp.alias("fp"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup signatures: 5-char shingles → per-salt min of
+    md5(salt || shingle) — md5 is identical in Spark and DuckDB, so the
+    oracle is exact. Docs sharing a signature column are near-dup
+    candidates (LSH band = one salted minhash here)."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    d = docs.select("doc_id", text.alias("t")).filter(F.length("t") >= 5)
+    d = d.withColumn(
+        "shingles",
+        F.expr("transform(sequence(1, length(t) - 4), i -> substr(t, i, 5))"),
+    )
+    for salt in ("s1", "s2"):
+        d = d.withColumn(
+            f"minhash_{salt}",
+            F.array_min(F.expr(f"transform(shingles, s -> md5('{salt}' || s))")),
+        )
+    return d.select("doc_id", "minhash_s1", "minhash_s2").orderBy("doc_id")
+
+
+def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union + U2 except (set difference) over customer slices."""
+    c = _t(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    seg = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        rich.union(seg).distinct()
+        .exceptAll(rich.intersect(seg))
+        .orderBy("c_custkey")
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join (SURVEY §2.3 range-join row): bucket orders
+    by totalprice bands via BETWEEN (BroadcastNestedLoopJoin)."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50_000.0), ("mid", 50_000.0, 150_000.0), ("high", 150_000.0, 1e12)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents"))
+        .orderBy("band")
+    )
+
+
+def q_sigmoid_longtail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 sigmoid long-tail map 2/(1+e^-x)−1 rounded to 4dp
+    (reference docta/core/get_lr_score.py:48-50) applied to a scaled
+    events.value."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value") / 10.0
+    lt = F.round(F.lit(2.0) / (F.lit(1.0) + F.exp(-x)) - 1.0, 4)
+    return ev.select("event_id", lt.alias("lt_score")).orderBy("event_id")
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 brute-force cosine top-k: for query vectors (vec_id<5), top-3
+    neighbors among the rest by cosine similarity (rounded before
+    ranking; ties by neighbor id)."""
+    from .functions.vectors import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    sim = F.round(cosine_similarity(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6)
+    pairs = q.crossJoin(cand).select("query_id", "neighbor_id", sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "sim", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "flagship": flagship,
+        "q_scrub": q_scrub,
+        "q_quality_features": q_quality_features,
+        "q_score_histogram": q_score_histogram,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_tpch_q1": q_tpch_q1,
+        "q_topk_per_group": q_topk_per_group,
+        "q_semi_anti": q_semi_anti,
+        "q_grouped_percentile": q_grouped_percentile,
+        "q_window_lag": q_window_lag,
+        "q_time_buckets": q_time_buckets,
+        "q_json_extract": q_json_extract,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_union_except": q_union_except,
+        "q_range_join": q_range_join,
+        "q_sigmoid_longtail": q_sigmoid_longtail,
+        "q_knn_topk": q_knn_topk,
+    }
+
+
+# ------------------------------------------------------------- oracle SQL
+
+ORACLE_SQL: dict[str, str] = {
+    "q_scrub": f"""
+        SELECT doc_id, {scrub_sql('text')} AS text_scrubbed
+        FROM documents ORDER BY doc_id
+    """,
+    "q_quality_features": r"""
+        WITH t AS (
+          SELECT doc_id, coalesce(text, '') AS tx, trim(coalesce(text, '')) AS tr
+          FROM documents
+        )
+        SELECT doc_id,
+               length(tr) AS n_chars,
+               CASE WHEN length(tr)=0 THEN 0
+                    ELSE len(regexp_split_to_array(tr, '\s+')) END AS n_tokens,
+               CASE WHEN length(tr)=0 THEN 0
+                    ELSE len(regexp_split_to_array(tr, '[\s[:punct:]]+')) END AS n_tokens_bpe,
+               round(length(regexp_replace(tx, '[^0-9]', '', 'g'))
+                     / greatest(length(tx), 1), 6) AS digit_ratio,
+               round(length(regexp_replace(tx, '[^\s]', '', 'g'))
+                     / greatest(length(tx), 1), 6) AS space_ratio
+        FROM t
+    """,
+    "q_revenue_by_nation": """
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "q_tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q_topk_per_group": """
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, rk
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders
+        ) WHERE rk <= 3
+    """,
+    "q_semi_anti": """
+        SELECT c_custkey, 'with_orders' AS side FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT c_custkey, 'no_orders' AS side FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY side, c_custkey
+    """,
+    "q_grouped_percentile": """
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.9), 4) AS p90_acctbal,
+               round(quantile_cont(c_acctbal, 0.5), 4) AS p50_acctbal,
+               count(*) AS n
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "q_window_lag": """
+        SELECT user_id, event_id,
+               coalesce(round(lag(value, 1)  OVER w, 2), -1.0) AS prev_value,
+               coalesce(round(lead(value, 1) OVER w, 2), -1.0) AS next_value,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling3
+        FROM events WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "q_time_buckets": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+    "q_json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events ORDER BY event_id
+    """,
+    "q_dedup_exact": r"""
+        SELECT lang, count(*) AS n_docs,
+               count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_distinct
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "q_minhash_signatures": r"""
+        WITH t AS (
+          SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               list_min(list_transform(generate_series(1, length(t) - 4),
+                        i -> md5('s1' || substr(t, i, 5)))) AS minhash_s1,
+               list_min(list_transform(generate_series(1, length(t) - 4),
+                        i -> md5('s2' || substr(t, i, 5)))) AS minhash_s2
+        FROM t WHERE length(t) >= 5 ORDER BY doc_id
+    """,
+    "q_union_except": """
+        WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+             seg  AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        SELECT c_custkey FROM (
+          SELECT c_custkey FROM (SELECT * FROM rich UNION SELECT * FROM seg)
+          EXCEPT ALL
+          SELECT c_custkey FROM (SELECT * FROM rich INTERSECT SELECT * FROM seg)
+        ) ORDER BY c_custkey
+    """,
+    "q_range_join": """
+        WITH bands(band, lo, hi) AS (
+          VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0), ('high', 150000.0, 1e12)
+        )
+        SELECT band, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band ORDER BY band
+    """,
+    "q_sigmoid_longtail": """
+        SELECT event_id, round(2.0 / (1.0 + exp(-(value / 10.0))) - 1.0, 4) AS lt_score
+        FROM events ORDER BY event_id
+    """,
+    "q_knn_topk": """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id >= 5),
+             p AS (
+               SELECT query_id, neighbor_id,
+                      round(list_dot_product(qv, cv) /
+                            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+               FROM q CROSS JOIN c
+             )
+        SELECT query_id, neighbor_id, sim, rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rk
+          FROM p
+        ) WHERE rk <= 3 ORDER BY query_id, rk
+    """,
+    "q_score_histogram": """
+        SELECT score, count(*) AS n FROM (
+          SELECT least(greatest(CAST(event_id % 10 + 1 AS INT), 4), 9) - 4 AS score
+          FROM events
+        ) GROUP BY score ORDER BY score
+    """,
+    "flagship": None,  # model UDFs (langid/ppl) — rows-only check
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in ORACLE_SQL.items() if v is not None}

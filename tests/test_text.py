@@ -1,0 +1,102 @@
+import numpy as np
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from ds2_spark.functions import textkernels as tk
+from ds2_spark.functions.text import (
+    embed_udf,
+    fingerprint_col,
+    langid_udf,
+    ppl_udf,
+    token_count_col,
+    with_quality_features,
+)
+
+
+def _texts(fixture_paths):
+    tbl = pq.read_table(fixture_paths["clips"], columns=["clip_id", "transcript"])
+    return tbl.column("clip_id").to_pylist(), tbl.column("transcript").to_pylist()
+
+
+def test_langid_udf_matches_kernel(spark, clips_df, fixture_paths):
+    ids, texts = _texts(fixture_paths)
+    idx, margin, _ = tk.langid_scores([t or "" for t in texts])
+    _, langs = tk.langid_model()
+    expected = {i: langs[j] for i, j in zip(ids, idx)}
+    rows = clips_df.select("clip_id", langid_udf("transcript").alias("l")).collect()
+    got = {r["clip_id"]: r["l"]["lang"] for r in rows}
+    assert got == expected
+    got_m = {r["clip_id"]: r["l"]["lang_margin"] for r in rows}
+    exp_m = dict(zip(ids, margin))
+    for k in got_m:
+        assert abs(got_m[k] - exp_m[k]) < 1e-9
+
+
+def test_langid_accuracy_vs_truth(spark, clips_df, fixture_paths):
+    truth = pq.read_table(fixture_paths["truth"]).to_pandas().set_index("clip_id")
+    rows = clips_df.select("clip_id", langid_udf("transcript").alias("l")).collect()
+    ok = total = 0
+    for r in rows:
+        t = truth.loc[r["clip_id"]]
+        if t.is_empty or t.is_gibberish:
+            continue
+        total += 1
+        ok += r["l"]["lang"] == t.lang_true
+    assert ok / total > 0.95
+
+
+def test_ppl_udf_matches_kernel_and_separates(spark, clips_df, fixture_paths):
+    ids, texts = _texts(fixture_paths)
+    expected = dict(zip(ids, tk.perplexities([t or "" for t in texts])))
+    got = dict(clips_df.select("clip_id", ppl_udf("transcript").alias("p")).collect())
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9
+    truth = pq.read_table(fixture_paths["truth"]).to_pandas().set_index("clip_id")
+    gib = [got[i] for i in truth.index[truth.is_gibberish]]
+    norm = [got[i] for i in truth.index[~(truth.is_gibberish | truth.is_empty)]]
+    if gib:
+        assert np.median(gib) > 10 * np.median(norm)
+
+
+def test_embed_udf_matches_kernel(spark, clips_df, fixture_paths):
+    ids, texts = _texts(fixture_paths)
+    expected = tk.embed_texts([t or "" for t in texts], dim=32)
+    rows = clips_df.select("clip_id", embed_udf(32)("transcript").alias("e")).collect()
+    got = {r["clip_id"]: np.array(r["e"], dtype=np.float32) for r in rows}
+    for i, k in enumerate(ids):
+        assert np.array_equal(got[k], expected[i])
+    # normalized
+    norms = np.linalg.norm(expected, axis=1)
+    nz = norms > 0
+    assert np.allclose(norms[nz], 1.0, atol=1e-5)
+
+
+def test_quality_features_match_numpy(spark, clips_df, fixture_paths):
+    ids, texts = _texts(fixture_paths)
+    stats = tk.quality_stats([t or "" for t in texts])
+    rows = with_quality_features(clips_df.select("clip_id", "transcript")).select(
+        "clip_id", "n_chars", "n_tokens", "digit_ratio"
+    ).collect()
+    exp_chars = dict(zip(ids, [len((t or "").strip()) for t in texts]))
+    exp_tokens = dict(zip(ids, stats["n_tokens"]))
+    exp_digit = dict(zip(ids, stats["digit_ratio"]))
+    for r in rows:
+        assert r["n_chars"] == exp_chars[r["clip_id"]]
+        assert r["n_tokens"] == exp_tokens[r["clip_id"]]
+        assert abs(r["digit_ratio"] - exp_digit[r["clip_id"]]) < 1e-9
+
+
+def test_fingerprint_and_token_count(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello  World"), ("b", "hello world"), ("c", "different")],
+        ["clip_id", "transcript"],
+    )
+    rows = df.select(
+        "clip_id",
+        fingerprint_col("transcript").alias("fp"),
+        token_count_col("transcript").alias("tc"),
+    ).collect()
+    by = {r["clip_id"]: r for r in rows}
+    assert by["a"]["fp"] == by["b"]["fp"]  # case/whitespace-insensitive dup key
+    assert by["a"]["fp"] != by["c"]["fp"]
+    assert by["a"]["tc"] == 2
