@@ -1,0 +1,154 @@
+"""Full DS2-style curation pipeline over the clips table.
+
+Composes (SURVEY.md §4.3 physical sketch):
+
+  rules (plans.pipeline) -> candidates
+  embed transcripts       [pandas UDF -> array<float>]
+  pool = bounded sample of candidate embeddings (broadcast)
+  HOC: consensus counts (Spark) + 6x6 Adam solve (driver)  -> T
+  votes: E epochs fan-out -> relational majority -> curated scores
+  lt_score: blocked kNN vs pool -> rarity
+  dual-sort bucket selection within budget
+  decisions table (clip_id, keep, reason, final_score, lt_score)
+
+Calibration runs per rater (the reference fans 3 rating models across
+GPUs, score_curation/diagnose.sh:10-26); the configured `rater`
+drives selection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..functions.text import embed_udf
+from ..operators.hoc import HocResult, estimate_t, t_given_noisy
+from ..operators.longtail import lt_scores
+from ..operators.selection import select_subset
+from ..operators.votes import aggregate_votes, curate_scores, vote_epochs
+from .pipeline import rule_decisions, transcript_features
+
+
+def embed_candidates(candidates: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return candidates.select(
+        "clip_id",
+        embed_udf(cfg.embed_dim)(F.col("transcript")).alias("embedding"),
+    )
+
+
+def collect_pool(
+    emb_df: DataFrame, max_rows: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded sample of embeddings pulled to the driver for broadcast.
+    This is the ONLY place the pipeline collects data, and it is capped
+    (the reference's ≤50k sampling contract, hoc.py:248-258), so the
+    plan stays valid at 10^12 rows."""
+    n = emb_df.count()
+    if n > max_rows:
+        emb_df = emb_df.sample(fraction=min(1.0, 1.15 * max_rows / n), seed=seed).limit(max_rows)
+    pdf = emb_df.select("clip_id", "embedding").toPandas()
+    # canonical order: partition layout must not influence sampling RNG
+    pdf = pdf.sort_values("clip_id").reset_index(drop=True)
+    ids = pdf["clip_id"].to_numpy()
+    emb = np.array(pdf["embedding"].tolist(), dtype=np.float32)
+    return emb, ids
+
+
+def calibrate_rater(
+    spark: SparkSession,
+    pool_emb: np.ndarray,
+    pool_ids: np.ndarray,
+    scores: DataFrame,
+    rater: str,
+    cfg: PipelineConfig,
+) -> tuple[HocResult, DataFrame]:
+    """HOC + votes + curation for one rater. Returns (hoc_result,
+    curated DataFrame with final_score)."""
+    r_scores = scores.filter(F.col("rater") == rater).select("clip_id", "raw_score")
+    sp = r_scores.toPandas().set_index("clip_id")["raw_score"]
+    mask = np.isin(pool_ids, sp.index.to_numpy())
+    ids = pool_ids[mask]
+    emb = pool_emb[mask]
+    labels = sp.loc[ids].to_numpy()
+
+    hoc_res = estimate_t(spark, emb, labels, cfg.hoc)
+    noise_rates = 1.0 - np.diag(t_given_noisy(hoc_res))
+    votes = vote_epochs(spark, emb, labels, ids, noise_rates, cfg.vote)
+    agg = aggregate_votes(votes, r_scores)
+    curated = curate_scores(agg, cfg.selection.confidence_min)
+    return hoc_res, curated
+
+
+def curation_pipeline(
+    spark: SparkSession,
+    clips: DataFrame,
+    scores: DataFrame,
+    cfg: PipelineConfig | None = None,
+    rater: str = "rater_a",
+    audio: DataFrame | None = None,
+) -> dict:
+    """Returns dict with `decisions` DataFrame + per-stage artifacts.
+
+    decisions: clip_id, keep, reason, final_score, lt_score where
+    reason ∈ {selected, low_score, <rule reasons>}.
+    """
+    cfg = cfg or PipelineConfig()
+    if audio is None:
+        from ..operators.audio import audio_sanity
+
+        audio = audio_sanity(clips, cfg.quality.dur_tolerance)
+    rules = rule_decisions(transcript_features(clips, cfg), audio, cfg)
+    candidates = rules.filter(F.col("keep_rules"))
+
+    emb_df = embed_candidates(candidates, cfg)
+    pool_emb, pool_ids = collect_pool(emb_df, cfg.knn_pool_max, cfg.seed)
+
+    hoc_res, curated = calibrate_rater(spark, pool_emb, pool_ids, scores, rater, cfg)
+
+    lt = lt_scores(emb_df, pool_emb, pool_ids, k=cfg.vote.k)
+
+    scored = (
+        candidates.select("clip_id")
+        .join(curated.select("clip_id", "final_score"), "clip_id", "left")
+        .join(
+            scores.filter(F.col("rater") == rater).select("clip_id", "raw_score"),
+            "clip_id",
+            "left",
+        )
+        .withColumn(
+            "final_score",
+            F.coalesce("final_score", "raw_score", F.lit(0)).cast("int"),
+        )
+        .join(lt, "clip_id", "left")
+        .na.fill({"lt_score": 0.0})
+    )
+    n_candidates = scored.count()
+    budget = max(int(round(cfg.selection.budget_frac * n_candidates)), 1)
+    selected = select_subset(scored, budget)
+
+    decisions = (
+        rules.select("clip_id", "reason")
+        .join(
+            selected.select("clip_id", "selected", "final_score", "lt_score"),
+            "clip_id",
+            "left",
+        )
+        .withColumn(
+            "reason",
+            F.when(F.col("reason") != "candidate", F.col("reason"))
+            .when(F.col("selected"), F.lit("selected"))
+            .otherwise(F.lit("low_score")),
+        )
+        .withColumn("keep", F.col("reason") == "selected")
+        .select("clip_id", "keep", "reason", "final_score", "lt_score")
+    )
+    return {
+        "decisions": decisions,
+        "rules": rules,
+        "curated": curated,
+        "hoc": hoc_res,
+        "budget": budget,
+        "pool_size": len(pool_ids),
+    }

@@ -1,0 +1,143 @@
+"""Engine-vs-oracle parity for the DS2 calibration chain (the
+F1 >= 0.99 gate — required exact here)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ds2_spark.config import HocConfig, PipelineConfig, SelectionConfig, VoteConfig
+from ds2_spark.fixtures import make_t_true
+from ds2_spark.operators.hoc import (
+    consensus_counts,
+    counts_to_tensors,
+    estimate_t,
+    solve_t,
+    t_given_noisy,
+)
+from ds2_spark.operators.votes import vote_epochs
+from ds2_spark.plans.curation import curation_pipeline
+
+from .oracle import ds2_oracle
+
+SMALL = PipelineConfig(
+    hoc=HocConfig(rounds=10, sample_size=500, adam_steps=600),
+    vote=VoteConfig(epochs=12, k=5, sample_size=500),
+    selection=SelectionConfig(budget_frac=0.10),
+    embed_dim=64,
+)
+
+
+@pytest.fixture(scope="module")
+def pool(fixture_paths):
+    """Deterministic candidate pool straight from fixture parquet."""
+    from ds2_spark.functions import textkernels as tk
+    from .oracle.rules_oracle import rule_reasons
+
+    reasons = rule_reasons(fixture_paths["clips"], SMALL)
+    tbl = pq.read_table(fixture_paths["clips"], columns=["clip_id", "transcript"])
+    texts = dict(zip(tbl.column("clip_id").to_pylist(), tbl.column("transcript").to_pylist()))
+    ids = np.array(sorted(i for i, r in reasons.items() if r == "candidate"))
+    emb = tk.embed_texts([texts[i] or "" for i in ids], dim=SMALL.embed_dim)
+    sc = pq.read_table(fixture_paths["scores"]).to_pandas()
+    sc = sc[sc.rater == "rater_a"].set_index("clip_id")["raw_score"]
+    labels = sc.loc[ids].to_numpy().astype(np.int64)
+    return emb, labels, ids
+
+
+def test_consensus_counts_match_oracle(spark, pool):
+    emb, labels, _ = pool
+    rows = consensus_counts(spark, emb, labels, SMALL.hoc).collect()
+    c3_engine = np.zeros((6, 6, 6))
+    for r in rows:
+        c3_engine[r["y0"], r["y1"], r["y2"]] = r["cnt"]
+    c3_oracle = ds2_oracle.consensus_counts_oracle(emb, labels, SMALL.hoc)
+    assert np.allclose(c3_engine, c3_oracle, atol=1e-12)
+
+
+def test_solver_recovers_known_t():
+    t_true = make_t_true()
+    p = np.array([0.06, 0.15, 0.29, 0.29, 0.20, 0.01])
+    pt = p[:, None] * t_true
+    c1 = pt.sum(0)
+    c2 = np.einsum("ji,jk->ik", pt, t_true)
+    c3 = np.einsum("ji,jk,jl->ikl", pt, t_true, t_true)
+    res = solve_t(c1, c2, c3, HocConfig(adam_steps=1500))
+    assert np.abs(res.T - t_true).max() < 0.05
+    assert np.abs(res.p_clean - p).max() < 0.02
+    assert np.allclose(res.T.sum(axis=1), 1.0)  # row-stochastic property
+
+
+def test_hoc_recovers_t_on_clusterable_data(spark):
+    """End-to-end HOC on synthetic clusterable embeddings: neighbors
+    share clean labels by construction, so T should be recovered."""
+    rng = np.random.default_rng(3)
+    t_true = make_t_true()
+    n, k = 3000, 6
+    clean = rng.integers(0, k, size=n)
+    centers = rng.normal(0, 1, size=(k, 32)) * 4
+    emb = centers[clean] + rng.normal(0, 0.3, size=(n, 32))
+    cdf = np.cumsum(t_true, axis=1)
+    noisy = (rng.random(n)[:, None] < cdf[clean]).argmax(axis=1)
+    res = estimate_t(spark, emb, noisy, HocConfig(rounds=25, sample_size=3000, adam_steps=1200))
+    assert np.abs(res.T - t_true).max() < 0.15
+
+
+def test_votes_match_oracle(spark, pool):
+    emb, labels, ids = pool
+    noise_rates = np.full(6, 0.3)
+    engine = vote_epochs(spark, emb, labels, ids, noise_rates, SMALL.vote)
+    got = sorted(
+        (r["epoch"], r["clip_id"], r["flagged"], r["suggested"])
+        for r in engine.collect()
+    )
+    expected = sorted(ds2_oracle.votes_oracle(emb, labels, ids, noise_rates, SMALL.vote))
+    assert got == expected
+
+
+def test_full_pipeline_matches_oracle(spark, clips_df, fixture_paths):
+    scores = spark.read.parquet(fixture_paths["scores"])
+    result = curation_pipeline(spark, clips_df, scores, SMALL, rater="rater_a")
+    engine = {
+        r["clip_id"]: (r["keep"], r["reason"], r["final_score"])
+        for r in result["decisions"].collect()
+    }
+    noise_rates = 1.0 - np.diag(t_given_noisy(result["hoc"]))
+    oracle = ds2_oracle.curation_oracle(
+        fixture_paths["clips"], fixture_paths["scores"], noise_rates, SMALL, "rater_a"
+    )
+    exp = oracle["decisions"]
+    assert set(engine) == set(exp)
+    mismatch = []
+    for cid, (keep, reason, fs) in engine.items():
+        ek, er, efs = exp[cid]
+        if keep != ek or reason != er or (efs is not None and fs != efs):
+            mismatch.append((cid, (keep, reason, fs), (ek, er, efs)))
+    assert not mismatch, mismatch[:5]
+    # keep/drop F1 vs oracle must be perfect
+    n_keep = sum(1 for v in engine.values() if v[0])
+    assert n_keep == oracle["budget"]
+
+
+def test_selection_monotone_in_budget(spark, clips_df, fixture_paths):
+    from pyspark.sql import functions as F
+
+    from ds2_spark.operators.selection import select_subset
+
+    scores = spark.read.parquet(fixture_paths["scores"]).filter(
+        F.col("rater") == "rater_a"
+    )
+    scored = scores.select(
+        "clip_id",
+        F.col("raw_score").cast("int").alias("final_score"),
+        (F.pmod(F.hash("clip_id"), F.lit(1000)) / 1000.0).alias("lt_score"),
+    )
+    small = {
+        r["clip_id"]
+        for r in select_subset(scored, 50).filter("selected").collect()
+    }
+    big = {
+        r["clip_id"]
+        for r in select_subset(scored, 120).filter("selected").collect()
+    }
+    assert len(small) == 50 and len(big) == 120
+    assert small <= big  # monotonicity
