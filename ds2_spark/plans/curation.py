@@ -88,21 +88,54 @@ def curation_pipeline(
     cfg: PipelineConfig | None = None,
     rater: str = "rater_a",
     audio: DataFrame | None = None,
+    checkpoint_root: str | None = None,
+    run_id: str = "run0",
+    n_waves: int = 8,
 ) -> dict:
     """Returns dict with `decisions` DataFrame + per-stage artifacts.
 
     decisions: clip_id, keep, reason, final_score, lt_score where
     reason ∈ {selected, low_score, <rule reasons>}.
+
+    With checkpoint_root set, the heavy per-row stages (rules+features,
+    embedding) run through the _lineage wave-checkpoint protocol
+    (sources/lineage.py) and resume exactly after failure.
     """
     cfg = cfg or PipelineConfig()
-    if audio is None:
-        from ..operators.audio import audio_sanity
 
-        audio = audio_sanity(clips, cfg.quality.dur_tolerance)
-    rules = rule_decisions(transcript_features(clips, cfg), audio, cfg)
-    candidates = rules.filter(F.col("keep_rules"))
+    def _rules_stage(c: DataFrame) -> DataFrame:
+        if audio is not None:
+            aud = audio
+        else:
+            from ..operators.audio import audio_sanity
 
-    emb_df = embed_candidates(candidates, cfg)
+            aud = audio_sanity(c, cfg.quality.dur_tolerance)
+        return rule_decisions(transcript_features(c, cfg), aud, cfg).select(
+            "clip_id", "transcript", "transcript_scrubbed", "lang",
+            "lang_margin", "ppl", "n_chars", "reason", "keep_rules",
+        )
+
+    if checkpoint_root:
+        from ..sources.lineage import run_stage
+
+        rules = run_stage(
+            spark, clips, _rules_stage, checkpoint_root, run_id, "rules",
+            n_waves=n_waves,
+        )
+        candidates = rules.filter(F.col("keep_rules"))
+        emb_df = run_stage(
+            spark,
+            candidates.select("clip_id", "transcript"),
+            lambda d: embed_candidates(d, cfg),
+            checkpoint_root,
+            run_id,
+            "embed",
+            n_waves=n_waves,
+        )
+    else:
+        rules = _rules_stage(clips)
+        candidates = rules.filter(F.col("keep_rules"))
+        emb_df = embed_candidates(candidates, cfg)
     pool_emb, pool_ids = collect_pool(emb_df, cfg.knn_pool_max, cfg.seed)
 
     hoc_res, curated = calibrate_rater(spark, pool_emb, pool_ids, scores, rater, cfg)
