@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "headline_queries_wall", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Includes the clips quality-filter pipeline on a cached deterministic
+bench fixture (clips/sec recorded under queries.clips_pipeline; the
+fixture is generated once into /tmp and reused).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_tpch_q1",
+    "q_revenue_by_nation",
+    "q_topk_per_group",
+    "q_semi_anti",
+    "q_grouped_percentile",
+    "q_window_lag",
+    "q_time_buckets",
+    "q_dedup_exact",
+    "q_minhash_signatures",
+    "q_simhash",
+    "q_knn_topk",
+    "q_ann_lsh",
+    "q_cosine_neardup",
+    "q_rolling_fingerprint",
+    "flagship",
+]
+
+BENCH_CLIPS = int(os.environ.get("DS2_BENCH_CLIPS", "20000"))
+
+
+def _bench_fixture() -> str:
+    out = f"/tmp/ds2_bench_fixture_{BENCH_CLIPS}"
+    marker = os.path.join(out, ".done")
+    if not os.path.exists(marker):
+        from ds2_spark.fixtures import generate_all
+
+        generate_all(out, n=BENCH_CLIPS, dur_median_ms=250.0, dur_max_ms=1000)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from ds2_spark import queries_catalog
+    from ds2_spark.session import get_spark
+
+    fixture_dir = _bench_fixture()
+    spark = get_spark(app_name="ds2_bench")
+
+    qs = queries_catalog.queries()
+    timings: dict[str, float] = {}
+
+    # warmup: JVM + python workers + kernel model training
+    qs["q_tpch_q1"](spark, sf_dir).count()
+    qs["flagship"](spark, sf_dir).count()
+
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        assert n >= 0
+
+    # clips pipeline (quality filter + calibration, bench-sized knobs)
+    from ds2_spark.config import (
+        HocConfig,
+        PipelineConfig,
+        SelectionConfig,
+        VoteConfig,
+    )
+    from ds2_spark.plans.curation import curation_pipeline
+
+    cfg = PipelineConfig(
+        hoc=HocConfig(rounds=10, sample_size=5000, adam_steps=300),
+        vote=VoteConfig(epochs=15, sample_size=5000),
+        selection=SelectionConfig(budget_frac=0.05),
+        knn_pool_max=5000,
+    )
+    clips = spark.read.parquet(f"{fixture_dir}/clips.parquet")
+    scores = spark.read.parquet(f"{fixture_dir}/scores.parquet")
+    n_clips = clips.count()
+    t0 = time.time()
+    res = curation_pipeline(spark, clips, scores, cfg)
+    res["decisions"].write.mode("overwrite").parquet("/tmp/ds2_bench_out")
+    dt = time.time() - t0
+    timings["clips_pipeline"] = round(dt, 3)
+    timings["clips_per_sec"] = round(n_clips / dt, 1)
+    total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "bench_clips": n_clips,
+                "cpus": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are expressed with built-in JVM functions (no Python in
+the hot path) and share one portable hash basis — `md5` + hex→int —
+that evaluates identically in Spark and DuckDB, so every operator has
+an exact SQL oracle.
+
+  exact          md5 fingerprint of normalized text, groupBy
+  minhash_lsh    salted-md5 minhash signatures -> band keys ->
+                 bucket self-join -> candidate pairs (shingle→minhash→
+                 band→bucket-join)
+  ngram_jaccard  exact Jaccard on distinct shingle sets for candidate
+                 pairs (array_intersect/array_union)
+  simhash        64-bit sign-aggregated token-hash fingerprint;
+                 near-dups = small Hamming distance
+  embedding near-dup  cosine >= threshold pairs (brute force against
+                 bounded candidate sets; LSH-bucketed scale path in
+                 operators/similarity.py)
+
+Scale notes: the bucket self-join shuffles only (band_key, doc_id)
+pairs — never full texts; AQE skew-join handles hot buckets (e.g.
+boilerplate-heavy shingles); at 10^12 rows add a bucket-size cap
+filter (drop buckets with > B members as spam clusters) — exposed as
+`max_bucket`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NORM = r"\s+"
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    return F.lower(F.regexp_replace(F.trim(F.col(col)), NORM, " "))
+
+
+def fingerprint(col: str = "text") -> F.Column:
+    return F.md5(normalized_text(col))
+
+
+def hex_hash(col_expr: F.Column, salt: str, bits_hex: int = 12) -> F.Column:
+    """Portable 48-bit integer hash: conv(substr(md5(salt||x),1,12),16,10).
+    Identical in DuckDB as CAST('0x'||substr(md5(...),1,12) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col_expr)), 1, bits_hex), 16, 10
+    ).cast("long")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp, canonical_id, is_duplicate): canonical = min id per
+    fingerprint group."""
+    fp = fingerprint(text_col).alias("fp")
+    w = Window.partitionBy("fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def shingles_col(text_col: str = "text", k: int = 5) -> F.Column:
+    """Distinct k-char shingles of the normalized text."""
+    t = normalized_text(text_col)
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({_norm_sql_alias()}) - {k - 1}, 0)),"
+            f" i -> substr({_norm_sql_alias()}, i, {k}))"
+        )
+    )
+
+
+def _norm_sql_alias() -> str:
+    # helper used only inside shingles_col's expr string
+    return "_norm_t"
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    return df.withColumn(_norm_sql_alias(), normalized_text(text_col)).withColumn(
+        "shingles",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({_norm_sql_alias()}) - {k - 1}, 0)),"
+                f" i -> substr({_norm_sql_alias()}, i, {k}))"
+            )
+        ),
+    ).drop(_norm_sql_alias())
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}): per-salt min of the salted shingle hashes."""
+    d = with_shingles(df, text_col, k).filter(F.size("shingles") > 0)
+    cols = [F.col(id_col)]
+    for h in range(n_hashes):
+        cols.append(
+            F.array_min(
+                F.expr(
+                    f"transform(shingles, s -> conv(substr(md5('h{h}:' || s), 1, 12), 16, 10))"
+                ).cast("array<long>")
+            ).alias(f"mh_{h}")
+        )
+    return d.select(*cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate pairs (a < b).
+    Only (band_key, id) tuples shuffle."""
+    rows_per_band = n_hashes // bands
+    parts = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
+            )
+        ).alias("band_key")
+        parts.append(sigs.select(F.col(id_col).alias("id"), key))
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+    sized = keyed.withColumn("bsz", F.count("*").over(Window.partitionBy("band_key")))
+    keyed = sized.filter(F.col("bsz") <= max_bucket).drop("bsz")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingles for the given candidate
+    pairs (verification step after LSH)."""
+    sh = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("id"), "shingles"
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("shingles", "sh_a"), pairs.id_a == sh.id)
+        .drop("id")
+        .join(
+            sh.withColumnRenamed("shingles", "sh_b").alias("s2"),
+            pairs.id_b == F.col("s2.id"),
+        )
+        .drop("id")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens using the portable hash
+    basis: two 32-bit halves from md5 hex; each bit contributes ±1,
+    fingerprint bit = sign of the sum. Pure built-ins (explode + agg)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(normalized_text(text_col), " ")
+        ).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
+    toks = toks.select("id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(48)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sim = None
+    for i in range(48):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.alias("simhash"))
+
+
+def hamming_pairs(sig: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Scale path: block by
+    rotated bit-bands (pigeonhole) instead of the cross join used here
+    for small candidate sets."""
+    a = sig.alias("a")
+    b = sig.alias("b")
+    xor = F.expr("a.simhash ^ b.simhash")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+    )

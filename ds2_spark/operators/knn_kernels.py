@@ -44,23 +44,35 @@ def cosine_knn(
     nq = queries.shape[0]
     out_d = np.empty((nq, k), dtype=np.float64)
     out_i = np.empty((nq, k), dtype=np.int64)
+    # float32 GEMM into a REUSED buffer: deterministic, half the memory
+    # traffic of float64, and — critical in sandboxed (gVisor-style)
+    # containers where large mmap/munmap cycles serialize — no
+    # per-block large allocations.
+    index32 = np.ascontiguousarray(index, dtype=np.float32)
+    buf = np.empty((min(BLOCK, nq), index.shape[0]), dtype=np.float32)
     for s in range(0, nq, BLOCK):
         e = min(s + BLOCK, nq)
-        block = queries[s:e]
-        d = 1.0 - block.astype(np.float64) @ index.astype(np.float64).T
+        block = np.ascontiguousarray(queries[s:e], dtype=np.float32)
+        d = buf[: e - s]
+        np.matmul(block, index32.T, out=d)
+        np.subtract(np.float32(1.0), d, out=d)
         if exclude_self_offset is not None:
             rows = np.arange(s, e)
             cols = rows + exclude_self_offset
             ok = (cols >= 0) & (cols < index.shape[0])
             d[np.arange(e - s)[ok], cols[ok]] = np.inf
-        # deterministic top-k: partial-select then stable sort by (d, idx)
+        # deterministic top-k by iterative argmin: ascending distance,
+        # ties broken by LOWEST index (argmin returns the first min).
+        # Allocation-free — argpartition would materialize a full
+        # (rows x n) int64 index array per block, which is exactly the
+        # mmap churn that serializes sandboxed runtimes.
         kk = min(k, d.shape[1])
-        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        pd = np.take_along_axis(d, part, axis=1)
-        order = np.lexsort((part, pd), axis=1)
-        sel = np.take_along_axis(part, order, axis=1)
-        out_i[s:e, :kk] = sel
-        out_d[s:e, :kk] = np.take_along_axis(d, sel, axis=1)
+        rr = np.arange(e - s)
+        for j in range(kk):
+            am = d.argmin(axis=1)
+            out_i[s:e, j] = am
+            out_d[s:e, j] = d[rr, am]
+            d[rr, am] = np.inf
         if kk < k:
             out_i[s:e, kk:] = -1
             out_d[s:e, kk:] = np.inf

@@ -133,9 +133,14 @@ def curation_pipeline(
             n_waves=n_waves,
         )
     else:
-        rules = _rules_stage(clips)
+        # non-checkpointed path: persist the expensive UDF stages — the
+        # plan is consumed by several downstream actions (pool collect,
+        # lt, selection, decisions) and must not re-run langid/ppl/
+        # embed/audio per action. (The checkpointed path gets this for
+        # free: run_stage materializes each stage to parquet.)
+        rules = _rules_stage(clips).persist()
         candidates = rules.filter(F.col("keep_rules"))
-        emb_df = embed_candidates(candidates, cfg)
+        emb_df = embed_candidates(candidates, cfg).persist()
     pool_emb, pool_ids = collect_pool(emb_df, cfg.knn_pool_max, cfg.seed)
 
     hoc_res, curated = calibrate_rater(spark, pool_emb, pool_ids, scores, rater, cfg)
@@ -156,7 +161,7 @@ def curation_pipeline(
         )
         .join(lt, "clip_id", "left")
         .na.fill({"lt_score": 0.0})
-    )
+    ).persist()
     n_candidates = scored.count()
     budget = max(int(round(cfg.selection.budget_frac * n_candidates)), 1)
     selected = select_subset(scored, budget)

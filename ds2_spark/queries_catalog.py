@@ -333,6 +333,81 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (48-bit, portable md5-hex hash
+    basis) — near-dup detection primitive."""
+    from .operators.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        simhash64(docs, id_col="doc_id", text_col="text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs + exact n-gram Jaccard verification
+    (shingle -> minhash -> band -> bucket-join -> verify)."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n_hashes=8, k=5)
+    pairs = lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+    return ngram_jaccard_pairs(docs, pairs, k=5).orderBy("id_a", "id_b")
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    Bounded to the first 500 vectors: the zip_with/aggregate cosine is
+    evaluated per pair (no codegen for higher-order functions), so the
+    exact-oracle query stays on a bounded slice; the unbounded scale
+    path is q_ann_lsh / operators.similarity.lsh_topk (bucket-join,
+    vectors never cross-join)."""
+    from .operators.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return cosine_neardup_pairs(emb, threshold=0.30).orderBy("id_a", "id_b")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets + exact rerank
+    (scale path for q_knn_topk). Not SQL-expressible (seeded plane
+    matrix) — rows-only check; recall vs brute force asserted in
+    tests/test_dedup_similarity.py."""
+    from .operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    return lsh_topk(q, cand, dim=64, k=3, n_planes=6, n_tables=6).orderBy(
+        "query_id", "rk"
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling (Karp-Rabin-style) token fingerprint via
+    aggregate() — detects reordered-but-same-bag-of-words docs that the
+    md5 bag fingerprint misses."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    toks = F.split(norm, " ")
+    rolled = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(
+            acc * 31 + F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"),
+            F.lit(2147483648).cast("long"),
+        ),
+    )
+    return docs.select("doc_id", rolled.alias("rolling_fp")).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -353,6 +428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_sigmoid_longtail": q_sigmoid_longtail,
         "q_knn_topk": q_knn_topk,
+        "q_simhash": q_simhash,
+        "q_minhash_jaccard": q_minhash_jaccard,
+        "q_cosine_neardup": q_cosine_neardup,
+        "q_ann_lsh": q_ann_lsh,
+        "q_rolling_fingerprint": q_rolling_fingerprint,
     }
 
 
@@ -507,7 +587,104 @@ ORACLE_SQL: dict[str, str] = {
         ) GROUP BY score ORDER BY score
     """,
     "flagship": None,  # model UDFs (langid/ppl) — rows-only check
+    "q_ann_lsh": None,  # seeded plane matrix — rows-only + pytest recall
 }
+
+
+def _simhash_oracle_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(48)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {i})"
+        for i in range(48)
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(
+                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents
+        ), h AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS h
+          FROM toks WHERE length(tok) > 0
+        ), bits AS (
+          SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, {recon} AS simhash FROM bits ORDER BY doc_id
+    """
+
+
+def _minhash_jaccard_oracle_sql(n_hashes: int = 8, bands: int = 4, k: int = 5) -> str:
+    rows_per_band = n_hashes // bands
+    mh_cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> "
+        f"CAST(concat('0x', substr(md5('h{h}:' || s), 1, 12)) AS BIGINT))) AS mh_{h}"
+        for h in range(n_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id AS id, md5(concat_ws(':', '{b}', {cols})) AS band_key FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(length(t) - {k - 1}, 0)),
+                   i -> substr(t, i, {k}))) AS shingles
+          FROM t
+        ), nonempty AS (
+          SELECT * FROM sh WHERE len(shingles) > 0
+        ), sigs AS (
+          SELECT doc_id, {mh_cols} FROM nonempty
+        ), keyed AS ({band_selects}),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM keyed a JOIN keyed b USING (band_key)
+          WHERE a.id < b.id
+        )
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        ORDER BY id_a, id_b
+    """
+
+
+ORACLE_SQL["q_simhash"] = _simhash_oracle_sql()
+ORACLE_SQL["q_minhash_jaccard"] = _minhash_jaccard_oracle_sql()
+ORACLE_SQL["q_cosine_neardup"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id < 500)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+    FROM e a CROSS JOIN e b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
+    ORDER BY id_a, id_b
+"""
+ORACLE_SQL["q_rolling_fingerprint"] = r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+                 x -> CAST(concat('0x', substr(md5(x), 1, 12)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483648) AS rolling_fp
+    FROM documents ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:

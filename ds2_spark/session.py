@@ -47,7 +47,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
-        .config("spark.driver.memory", os.environ.get("DS2_DRIVER_MEM", "48g"))
+        # NOTE: bigger is NOT better in sandboxed single-JVM mode — a
+        # 48g heap measured 10-30x higher per-action latency here (GC /
+        # page-fault churn under gVisor). 12g fits all broadcasts
+        # (pool <= 100MB) + caches with room to spare.
+        .config("spark.driver.memory", os.environ.get("DS2_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
