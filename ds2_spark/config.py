@@ -67,7 +67,8 @@ class PipelineConfig:
     # Sample-pool ceiling for kNN-versus-broadcast stages. The contract
     # (as in the reference, hoc.py:248-258) is that O(N^2) kernels only
     # ever run against a bounded sample — never all-pairs — so the same
-    # code is valid at 10^12 rows.
-    knn_pool_max: int = 200_000
+    # code is valid at 10^12 rows. 20k keeps the per-task working set
+    # inside cache-friendly territory; raise it only with profiling.
+    knn_pool_max: int = 20_000
     embed_dim: int = 128
     seed: int = SEED

@@ -263,3 +263,62 @@ def generate_all(out_dir: str, n: int = 2000, seed: int = SEED, **clip_kwargs) -
     paths["t_true"] = os.path.join(out_dir, "t_true.npy")
     np.save(paths["t_true"], make_t_true(seed))
     return paths
+
+
+def _gen_shard(args) -> str:
+    shard, n_shard, out_dir, seed, clip_kwargs = args
+    shard_dir = os.path.join(out_dir, f"_shard_{shard}")
+    p = generate_clips(n_shard, shard_dir, seed=(seed * 1_000_003 + shard) & 0x7FFFFFFF,
+                       **clip_kwargs)
+    return p["clips"], p["truth"], shard
+
+
+def generate_all_sharded(
+    out_dir: str,
+    n: int,
+    n_shards: int = 16,
+    seed: int = SEED,
+    workers: int = 8,
+    **clip_kwargs,
+) -> dict[str, str]:
+    """Parallel, sharded fixture generation: clips.parquet becomes a
+    DIRECTORY of n_shards files — giving Spark natural scan parallelism
+    (a 10^12-row table has millions of files; a single-file bench
+    fixture would serialize every scan stage). Deterministic per shard.
+    clip_ids are globally unique via a shard prefix offset."""
+    import multiprocessing as mp
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = n // n_shards
+    jobs = [(s, per, out_dir, seed, clip_kwargs) for s in range(n_shards)]
+    with mp.Pool(min(workers, n_shards)) as pool:
+        results = pool.map(_gen_shard, jobs)
+
+    clips_dir = os.path.join(out_dir, "clips.parquet")
+    truth_dir = os.path.join(out_dir, "clips_truth.parquet")
+    for d in (clips_dir, truth_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    # re-key clip_ids with shard prefix to keep them globally unique
+    for clips_path, truth_path, shard in results:
+        for src, dst_dir, col in (
+            (clips_path, clips_dir, "clip_id"),
+            (truth_path, truth_dir, "clip_id"),
+        ):
+            tbl = pq.read_table(src)
+            ids = [f"s{shard:03d}_{c}" for c in tbl.column(col).to_pylist()]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index(col), col, pa.array(ids, pa.string())
+            )
+            pq.write_table(tbl, os.path.join(dst_dir, f"part-{shard:04d}.parquet"))
+        shutil.rmtree(os.path.dirname(clips_path), ignore_errors=True)
+
+    scores_path = generate_scores(clips_dir, out_dir, seed=seed)
+    np.save(os.path.join(out_dir, "t_true.npy"), make_t_true(seed))
+    return {
+        "clips": clips_dir,
+        "truth": truth_dir,
+        "scores": scores_path,
+        "t_true": os.path.join(out_dir, "t_true.npy"),
+    }

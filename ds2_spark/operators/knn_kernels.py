@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 BLOCK = 2048
+INDEX_BLOCK = 8192
 
 
 def l2_normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -41,41 +42,69 @@ def cosine_knn(
     Returns (dists [nq,k], idx [nq,k]) with deterministic tie-break by
     ascending index id.
     """
-    nq = queries.shape[0]
+    nq, ni = queries.shape[0], index.shape[0]
     out_d = np.empty((nq, k), dtype=np.float64)
     out_i = np.empty((nq, k), dtype=np.int64)
-    # float32 GEMM into a REUSED buffer: deterministic, half the memory
-    # traffic of float64, and — critical in sandboxed (gVisor-style)
-    # containers where large mmap/munmap cycles serialize — no
-    # per-block large allocations.
+    # Two-level blocking, float32 GEMM into a REUSED buffer:
+    #  - query rows in blocks of BLOCK, index columns in chunks of
+    #    INDEX_BLOCK, so the working set is bounded (<=64MB) no matter
+    #    how wide the broadcast pool is. Large fresh allocations are
+    #    what serialize sandboxed (gVisor-style) runtimes — everything
+    #    here is reused or tiny.
+    #  - per-chunk top-k by iterative argmin (k passes over the reused
+    #    buffer, no argpartition scratch), then a cheap lexsort merge
+    #    of (rows x k*chunks) candidates. Ties: smallest distance,
+    #    then smallest global index — deterministic.
     index32 = np.ascontiguousarray(index, dtype=np.float32)
-    buf = np.empty((min(BLOCK, nq), index.shape[0]), dtype=np.float32)
+    n_chunks = (ni + INDEX_BLOCK - 1) // INDEX_BLOCK
+    bm = min(BLOCK, nq)
+    buf = np.empty((bm, min(INDEX_BLOCK, ni)), dtype=np.float32)
+    cand_d = np.empty((bm, n_chunks * k), dtype=np.float64)
+    cand_i = np.empty((bm, n_chunks * k), dtype=np.int64)
     for s in range(0, nq, BLOCK):
         e = min(s + BLOCK, nq)
+        m = e - s
         block = np.ascontiguousarray(queries[s:e], dtype=np.float32)
-        d = buf[: e - s]
-        np.matmul(block, index32.T, out=d)
-        np.subtract(np.float32(1.0), d, out=d)
-        if exclude_self_offset is not None:
-            rows = np.arange(s, e)
-            cols = rows + exclude_self_offset
-            ok = (cols >= 0) & (cols < index.shape[0])
-            d[np.arange(e - s)[ok], cols[ok]] = np.inf
-        # deterministic top-k by iterative argmin: ascending distance,
-        # ties broken by LOWEST index (argmin returns the first min).
-        # Allocation-free — argpartition would materialize a full
-        # (rows x n) int64 index array per block, which is exactly the
-        # mmap churn that serializes sandboxed runtimes.
-        kk = min(k, d.shape[1])
-        rr = np.arange(e - s)
-        for j in range(kk):
-            am = d.argmin(axis=1)
-            out_i[s:e, j] = am
-            out_d[s:e, j] = d[rr, am]
-            d[rr, am] = np.inf
-        if kk < k:
-            out_i[s:e, kk:] = -1
-            out_d[s:e, kk:] = np.inf
+        rr = np.arange(m)
+        cand_d[:m].fill(np.inf)
+        cand_i[:m].fill(-1)
+        for ci, c0 in enumerate(range(0, ni, INDEX_BLOCK)):
+            c1 = min(c0 + INDEX_BLOCK, ni)
+            w = c1 - c0
+            d = buf[:m, :w]
+            np.matmul(block, index32[c0:c1].T, out=d)
+            np.subtract(np.float32(1.0), d, out=d)
+            if exclude_self_offset is not None:
+                rows = np.arange(s, e)
+                cols = rows + exclude_self_offset
+                ok = (cols >= c0) & (cols < c1)
+                d[rr[ok], cols[ok] - c0] = np.inf
+            kk = min(k, w)
+            base = ci * k
+            # selection in small row sub-blocks: argpartition scratch
+            # stays ~10MB so the allocator recycles it from the heap
+            # (large scratch would mmap/munmap every call — the
+            # sandboxed-runtime slow path), and the partial select is
+            # ONE pass over the buffer instead of k argmin passes.
+            SUB = 256
+            for s2 in range(0, m, SUB):
+                e2 = min(s2 + SUB, m)
+                dd = d[s2:e2]
+                part = np.argpartition(dd, kk - 1, axis=1)[:, :kk]
+                pv = np.take_along_axis(dd, part, axis=1)
+                order = np.lexsort((part, pv), axis=1)
+                cand_i[s2:e2, base : base + kk] = (
+                    np.take_along_axis(part, order, axis=1) + c0
+                )
+                cand_d[s2:e2, base : base + kk] = np.take_along_axis(
+                    pv, order, axis=1
+                )
+        # merge candidates: sort by (distance, global index)
+        order = np.lexsort((cand_i[:m], cand_d[:m]), axis=1)[:, :k]
+        out_d[s:e] = np.take_along_axis(cand_d[:m], order, axis=1)
+        sel = np.take_along_axis(cand_i[:m], order, axis=1)
+        sel[~np.isfinite(out_d[s:e])] = -1
+        out_i[s:e] = sel
     return out_d, out_i
 
 

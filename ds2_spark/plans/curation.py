@@ -107,9 +107,10 @@ def curation_pipeline(
         if audio is not None:
             aud = audio
         else:
-            from ..operators.audio import audio_sanity
+            # JVM-only metadata sanity: bytes never reach Python here
+            from ..operators.audio import audio_sanity_fast
 
-            aud = audio_sanity(c, cfg.quality.dur_tolerance)
+            aud = audio_sanity_fast(c, cfg.quality.dur_tolerance)
         return rule_decisions(transcript_features(c, cfg), aud, cfg).select(
             "clip_id", "transcript", "transcript_scrubbed", "lang",
             "lang_margin", "ppl", "n_chars", "reason", "keep_rules",

@@ -408,6 +408,27 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolled.alias("rolling_fp")).orderBy("doc_id")
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (SURVEY §2.4 'grouping sets / rollup' row) —
+    subtotals per returnflag and grand total, null grouping keys
+    normalized to '(all)' for cross-engine comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -433,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_neardup": q_cosine_neardup,
         "q_ann_lsh": q_ann_lsh,
         "q_rolling_fingerprint": q_rolling_fingerprint,
+        "q_rollup": q_rollup,
     }
 
 
@@ -661,6 +683,15 @@ def _minhash_jaccard_oracle_sql(n_hashes: int = 8, bands: int = 4, k: int = 5) -
     """
 
 
+ORACLE_SQL["q_rollup"] = """
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+"""
 ORACLE_SQL["q_simhash"] = _simhash_oracle_sql()
 ORACLE_SQL["q_minhash_jaccard"] = _minhash_jaccard_oracle_sql()
 ORACLE_SQL["q_cosine_neardup"] = """

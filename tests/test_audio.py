@@ -1,7 +1,21 @@
 import numpy as np
 import pyarrow.parquet as pq
 
-from ds2_spark.operators.audio import audio_sanity, decode_pcm
+from ds2_spark.operators.audio import audio_sanity, audio_sanity_fast, decode_pcm
+
+
+def test_fast_and_decode_sanity_agree(spark, clips_df):
+    """The JVM-only metadata path (production default: bytes never
+    reach Python) must agree with the full decode path on PCM."""
+    fast = {r["clip_id"]: (r["pcm_ok"], r["dur_actual_ms"], r["dur_ok"])
+            for r in audio_sanity_fast(clips_df).collect()}
+    full = {r["clip_id"]: (r["pcm_ok"], r["dur_actual_ms"], r["dur_ok"])
+            for r in audio_sanity(clips_df).collect()}
+    assert set(fast) == set(full)
+    for cid in fast:
+        f, g = fast[cid], full[cid]
+        assert f[0] == g[0] and f[2] == g[2], (cid, f, g)
+        assert abs(f[1] - g[1]) <= 1  # rounding mode may differ by 1ms
 
 
 def test_audio_sanity_flags_corrupt_durations(spark, clips_df, fixture_paths):
