@@ -11,6 +11,11 @@ Java regex / RE2 / Python `re` (no lookaround, no possessive
 quantifiers, no recursive regex — cf. the reference's `(?R)` JSON
 extractor, LLM_scoring/scoring.py:209, which we do NOT need since
 scores are structured columns here).
+
+Scope note: EMAIL_RE targets conventional addresses
+([A-Za-z0-9._%+-] locals). RFC-exotic locals ('*@a.com',
+quoted-string locals) are intentionally out of scope — matching them
+requires patterns greedy enough to eat surrounding punctuation.
 """
 
 from __future__ import annotations
