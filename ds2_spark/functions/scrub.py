@@ -7,10 +7,27 @@ One regex chain, three implementations that must agree exactly:
   - plain Python (`scrub_py`) — the NumPy-oracle / fixture golden path
 
 Patterns deliberately avoid constructs whose semantics differ across
-Java regex / RE2 / Python `re` (no lookaround, no possessive
-quantifiers, no recursive regex — cf. the reference's `(?R)` JSON
-extractor, LLM_scoring/scoring.py:209, which we do NOT need since
-scores are structured columns here).
+Java regex / RE2 / Python `re`:
+  - no lookaround, no possessive quantifiers, no recursive regex
+    (cf. the reference's `(?R)` JSON extractor,
+    LLM_scoring/scoring.py:209, which we do NOT need since scores are
+    structured columns here);
+  - no `\\d`/`\\w` (Python is Unicode-aware, Java/RE2 ASCII) —
+    explicit `[0-9]` classes only; `\\s` is spelled out as
+    `[ \\t\\n\\r\\f]` (RE2's `\\s` lacks `\\x0B`);
+  - **no `\\b`**: Java's boundary matcher is Unicode-aware even
+    without UNICODE_CHARACTER_CLASS (a documented JDK quirk), so
+    `\\b` next to an accented letter (de/fr/es corpora) means three
+    different things in the three engines. Word boundaries are
+    emulated with explicit consuming groups
+    `(^|[^A-Za-z0-9_]) core ($|[^A-Za-z0-9_])` re-emitted by the
+    replacement via engine-native backreferences ($1/$3 in Java,
+    \\1/\\3 elsewhere). Known, consistent corner: two boundary-
+    delimited hits separated by a SINGLE delimiter char scrub only the
+    first (the delimiter is consumed) — identically in all engines.
+
+The Python twin additionally compiles with `re.ASCII` so any future
+class additions inherit ASCII semantics by default.
 
 Scope note: EMAIL_RE targets conventional addresses
 ([A-Za-z0-9._%+-] locals). RFC-exotic locals ('*@a.com',
@@ -25,43 +42,67 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+_NONWORD = "A-Za-z0-9_"
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
-PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+SSN_CORE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PHONE_RE = r"\+?[0-9][0-9 \t\n\r\f().-]{7,}[0-9]"
 
 # Fixture toxicity lexicon — placeholder terms (FIXTURES.md §1), not a
 # real-word list; production users supply their own lexicon.
 TOX_LEXICON: tuple[str, ...] = tuple(f"zorgblat{i:02d}" for i in range(40))
-TOX_RE = r"\b(" + "|".join(TOX_LEXICON) + r")\b"
+TOX_CORE = r"(?:" + "|".join(TOX_LEXICON) + r")"
 
-# (pattern, replacement) — ORDER MATTERS: SSN before PHONE (an SSN is
+
+def _bounded(core: str) -> str:
+    """ASCII word-boundary emulation via consuming groups (see module
+    docstring): group 1 = left delim, 2 = core, 3 = right delim."""
+    return rf"(^|[^{_NONWORD}])({core})($|[^{_NONWORD}])"
+
+
+# (pattern, tag, bounded) — ORDER MATTERS: SSN before PHONE (an SSN is
 # also a valid phone-ish digit run).
-SCRUB_CHAIN: tuple[tuple[str, str], ...] = (
-    (EMAIL_RE, "<EMAIL>"),
-    (SSN_RE, "<SSN>"),
-    (PHONE_RE, "<PHONE>"),
-    (TOX_RE, "<TOX>"),
+SCRUB_CHAIN: tuple[tuple[str, str, bool], ...] = (
+    (EMAIL_RE, "<EMAIL>", False),
+    (_bounded(SSN_CORE), "<SSN>", True),
+    (PHONE_RE, "<PHONE>", False),
+    (_bounded(TOX_CORE), "<TOX>", True),
 )
+
+
+def _replacement(tag: str, bounded: bool, style: str) -> str:
+    if not bounded:
+        return tag
+    if style == "java":
+        return f"$1{tag}$3"
+    return rf"\1{tag}\3"
 
 
 def scrub_col(col: Column | str) -> Column:
     """Spark expression applying the scrub chain (JVM regexp_replace)."""
     c = F.col(col) if isinstance(col, str) else col
-    for pat, rep in SCRUB_CHAIN:
-        c = F.regexp_replace(c, pat, rep)
+    for pat, tag, bounded in SCRUB_CHAIN:
+        c = F.regexp_replace(c, pat, _replacement(tag, bounded, "java"))
     return c
 
 
 def scrub_sql(expr: str) -> str:
     """DuckDB SQL expression applying the identical chain to `expr`."""
     out = expr
-    for pat, rep in SCRUB_CHAIN:
+    for pat, tag, bounded in SCRUB_CHAIN:
+        # DuckDB string literals keep backslashes verbatim, so the RE2
+        # rewrite refs (\1, \3) pass through unescaped
         pat_sql = pat.replace("'", "''")
-        out = f"regexp_replace({out}, '{pat_sql}', '{rep}', 'g')"
+        rep_sql = _replacement(tag, bounded, "re2")
+        out = f"regexp_replace({out}, '{pat_sql}', '{rep_sql}', 'g')"
     return out
 
 
-_COMPILED = [(re.compile(p), r) for p, r in SCRUB_CHAIN]
+# re.ASCII pins \s and any future shorthand classes to the ASCII
+# semantics Java regex and RE2 use by default.
+_COMPILED = [
+    (re.compile(p, re.ASCII), _replacement(t, b, "py")) for p, t, b in SCRUB_CHAIN
+]
 
 
 def scrub_py(text: str) -> str:

@@ -8,6 +8,8 @@ variants used inside kNN kernels live in operators/knn.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -48,3 +50,26 @@ def sigmoid_longtail(c: Column | str) -> Column:
     score mapping (docta/core/get_lr_score.py:48-50)."""
     c = F.col(c) if isinstance(c, str) else c
     return F.round(F.lit(2.0) / (F.lit(1.0) + F.exp(-c)) - F.lit(1.0), 4)
+
+
+def cosine_similarity_arrow():
+    """Arrow-vectorized cosine similarity pandas UDF (double).
+
+    The zip_with/aggregate HOF variant above is interpreted (not
+    codegen'd) — fine for bounded slices with an exact-SQL oracle, but
+    the wrong tool on wide candidate sets. This twin does one NumPy
+    GEMM-shaped pass per Arrow batch and is the rerank path of
+    operators/similarity.lsh_topk. Defined as a factory so import
+    never needs an active SparkSession.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = np.array(a.tolist(), dtype=np.float64)
+        bv = np.array(b.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", av, bv)
+        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-12))
+
+    return _cos

@@ -60,19 +60,8 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def shingles_col(text_col: str = "text", k: int = 5) -> F.Column:
-    """Distinct k-char shingles of the normalized text."""
-    t = normalized_text(text_col)
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({_norm_sql_alias()}) - {k - 1}, 0)),"
-            f" i -> substr({_norm_sql_alias()}, i, {k}))"
-        )
-    )
-
-
 def _norm_sql_alias() -> str:
-    # helper used only inside shingles_col's expr string
+    # temp-column name used inside with_shingles's expr strings
     return "_norm_t"
 
 

@@ -15,6 +15,7 @@ Also embedding-cosine near-dup pairs (threshold variant) for dedup.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,24 +43,33 @@ def brute_force_topk(
     )
 
 
-def _plane_matrix(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.normal(0, 1, size=(n_planes, dim)).astype(np.float32).tolist()
+    return rng.normal(0, 1, size=(n_planes, dim)).astype(np.float32)
 
 
-def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-bit bucket key from dot products with literal hyperplanes —
-    pure built-in expressions (zip_with/aggregate), JVM-evaluated."""
-    bits = []
-    for p in planes:
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col).cast("array<double>"), plane, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def lsh_bucket_keys_udf(planes: np.ndarray, n_tables: int, n_planes: int):
+    """Bucket keys for ALL tables in ONE Arrow-batched NumPy GEMM.
+
+    `planes` stacks every table's hyperplanes ([n_tables*n_planes,
+    dim]); per batch: sign bits = M @ planes.T >= 0, packed per table
+    into an integer, offset by table id — returns array<long> of
+    length n_tables per row. One vectorized kernel replaces
+    n_tables x n_planes interpreted zip_with/aggregate expressions
+    per row (the round-1 hot spot)."""
+    from pyspark.sql.functions import pandas_udf
+
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64))
+    offsets = np.arange(n_tables, dtype=np.int64) << np.int64(n_planes)
+
+    @pandas_udf("array<long>")
+    def _keys(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float32)
+        bits = (m @ planes.T) >= 0                      # [n, T*B]
+        vals = bits.reshape(len(m), n_tables, n_planes) @ pow2  # [n, T]
+        return pd.Series(list(vals + offsets[None, :]))
+
+    return _keys
 
 
 def lsh_topk(
@@ -76,29 +86,34 @@ def lsh_topk(
     cv: str = "cv",
 ) -> DataFrame:
     """Approximate top-k: union of n_tables independent LSH bucketings,
-    exact cosine rerank on the bucket-colliding candidates."""
-    cand_parts = []
-    q_parts = []
-    for t in range(n_tables):
-        planes = _plane_matrix(dim, n_planes, seed + 1000 * t)
-        key = F.concat(F.lit(f"t{t}:"), lsh_bucket_col(cv, planes)).alias("bkey")
-        cand_parts.append(candidates.select(cid, F.col(cv), key))
-        qkey = F.concat(F.lit(f"t{t}:"), lsh_bucket_col(qv, planes)).alias("bkey")
-        q_parts.append(queries.select(qid, F.col(qv), qkey))
-    cand_all = cand_parts[0]
-    for p in cand_parts[1:]:
-        cand_all = cand_all.unionByName(p)
-    q_all = q_parts[0]
-    for p in q_parts[1:]:
-        q_all = q_all.unionByName(p)
-    hits = q_all.join(cand_all, "bkey").select(qid, qv, cid, cv).distinct()
-    sim = F.round(
-        cosine_similarity(F.col(qv).cast("array<double>"), F.col(cv).cast("array<double>")),
-        6,
+    exact cosine rerank on the bucket-colliding candidates.
+
+    Scale contract (the shuffle carries ids, never vectors):
+      1. bucket keys via one NumPy GEMM pandas UDF (all tables at once);
+      2. explode to (bkey:long, id) rows — the ONLY thing that joins;
+      3. distinct on (query_id, neighbor_id) id pairs;
+      4. vectors re-joined exactly once for the Arrow-vectorized
+         cosine rerank.
+    Hot buckets (skewed key popularity) are AQE skew-join territory;
+    for adversarial inputs cap candidate bucket size upstream as in
+    dedup.lsh_candidate_pairs' max_bucket."""
+    from ..functions.vectors import cosine_similarity_arrow
+
+    planes = np.concatenate(
+        [_plane_matrix(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     )
+    keys = lsh_bucket_keys_udf(planes, n_tables, n_planes)
+    q_keys = queries.select(F.col(qid), F.explode(keys(F.col(qv))).alias("bkey"))
+    c_keys = candidates.select(F.col(cid), F.explode(keys(F.col(cv))).alias("bkey"))
+    hits = q_keys.join(c_keys, "bkey").select(qid, cid).distinct()
+    pairs = (
+        hits.join(queries.select(qid, qv), qid)
+        .join(candidates.select(cid, cv), cid)
+    )
+    sim = F.round(cosine_similarity_arrow()(F.col(qv), F.col(cv)), 6)
     w = Window.partitionBy(qid).orderBy(F.desc("sim"), F.asc(cid))
     return (
-        hits.select(qid, cid, sim.alias("sim"))
+        pairs.select(qid, cid, sim.alias("sim"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )

@@ -67,7 +67,15 @@ def calibrate_rater(
     """HOC + votes + curation for one rater. Returns (hoc_result,
     curated DataFrame with final_score)."""
     r_scores = scores.filter(F.col("rater") == rater).select("clip_id", "raw_score")
-    sp = r_scores.toPandas().set_index("clip_id")["raw_score"]
+    # Driver materializes ONLY pool-sized score rows (semi-join against
+    # the broadcast ≤knn_pool_max id list) — collect_pool's bounded-
+    # collect invariant holds for scores too; never toPandas the full
+    # score table (unbounded at the 10^12-row design point).
+    spark_ids = spark.createDataFrame(
+        [(str(i),) for i in pool_ids.tolist()], "clip_id string"
+    )
+    pool_scores = r_scores.join(F.broadcast(spark_ids), "clip_id", "left_semi")
+    sp = pool_scores.toPandas().set_index("clip_id")["raw_score"]
     mask = np.isin(pool_ids, sp.index.to_numpy())
     ids = pool_ids[mask]
     emb = pool_emb[mask]

@@ -44,6 +44,13 @@ def main() -> int:
         "which is the honest protocol for throughput scaling)",
     )
     args = ap.parse_args()
+    if args.warm_repeats > 0 and args.checkpoint:
+        # a warmup run would mark every wave done under this run_id and
+        # the timed repeats would resume-skip the heavy stages,
+        # measuring only parquet read-back — refuse the combination
+        ap.error("--warm-repeats cannot be combined with --checkpoint "
+                 "(resume would skip the timed work); bench without "
+                 "checkpointing or time a single cold run instead")
 
     from pyspark.sql import SparkSession
 

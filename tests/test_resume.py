@@ -28,7 +28,8 @@ def test_kill_and_resume_exact(spark, clips_df, tmp_path):
     )
     expected = _collect(oneshot)
 
-    # crashing run: fail while processing wave 2
+    # crashing run: fail while processing wave 2 (waves_per_commit=1 →
+    # finest failure granularity, one stage_fn call per wave)
     root = str(tmp_path / "crashy")
     crash_marker = tmp_path / "crash_armed"
     crash_marker.write_text("1")
@@ -41,7 +42,10 @@ def test_kill_and_resume_exact(spark, clips_df, tmp_path):
         return _stage(df)
 
     with pytest.raises(RuntimeError):
-        run_stage(spark, inp, crashy_stage, root, "run1", "feat", n_waves=4)
+        run_stage(
+            spark, inp, crashy_stage, root, "run1", "feat",
+            n_waves=4, waves_per_commit=1,
+        )
 
     lineage = read_lineage(spark, root)
     done_before = lineage.filter("status = 'done'").count()
@@ -50,7 +54,10 @@ def test_kill_and_resume_exact(spark, clips_df, tmp_path):
     # resume: same run_id + stage
     crash_marker.unlink()
     calls.clear()
-    resumed = run_stage(spark, inp, crashy_stage, root, "run1", "feat", n_waves=4)
+    resumed = run_stage(
+        spark, inp, crashy_stage, root, "run1", "feat",
+        n_waves=4, waves_per_commit=1,
+    )
     assert _collect(resumed) == expected
     # only the 2 missing waves were reprocessed
     assert len(calls) == 2
@@ -87,5 +94,76 @@ def test_new_run_id_reprocesses(spark, clips_df, tmp_path):
         calls.append(1)
         return _stage(df)
 
-    run_stage(spark, inp, counting_stage, root, "run_b", "s", n_waves=2)
+    run_stage(
+        spark, inp, counting_stage, root, "run_b", "s",
+        n_waves=2, waves_per_commit=1,
+    )
     assert len(calls) == 2  # different run_id -> fresh processing
+
+
+def test_one_pass_default_single_scan(spark, clips_df, tmp_path):
+    """Default waves_per_commit=None: a fresh run calls stage_fn ONCE
+    (one input scan) yet still records one lineage row per wave with
+    exact per-wave counts, and a mixed resume processes only the
+    missing waves."""
+    inp = clips_df.select("clip_id", "transcript")
+    root = str(tmp_path / "onepass")
+    calls = []
+
+    def counting_stage(df):
+        calls.append(1)
+        return _stage(df)
+
+    out = run_stage(spark, inp, counting_stage, root, "r", "s", n_waves=4)
+    assert len(calls) == 1  # one commit group = one scan
+    lineage = read_lineage(spark, root)
+    rows = {
+        int(r["partition_id"]): (int(r["input_rows"]), int(r["output_rows"]))
+        for r in lineage.filter("status = 'done'").collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(i for i, _ in rows.values()) == inp.count()
+    assert all(i == o for i, o in rows.values())  # row-preserving stage
+    assert out.count() == inp.count()
+
+    # rerun is a zero-call noop even in one-pass mode
+    calls.clear()
+    again = run_stage(spark, inp, counting_stage, root, "r", "s", n_waves=4)
+    assert calls == []
+    assert _collect(again) == _collect(out)
+
+
+def test_nwaves_mismatch_fails_fast(spark, clips_df, tmp_path):
+    """Reusing a checkpoint root with a smaller n_waves must not
+    silently include stale wave partitions — it fails fast."""
+    inp = clips_df.select("clip_id", "transcript")
+    root = str(tmp_path / "mismatch")
+    run_stage(spark, inp, _stage, root, "r", "s", n_waves=4)
+    with pytest.raises(ValueError, match="different wave count"):
+        run_stage(spark, inp, _stage, root, "r", "s", n_waves=2)
+
+
+def test_iceberg_fallback_engages(spark, clips_df, tmp_path):
+    """No Iceberg jars in this container: the probe must report
+    unavailable and overwrite_partitions must take the partitioned-
+    parquet path, replacing exactly the partitions it is given."""
+    from pyspark.sql import functions as F
+
+    from ds2_spark.sources.iceberg import iceberg_available, overwrite_partitions
+
+    assert iceberg_available(spark) is False
+    path = str(tmp_path / "ckpt")
+    df = clips_df.select("clip_id").limit(20).withColumn(
+        "_wave", F.pmod(F.crc32(F.col("clip_id")), F.lit(2)).cast("int")
+    )
+    engine = overwrite_partitions(df, path, "_wave")
+    assert engine == "parquet"
+    n_all = spark.read.parquet(path).count()
+    assert n_all == 20
+    # rewriting only wave 0 must leave wave 1 untouched (dynamic overwrite)
+    w0 = df.filter("_wave = 0")
+    n0 = w0.count()
+    engine = overwrite_partitions(w0.limit(max(n0 - 1, 1)), path, "_wave")
+    assert engine == "parquet"
+    after = spark.read.parquet(path)
+    assert after.filter("_wave = 1").count() == 20 - n0

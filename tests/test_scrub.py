@@ -54,3 +54,44 @@ def test_scrubbed_frac_matches_truth(spark, clips_df, fixture_paths):
     flagged = set(truth.index[truth.has_pii | truth.has_tox])
     # every injected-PII/tox row must be scrubbed; no normal row touched
     assert changed == flagged
+
+
+def test_unicode_three_way_agreement(spark):
+    """Java regex, RE2 and Python disagree on \\b/\\d/\\s semantics for
+    non-ASCII input (Java's \\b is Unicode-aware even in default mode)
+    — the chain avoids those shorthands entirely, so all three engines
+    must agree on hostile non-ASCII input."""
+    hostile = [
+        "caf\u00e9123-45-6789x",      # e-acute left, word char right: no scrub
+        "caf\u00e9 123-45-6789 fin",  # e-acute + real delimiters: scrub
+        "n\u00famero \u0661\u0662\u0663\u0664\u0665\u0666\u0667\u0668\u0669",  # Arabic-Indic digits: not [0-9]
+        "tel +49\u00a0170\u00a0555\u00a00199 ok",  # NBSP separators: not in the phone class
+        "z\u00fcrich zorgblat03\u00df",  # eszett delimits the lexicon term in every engine
+        "\u4f60\u597d 123-45-6789 \u518d\u89c1",  # CJK context around an SSN
+        "123-45-6789 987-65-4321",   # shared single delimiter: first only, consistently
+        "end with ssn 123-45-6789",  # $ right-boundary
+        "123-45-6789\n",            # trailing newline: $ vs [^w] paths converge
+    ]
+    expected = [scrub_py(t) for t in hostile]
+    # pin the Python-twin semantics we claim
+    # no SSN boundary on the left, but the (unbounded) phone pattern
+    # still catches the digit run — identically in every engine
+    assert expected[0] == "caf\u00e9<PHONE>x"
+    assert expected[1] == "caf\u00e9 <SSN> fin"
+    assert expected[3] == "tel +49\u00a0170\u00a0555\u00a00199 ok"
+    assert expected[4] == "z\u00fcrich <TOX>\u00df"
+    # the consumed shared delimiter skips the second SSN match, but the
+    # phone pattern still scrubs the digit run — nothing leaks
+    assert expected[6] == "<SSN> <PHONE>"
+    assert expected[7] == "end with ssn <SSN>"
+    assert expected[8] == "<SSN>\n"
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(hostile)], "i int, t string")
+    got_spark = [r["s"] for r in df.select("i", scrub_col("t").alias("s")).orderBy("i").collect()]
+    assert got_spark == expected
+
+    duck = duckdb.connect()
+    duck.execute("create table h(i int, t varchar)")
+    duck.executemany("insert into h values (?, ?)", list(enumerate(hostile)))
+    got_duck = [r[0] for r in duck.sql(f"select {scrub_sql('t')} from h order by i").fetchall()]
+    assert got_duck == expected
