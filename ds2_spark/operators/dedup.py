@@ -192,10 +192,65 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select("id", sim.alias("simhash"))
 
 
+def simhash_banded_pairs(
+    sig: DataFrame, max_dist: int = 3, bits: int = 48, id_col: str = "id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — the SCALE path.
+
+    Pigeonhole banding: split the `bits`-bit signature into
+    (max_dist+1) bands; any pair within Hamming distance max_dist must
+    agree EXACTLY on at least one band, so candidates are found with a
+    per-band bucket equi-join (shuffle carries (band, band_key, id,
+    signature) — 20 bytes/row, never text), then verified exactly with
+    one bit_count(xor). Output: (id_a, id_b, hamming), id_a < id_b.
+
+    Hot buckets (e.g. the all-zeros band of boilerplate-heavy corpora)
+    are AQE skew-join territory; for adversarial inputs cap band
+    bucket size as in lsh_candidate_pairs' max_bucket."""
+    n_bands = max_dist + 1
+    width = bits // n_bands
+    parts = []
+    for bnd in range(n_bands):
+        lo = bnd * width
+        w = width if bnd < n_bands - 1 else bits - lo
+        key = F.shiftright(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << w) - 1).cast("long")
+        )
+        parts.append(
+            sig.select(
+                F.col(id_col).alias("id"),
+                F.col("simhash"),
+                F.lit(bnd).alias("band"),
+                key.alias("bkey"),
+            )
+        )
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    xor = F.expr("sh_a ^ sh_b")
+    return (
+        cand.select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
 def hamming_pairs(sig: DataFrame, max_dist: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Scale path: block by
-    rotated bit-bands (pigeonhole) instead of the cross join used here
-    for small candidate sets."""
+    """Near-dup pairs by SimHash Hamming distance via cross join —
+    bounded candidate sets only (the correctness twin of
+    simhash_banded_pairs, which is the unbounded-input scale path)."""
     a = sig.alias("a")
     b = sig.alias("b")
     xor = F.expr("a.simhash ^ b.simhash")

@@ -346,6 +346,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via pigeonhole banding (the scale
+    path: band bucket-join + exact bit_count verify — no cross join)."""
+    from .operators.dedup import simhash64, simhash_banded_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash64(docs, id_col="doc_id", text_col="text")
+    return (
+        simhash_banded_pairs(sig, max_dist=3)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs + exact n-gram Jaccard verification
     (shingle -> minhash -> band -> bucket-join -> verify)."""
@@ -429,6 +444,223 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- calibration-chain contract queries (K4-K7 evidence surface) ----
+#
+# The production calibration operators (votes aggregation, curation
+# override, dual-sort selection) are pure relational transforms — so
+# they can be driven by deterministic tables synthesized from `events`
+# with identical column expressions in Spark and DuckDB, exercising
+# the REAL operator code against an exact SQL oracle. The NumPy-kernel
+# stages (kNN voting epochs, HOC consensus) additionally get bounded
+# relational twins (q_lt_score, q_consensus_counts) that pin the
+# semantics (mean-kNN-distance -> sigmoid; 2-NN consensus patterns)
+# with exact oracles; kernel==engine parity is pytest territory
+# (tests/test_calibration.py).
+
+
+def _synth_votes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(votes, scores) synthesized from events — expressions mirrored
+    verbatim in the SQL oracles."""
+    ev = _t(spark, sf_dir, "events")
+    votes = ev.select(
+        (F.col("user_id") % 50).cast("int").alias("clip_id"),
+        (F.col("event_id") % 7).cast("int").alias("epoch"),
+        ((F.col("event_id") % 3) == 0).cast("int").alias("flagged"),
+        ((F.col("event_id") % 11) % 6).cast("int").alias("suggested"),
+    )
+    scores = (
+        votes.select("clip_id").distinct()
+        .withColumn("raw_score", (F.col("clip_id") % 6).cast("int"))
+    )
+    return votes, scores
+
+
+def q_votes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/A9: cross-epoch vote aggregation — Laplace-smoothed flag
+    average, smoothed suggestion distribution, own-score-masked argmax
+    (reference detect.py:61-86) — via the production operator."""
+    from .operators.votes import aggregate_votes
+
+    votes, scores = _synth_votes(spark, sf_dir)
+    agg = aggregate_votes(votes, scores)
+    return agg.select(
+        "clip_id", "raw_score", "times",
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+        F.round("noisy_avg", 6).alias("noisy_avg"),
+        "suggested_score",
+        F.round("confidence", 6).alias("confidence"),
+    ).orderBy("clip_id")
+
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 curation override on top of the vote aggregate: noisy clips
+    with confident suggestions get final_score = suggested
+    (reference subset_generation.py:17-41)."""
+    from .operators.votes import aggregate_votes, curate_scores
+
+    votes, scores = _synth_votes(spark, sf_dir)
+    cur = curate_scores(aggregate_votes(votes, scores), confidence_min=0.5)
+    return cur.select(
+        "clip_id", "raw_score", "suggested_score",
+        F.col("is_corrupted").cast("int").alias("is_corrupted"),
+        F.col("is_curated").cast("int").alias("is_curated"),
+        F.col("final_score").cast("int").alias("final_score"),
+    ).orderBy("clip_id")
+
+
+SELECT_BUDGET = 1234
+
+
+def q_select_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7/W2 diversity-aware dual-sort selection via the production
+    operator (greedy bucket fill 5→0, per-bucket rank by lt desc, ties
+    by clip_id; reference subset_generation.py:43-76). The scale-safe
+    histogram ranking path is exercised (97 distinct lt values)."""
+    from .operators.selection import select_subset
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("event_id").alias("clip_id"),
+        (F.col("event_id") % 6).cast("int").alias("final_score"),
+        F.round((F.col("event_id") % 97) / 97.0, 4).alias("lt_score"),
+    )
+    out = select_subset(scored, SELECT_BUDGET)
+    return out.select(
+        "clip_id", "final_score", "lt_score", "sel_rank",
+        F.col("selected").cast("int").alias("selected"),
+    ).orderBy("clip_id")
+
+
+def q_lt_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 semantics twin (F8+A8 composition): mean distance to the
+    k=10 cosine-nearest neighbors (self excluded), mapped through the
+    long-tail sigmoid 2/(1+e^-d)-1 at 4dp (reference
+    get_lr_score.py:13-51). Bounded slice for the exact-SQL oracle;
+    the unbounded path is operators/longtail.lt_scores (blocked NumPy
+    kernel, engine==oracle parity in tests/test_calibration.py).
+    Distances are 6dp-quantized and summed as integers so the mean is
+    bit-exact in both engines."""
+    from .functions.vectors import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    dist = F.round(
+        1.0
+        - cosine_similarity(
+            F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")
+        ),
+        6,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(dist * 1e6).cast("long").alias("d6"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d6"), F.asc("nid"))
+    knn = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    mean_d = F.sum("d6") / (F.count("*") * F.lit(1e6))
+    lt = F.round(F.lit(2.0) / (F.lit(1.0) + F.exp(-mean_d)) - 1.0, 4)
+    return (
+        knn.groupBy("qid")
+        .agg(lt.alias("lt_score"))
+        .orderBy("qid")
+    )
+
+
+def q_consensus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 HOC consensus-pattern counting twin: each row's label with
+    its 2 cosine-nearest neighbors' labels, counted per (y0,y1,y2)
+    pattern (reference docta/core/hoc.py:173-214). Bounded slice with
+    synthetic labels vec_id%6; the distributed kernel version is
+    operators/hoc.consensus_counts (pytest parity)."""
+    from .functions.vectors import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    dist = F.round(
+        1.0
+        - cosine_similarity(
+            F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")
+        ),
+        6,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", dist.alias("d"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("nid"))
+    nn2 = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("qid")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("nid"))).alias("n1"),
+            F.max(F.when(F.col("rk") == 2, F.col("nid"))).alias("n2"),
+        )
+    )
+    pat = nn2.select(
+        (F.col("qid") % 6).cast("int").alias("y0"),
+        (F.col("n1") % 6).cast("int").alias("y1"),
+        (F.col("n2") % 6).cast("int").alias("y2"),
+    )
+    return (
+        pat.groupBy("y0", "y1", "y2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("y0", "y1", "y2")
+    )
+
+
+def q_audio_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 metadata-level audio sanity via the production JVM-only
+    operator (zero bytes to Python): synthesizes a binary payload +
+    (sr_hz, dur_ms, codec) metadata from events, checks codec
+    whitelist, PCM16 alignment, and stored-vs-derived duration
+    tolerance. sr values are primes so the derived duration
+    never lands on an exact .5 (cross-engine rounding safety)."""
+    from .operators.audio import audio_sanity_fast
+
+    ev = _t(spark, sf_dir, "events")
+    n = (F.col("event_id") % 50 + 1).cast("int")
+    hexchunk = F.when(F.col("event_id") % 5 == 0, F.lit("616263")).otherwise(
+        F.lit("6162")
+    )
+    # primes > max blen with no factor of 1000: blen*500/sr can never
+    # be an exact half-integer, so round() never hits a tie
+    sr = (
+        F.when(F.col("event_id") % 3 == 0, 3001)
+        .when(F.col("event_id") % 3 == 1, 7001)
+        .otherwise(11003)
+    )
+    codec = (
+        F.when(F.col("event_id") % 4 == 0, "pcm_s16le")
+        .when(F.col("event_id") % 4 == 1, "flac")
+        .when(F.col("event_id") % 4 == 2, "opus")
+        .otherwise("wav9")  # unknown codec -> pcm_ok false
+    )
+    blen_bytes = F.when(F.col("event_id") % 5 == 0, 3).otherwise(2) * n
+    dur_true = F.round(blen_bytes / 2 * 1000.0 / sr).cast("int")
+    dur_ms = (dur_true + F.when(F.col("event_id") % 7 == 0, 1000).otherwise(0)).cast(
+        "int"
+    )
+    clips = ev.select(
+        F.col("event_id").cast("string").alias("clip_id"),
+        F.to_binary(F.repeat(hexchunk, n), F.lit("hex")).alias("bytes"),
+        sr.cast("int").alias("sr_hz"),
+        dur_ms.alias("dur_ms"),
+        codec.alias("codec"),
+    )
+    out = audio_sanity_fast(clips, dur_tolerance=0.10)
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("pcm_ok").cast("int").alias("pcm_ok"),
+        "dur_actual_ms",
+        F.col("dur_ok").cast("int").alias("dur_ok"),
+    ).orderBy("clip_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -450,11 +682,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sigmoid_longtail": q_sigmoid_longtail,
         "q_knn_topk": q_knn_topk,
         "q_simhash": q_simhash,
+        "q_simhash_neardup": q_simhash_neardup,
         "q_minhash_jaccard": q_minhash_jaccard,
         "q_cosine_neardup": q_cosine_neardup,
         "q_ann_lsh": q_ann_lsh,
         "q_rolling_fingerprint": q_rolling_fingerprint,
         "q_rollup": q_rollup,
+        "q_votes_agg": q_votes_agg,
+        "q_curation": q_curation,
+        "q_select_subset": q_select_subset,
+        "q_lt_score": q_lt_score,
+        "q_consensus_counts": q_consensus_counts,
+        "q_audio_sanity": q_audio_sanity,
     }
 
 
@@ -683,6 +922,38 @@ def _minhash_jaccard_oracle_sql(n_hashes: int = 8, bands: int = 4, k: int = 5) -
     """
 
 
+def _simhash_neardup_oracle_sql(max_dist: int = 3, bits: int = 48) -> str:
+    """Same pigeonhole banding over the q_simhash signature CTE; the
+    final Hamming check makes banding invisible in the result, so a
+    plain all-pairs SQL would give the same rows — banding in the
+    oracle too keeps the two engines structurally comparable."""
+    n_bands = max_dist + 1
+    width = bits // n_bands
+    band_selects = []
+    for bnd in range(n_bands):
+        lo = bnd * width
+        w = width if bnd < n_bands - 1 else bits - lo
+        mask = (1 << w) - 1
+        band_selects.append(
+            f"SELECT doc_id, simhash, {bnd} AS band, "
+            f"(simhash >> {lo}) & {mask} AS bkey FROM sim"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH sim AS ({_simhash_oracle_sql()}),
+        keyed AS ({bands}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM keyed a JOIN keyed b USING (band, bkey)
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_dist}
+        ORDER BY doc_a, doc_b
+    """
+
+
 ORACLE_SQL["q_rollup"] = """
     SELECT coalesce(l_returnflag, '(all)') AS returnflag,
            coalesce(l_linestatus, '(all)') AS linestatus,
@@ -693,6 +964,7 @@ ORACLE_SQL["q_rollup"] = """
     ORDER BY returnflag, linestatus
 """
 ORACLE_SQL["q_simhash"] = _simhash_oracle_sql()
+ORACLE_SQL["q_simhash_neardup"] = _simhash_neardup_oracle_sql()
 ORACLE_SQL["q_minhash_jaccard"] = _minhash_jaccard_oracle_sql()
 ORACLE_SQL["q_cosine_neardup"] = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -715,6 +987,171 @@ ORACLE_SQL["q_rolling_fingerprint"] = r"""
                  x -> CAST(concat('0x', substr(md5(x), 1, 12)) AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 2147483648) AS rolling_fp
     FROM documents ORDER BY doc_id
+"""
+
+
+# ---- calibration-chain oracles ----
+
+_VOTES_CORE_SQL = """
+  votes AS (
+    SELECT CAST(user_id % 50 AS INT) AS clip_id,
+           CAST(event_id % 7 AS INT) AS epoch,
+           CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS flagged,
+           CAST((event_id % 11) % 6 AS INT) AS suggested
+    FROM events),
+  vscores AS (
+    SELECT DISTINCT clip_id, CAST(clip_id % 6 AS INT) AS raw_score FROM votes),
+  agg AS (
+    SELECT clip_id, count(*) AS times, CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           {csum}
+    FROM votes GROUP BY clip_id),
+  j AS (
+    SELECT a.*, s.raw_score, (c0+c1+c2+c3+c4+c5) AS tot
+    FROM agg a JOIN vscores s USING (clip_id)),
+  p AS (
+    SELECT *, {probs}, {masked} FROM j),
+  g AS (
+    SELECT *, greatest(m0,m1,m2,m3,m4,m5) AS gm FROM p),
+  r AS (
+    SELECT *,
+           CAST(CASE WHEN m0=gm THEN 0 WHEN m1=gm THEN 1 WHEN m2=gm THEN 2
+                     WHEN m3=gm THEN 3 WHEN m4=gm THEN 4 ELSE 5 END AS INT)
+             AS suggested_score,
+           (n_flagged + 1.0) / (times + 2.0) AS noisy_avg_raw
+    FROM g),
+  vfinal AS (
+    SELECT *,
+           CASE suggested_score WHEN 0 THEN p0 WHEN 1 THEN p1 WHEN 2 THEN p2
+                WHEN 3 THEN p3 WHEN 4 THEN p4 ELSE p5 END AS confidence_raw
+    FROM r)
+""".format(
+    csum=", ".join(
+        f"sum(CASE WHEN suggested={c} THEN 1 ELSE 0 END) AS c{c}" for c in range(6)
+    ),
+    probs=", ".join(f"(c{c}+1.0)/(tot+6.0) AS p{c}" for c in range(6)),
+    masked=", ".join(
+        f"CASE WHEN raw_score={c} THEN -1.0 ELSE (c{c}+1.0)/(tot+6.0) END AS m{c}"
+        for c in range(6)
+    ),
+)
+
+ORACLE_SQL["q_votes_agg"] = f"""
+    WITH {_VOTES_CORE_SQL}
+    SELECT clip_id, raw_score, times, n_flagged,
+           round(noisy_avg_raw, 6) AS noisy_avg,
+           suggested_score,
+           round(confidence_raw, 6) AS confidence
+    FROM vfinal ORDER BY clip_id
+"""
+
+ORACLE_SQL["q_curation"] = f"""
+    WITH {_VOTES_CORE_SQL}
+    SELECT clip_id, raw_score, suggested_score,
+           CAST(noisy_avg_raw > 0.5 AS INT) AS is_corrupted,
+           CAST(noisy_avg_raw > 0.5 AND confidence_raw >= 0.5 AS INT) AS is_curated,
+           CAST(CASE WHEN noisy_avg_raw > 0.5 AND confidence_raw >= 0.5
+                THEN suggested_score ELSE raw_score END AS INT) AS final_score
+    FROM vfinal ORDER BY clip_id
+"""
+
+ORACLE_SQL["q_select_subset"] = f"""
+    WITH scored AS (
+      SELECT event_id AS clip_id,
+             CAST(event_id % 6 AS INT) AS final_score,
+             round((event_id % 97) / 97.0, 4) AS lt_score
+      FROM events),
+    sizes AS (
+      SELECT final_score, count(*) AS n FROM scored GROUP BY final_score),
+    takes AS (
+      SELECT final_score,
+             CAST(least(n, greatest({SELECT_BUDGET} - coalesce(
+               sum(n) OVER (ORDER BY final_score DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0
+             ), 0)) AS INT) AS bucket_take
+      FROM sizes),
+    ranked AS (
+      SELECT s.*, CAST(row_number() OVER (
+               PARTITION BY s.final_score
+               ORDER BY s.lt_score DESC, s.clip_id ASC) AS INT) AS sel_rank
+      FROM scored s)
+    SELECT r.clip_id, r.final_score, r.lt_score, r.sel_rank,
+           CAST(r.sel_rank <= t.bucket_take AS INT) AS selected
+    FROM ranked r JOIN takes t USING (final_score)
+    ORDER BY clip_id
+"""
+
+ORACLE_SQL["q_lt_score"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 300),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST(round(round(1.0 - list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               6) * 1e6) AS BIGINT) AS d6
+      FROM e a CROSS JOIN e b WHERE a.vec_id != b.vec_id),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d6 ASC, nid ASC) AS rk
+        FROM pairs
+      ) WHERE rk <= 10)
+    SELECT qid, round(2.0 / (1.0 + exp(-(sum(d6) / (count(*) * 1e6)))) - 1.0, 4)
+             AS lt_score
+    FROM knn GROUP BY qid ORDER BY qid
+"""
+
+ORACLE_SQL["q_consensus_counts"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 300),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(1.0 - list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               6) AS d
+      FROM e a CROSS JOIN e b WHERE a.vec_id != b.vec_id),
+    nn2 AS (
+      SELECT qid,
+             max(CASE WHEN rk = 1 THEN nid END) AS n1,
+             max(CASE WHEN rk = 2 THEN nid END) AS n2
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS rk
+        FROM pairs
+      ) WHERE rk <= 2 GROUP BY qid)
+    SELECT CAST(qid % 6 AS INT) AS y0, CAST(n1 % 6 AS INT) AS y1,
+           CAST(n2 % 6 AS INT) AS y2, count(*) AS cnt
+    FROM nn2 GROUP BY 1, 2, 3 ORDER BY y0, y1, y2
+"""
+
+ORACLE_SQL["q_audio_sanity"] = """
+    WITH synth AS (
+      SELECT event_id,
+             CAST(event_id % 50 + 1 AS INT) AS n,
+             CASE WHEN event_id % 5 = 0 THEN 3 ELSE 2 END
+               * CAST(event_id % 50 + 1 AS INT) AS blen,
+             CASE WHEN event_id % 3 = 0 THEN 3001
+                  WHEN event_id % 3 = 1 THEN 7001 ELSE 11003 END AS sr_hz,
+             CASE WHEN event_id % 4 = 0 THEN 'pcm_s16le'
+                  WHEN event_id % 4 = 1 THEN 'flac'
+                  WHEN event_id % 4 = 2 THEN 'opus' ELSE 'wav9' END AS codec
+      FROM events),
+    derived AS (
+      SELECT event_id, codec, blen, sr_hz,
+             CAST(round(blen / 2 * 1000.0 / greatest(sr_hz, 1)) AS INT)
+               AS dur_actual_ms,
+             (codec IN ('pcm_s16le', 'flac', 'opus', 'mp3'))
+               AND blen >= 2 AND blen % 2 = 0 AS pcm_ok
+      FROM synth),
+    stored AS (
+      SELECT *, CAST(dur_actual_ms
+               + CASE WHEN event_id % 7 = 0 THEN 1000 ELSE 0 END AS INT) AS dur_ms
+      FROM derived)
+    SELECT event_id AS clip_id,
+           CAST(pcm_ok AS INT) AS pcm_ok,
+           dur_actual_ms,
+           CAST(pcm_ok AND abs(dur_ms - dur_actual_ms)
+                / greatest(dur_actual_ms, 1) <= 0.10 AS INT) AS dur_ok
+    FROM stored ORDER BY clip_id
 """
 
 

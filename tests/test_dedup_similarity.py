@@ -9,6 +9,7 @@ from ds2_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_banded_pairs,
 )
 from ds2_spark.operators.similarity import (
     brute_force_topk,
@@ -59,6 +60,19 @@ def test_simhash_hamming(spark, docs):
     assert pairs.get((0, 5)) == 0
     assert (0, 3) in pairs  # one-token change -> small distance
     assert (1, 4) not in pairs
+
+
+def test_simhash_banded_equals_crossjoin(spark, docs):
+    """The pigeonhole-banded scale path must return EXACTLY the pairs
+    the all-pairs verification finds — banding only prunes candidates
+    that cannot be within max_dist, never true positives."""
+    sig = simhash64(docs)
+    for d in (0, 3, 6):
+        brute = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in hamming_pairs(sig, max_dist=d).collect()}
+        banded = {(r["id_a"], r["id_b"]): r["hamming"]
+                  for r in simhash_banded_pairs(sig, max_dist=d).collect()}
+        assert banded == brute, (d, banded, brute)
 
 
 def test_ann_lsh_recall_vs_brute_force(spark):
