@@ -26,12 +26,30 @@ def compress_score(col: Column | str) -> Column:
     return (F.least(F.greatest(c, F.lit(4)), F.lit(9)) - F.lit(4)).cast("int")
 
 
-def parse_rating_json(col: Column | str) -> Column:
-    """Extract the last {...} json object (non-recursive approximation
-    of the reference's (?R) regex — sufficient for flat rating blobs)
-    and parse the 4 rating fields; unparseable -> struct of zeros."""
+def balanced_brace_pattern(depth: int = 4) -> str:
+    """Regex matching the LAST balanced {...} object nested up to
+    `depth` levels — the bounded-depth equivalent of the reference's
+    recursive `(?R)` extractor (LLM_scoring/scoring.py:209), which
+    matches braces purely structurally (no string-literal awareness),
+    exactly as this does. The alternation branches are disjoint on
+    their first character ('{' vs non-brace), so matching is linear —
+    no catastrophic backtracking. depth=4 covers any sane rating blob;
+    deeper nesting extracts the deepest covered object and falls back
+    to the zero default downstream (P8), it never mis-parses silently
+    as the old flat pattern did."""
+    obj = r"\{[^{}]*\}"
+    for _ in range(depth - 1):
+        obj = r"\{(?:[^{}]|" + obj + r")*\}"
+    return "(" + obj + r")[^{}]*$"
+
+
+def parse_rating_json(col: Column | str, depth: int = 4) -> Column:
+    """Extract the last balanced {...} json object (nesting handled to
+    `depth` levels — reference parity for its recursive-regex + loads,
+    scoring.py:238-268) and parse the 4 rating fields; unparseable ->
+    struct of zeros. JVM-only: regexp_extract + from_json, no Python."""
     c = F.col(col) if isinstance(col, str) else col
-    blob = F.regexp_extract(c, r"(\{[^{}]*\})[^{}]*$", 1)
+    blob = F.regexp_extract(c, balanced_brace_pattern(depth), 1)
     parsed = F.from_json(blob, RATING_SCHEMA)
     zero = F.lit(0)
     return F.struct(

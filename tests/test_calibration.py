@@ -141,3 +141,50 @@ def test_selection_monotone_in_budget(spark, clips_df, fixture_paths):
     }
     assert len(small) == 50 and len(big) == 120
     assert small <= big  # monotonicity
+
+
+# Reference-corpus score distributions (class histograms of the frozen
+# raw_scores/*/output_scores.pt files, documented with counts in
+# BASELINE.md "Frozen score distributions"). mistral's 487-of-300932
+# class 5 is the stress case: scaled down it leaves classes with a
+# handful of rows, exercising the per-class percentile thresholds and
+# empty-sample paths that uniform synthetic scores never hit.
+REF_SCORE_HISTS = {
+    "gpt-4o-mini": {0: 18626, 1: 44401, 2: 86132, 3: 87975, 4: 59969, 5: 3829},
+    "mistral-7b": {0: 2436, 1: 52908, 2: 60607, 3: 118313, 4: 66181, 5: 487},
+}
+
+
+def _labels_from_hist(hist: dict[int, int], n: int, rng) -> np.ndarray:
+    total = sum(hist.values())
+    counts = {c: max(round(n * v / total), 1) for c, v in hist.items()}
+    # largest class absorbs the rounding drift
+    big = max(counts, key=counts.get)
+    counts[big] += n - sum(counts.values())
+    labels = np.concatenate([np.full(k, c) for c, k in sorted(counts.items())])
+    rng.shuffle(labels)
+    return labels.astype(np.int64)
+
+
+@pytest.mark.parametrize("model", sorted(REF_SCORE_HISTS))
+def test_votes_exact_on_reference_score_distribution(spark, model):
+    """Engine==oracle vote parity under the reference's real (skewed)
+    class distributions at 1/60 scale — tiny classes (mistral class 5
+    ≈ 10 rows of 6000) stress threshold percentiles per class."""
+    rng = np.random.default_rng(7)
+    n, dim = 6000, 32
+    labels = _labels_from_hist(REF_SCORE_HISTS[model], n, rng)
+    centers = rng.normal(0, 1, size=(6, dim)) * 3
+    emb = (centers[labels] + rng.normal(0, 0.5, size=(n, dim))).astype(np.float32)
+    ids = np.array([f"c{i:05d}" for i in range(n)])
+    noise_rates = np.array([0.1, 0.2, 0.35, 0.3, 0.25, 0.9])  # incl. clip bounds
+    cfg = VoteConfig(epochs=8, k=5, sample_size=2500)
+    engine = vote_epochs(spark, emb, labels, ids, noise_rates, cfg)
+    got = sorted(
+        (r["epoch"], r["clip_id"], r["flagged"], r["suggested"])
+        for r in engine.collect()
+    )
+    expected = sorted(ds2_oracle.votes_oracle(emb, labels, ids, noise_rates, cfg))
+    assert got == expected
+    # the rare class must actually appear in the votes (not silently dropped)
+    assert 5 in {labels[int(cid[1:])] for _, cid, _, _ in got}

@@ -97,3 +97,28 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     exp = {key(r): (r["n"], r["sum_value"]) for r in batch_out.collect()}
     assert got == exp  # stream == batch on the same data
     assert len(got) > 0
+
+
+def test_rating_parse_nested_braces(spark):
+    """F2 parity: the reference's recursive (?R) extractor handles
+    nested braces; the bounded-depth pattern must extract the OUTER
+    object (the old flat pattern silently grabbed the innermost nested
+    object and parsed zeros)."""
+    blobs = [
+        # nested object inside the rating blob
+        ('note {"Rarity": 5, "Complexity": 3, "Informativeness": 7, '
+         '"meta": {"model": "x"}, "Overall rating": 8} done',),
+        # two levels of nesting + an earlier decoy object
+        ('{"decoy": 1} text {"Overall rating": 9, '
+         '"a": {"b": {"c": 2}}, "Rarity": 4}',),
+        # empty nested object
+        ('{"Overall rating": 6, "empty": {}}',),
+        # unbalanced braces -> no balanced object at the tail -> zeros
+        ('{"Overall rating": 7',),
+    ]
+    df = spark.createDataFrame(blobs, ["blob"])
+    rows = df.select(parse_rating_json("blob").alias("p")).collect()
+    assert rows[0]["p"]["overall"] == 8 and rows[0]["p"]["rarity"] == 5
+    assert rows[1]["p"]["overall"] == 9 and rows[1]["p"]["rarity"] == 4
+    assert rows[2]["p"]["overall"] == 6
+    assert rows[3]["p"]["overall"] == 0  # P8 default preserved
