@@ -17,8 +17,34 @@ from __future__ import annotations
 
 import numpy as np
 
-BLOCK = 2048
-INDEX_BLOCK = 8192
+# Tile shape: GEMM + top-k selection are FUSED per (SUB x CHUNK) tile
+# so the 2MB distance tile is consumed by argpartition while still
+# cache-resident. The round-1 layout (2048x8192 = 64MB tiles, select
+# in a second pass) streamed every distance through DRAM twice —
+# measured 2-4x slower and REGRESSING with process count on this
+# bandwidth-capped VM; the fused tile scales (kernel-only probe:
+# 0.94x -> 2.2x wall speedup at 2->8 procs on identical work).
+SUB = 256
+CHUNK = 2048
+
+# Per-process scratch cache: cosine_knn's working buffers are up to
+# 64MB; allocating them FRESH per call means an mmap/munmap cycle per
+# Arrow batch, which serializes badly under sandboxed (gVisor-style)
+# runtimes — measured as a ~3.5s fixed cost per kernel invocation
+# regardless of row count. Python workers are reused across batches,
+# so a grow-only cache amortizes the allocation to once per executor.
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, shape: tuple[int, ...], dtype) -> np.ndarray:
+    need = 1
+    for s in shape:
+        need *= int(s)
+    arr = _SCRATCH.get(name)
+    if arr is None or arr.size < need or arr.dtype != np.dtype(dtype):
+        arr = np.empty(max(need, 1), dtype=dtype)
+        _SCRATCH[name] = arr
+    return arr[:need].reshape(shape)
 
 
 def l2_normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -45,31 +71,30 @@ def cosine_knn(
     nq, ni = queries.shape[0], index.shape[0]
     out_d = np.empty((nq, k), dtype=np.float64)
     out_i = np.empty((nq, k), dtype=np.int64)
-    # Two-level blocking, float32 GEMM into a REUSED buffer:
-    #  - query rows in blocks of BLOCK, index columns in chunks of
-    #    INDEX_BLOCK, so the working set is bounded (<=64MB) no matter
-    #    how wide the broadcast pool is. Large fresh allocations are
-    #    what serialize sandboxed (gVisor-style) runtimes — everything
-    #    here is reused or tiny.
-    #  - per-chunk top-k by iterative argmin (k passes over the reused
-    #    buffer, no argpartition scratch), then a cheap lexsort merge
-    #    of (rows x k*chunks) candidates. Ties: smallest distance,
-    #    then smallest global index — deterministic.
+    # Cache-blocked, fused GEMM+select, float32, REUSED buffers:
+    #  - (SUB x CHUNK) distance tiles: ~2MB, written by the GEMM and
+    #    immediately consumed by one argpartition pass while cache-
+    #    resident — distances never round-trip through DRAM;
+    #  - all scratch comes from the per-process _SCRATCH cache (fresh
+    #    multi-MB allocations serialize under sandboxed runtimes);
+    #  - per-tile top-k then a lexsort merge of (rows x k*chunks)
+    #    candidates. Ties: smallest distance, then smallest global
+    #    index — deterministic.
     index32 = np.ascontiguousarray(index, dtype=np.float32)
-    n_chunks = (ni + INDEX_BLOCK - 1) // INDEX_BLOCK
-    bm = min(BLOCK, nq)
-    buf = np.empty((bm, min(INDEX_BLOCK, ni)), dtype=np.float32)
-    cand_d = np.empty((bm, n_chunks * k), dtype=np.float64)
-    cand_i = np.empty((bm, n_chunks * k), dtype=np.int64)
-    for s in range(0, nq, BLOCK):
-        e = min(s + BLOCK, nq)
+    n_chunks = (ni + CHUNK - 1) // CHUNK
+    bm = min(SUB, nq)
+    buf = _scratch("gemm", (bm, min(CHUNK, ni)), np.float32)
+    cand_d = _scratch("cand_d", (bm, n_chunks * k), np.float64)
+    cand_i = _scratch("cand_i", (bm, n_chunks * k), np.int64)
+    for s in range(0, nq, SUB):
+        e = min(s + SUB, nq)
         m = e - s
         block = np.ascontiguousarray(queries[s:e], dtype=np.float32)
         rr = np.arange(m)
         cand_d[:m].fill(np.inf)
         cand_i[:m].fill(-1)
-        for ci, c0 in enumerate(range(0, ni, INDEX_BLOCK)):
-            c1 = min(c0 + INDEX_BLOCK, ni)
+        for ci, c0 in enumerate(range(0, ni, CHUNK)):
+            c1 = min(c0 + CHUNK, ni)
             w = c1 - c0
             d = buf[:m, :w]
             np.matmul(block, index32[c0:c1].T, out=d)
@@ -81,24 +106,13 @@ def cosine_knn(
                 d[rr[ok], cols[ok] - c0] = np.inf
             kk = min(k, w)
             base = ci * k
-            # selection in small row sub-blocks: argpartition scratch
-            # stays ~10MB so the allocator recycles it from the heap
-            # (large scratch would mmap/munmap every call — the
-            # sandboxed-runtime slow path), and the partial select is
-            # ONE pass over the buffer instead of k argmin passes.
-            SUB = 256
-            for s2 in range(0, m, SUB):
-                e2 = min(s2 + SUB, m)
-                dd = d[s2:e2]
-                part = np.argpartition(dd, kk - 1, axis=1)[:, :kk]
-                pv = np.take_along_axis(dd, part, axis=1)
-                order = np.lexsort((part, pv), axis=1)
-                cand_i[s2:e2, base : base + kk] = (
-                    np.take_along_axis(part, order, axis=1) + c0
-                )
-                cand_d[s2:e2, base : base + kk] = np.take_along_axis(
-                    pv, order, axis=1
-                )
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            pv = np.take_along_axis(d, part, axis=1)
+            order = np.lexsort((part, pv), axis=1)
+            cand_i[:m, base : base + kk] = (
+                np.take_along_axis(part, order, axis=1) + c0
+            )
+            cand_d[:m, base : base + kk] = np.take_along_axis(pv, order, axis=1)
         # merge candidates: sort by (distance, global index)
         order = np.lexsort((cand_i[:m], cand_d[:m]), axis=1)[:, :k]
         out_d[s:e] = np.take_along_axis(cand_d[:m], order, axis=1)

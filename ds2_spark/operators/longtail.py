@@ -30,15 +30,22 @@ def lt_score_numpy(
     row_ids: np.ndarray,
     k: int = 10,
 ) -> np.ndarray:
-    """Mean-kNN-distance -> sigmoid long-tail score, self-excluded."""
+    """Mean-kNN-distance -> sigmoid long-tail score, self-excluded.
+
+    Fully vectorized (a per-row Python loop here cost ~25% of pipeline
+    wall at 50k clips): mask self/invalid neighbors to +inf, sort the
+    k+1 candidates, mean over the first k finite — identical values to
+    the neighbor-order mean (cosine_knn returns ascending distances)."""
     dists, nn = cosine_knn(emb, pool_emb, k=k + 1)
-    out = np.empty(emb.shape[0], dtype=np.float64)
-    for i in range(emb.shape[0]):
-        d = dists[i]
-        ids = pool_ids[nn[i][nn[i] >= 0]]
-        keep = ids != row_ids[i]
-        dk = d[: len(keep)][keep][:k]
-        out[i] = dk.mean() if len(dk) else 0.0
+    sel_ids = pool_ids[np.clip(nn, 0, None)]
+    bad = (nn < 0) | ~np.isfinite(dists) | (sel_ids == np.asarray(row_ids)[:, None])
+    d = np.where(bad, np.inf, dists)
+    d.sort(axis=1)
+    dk = d[:, :k]
+    fin = np.isfinite(dk)
+    cnt = fin.sum(axis=1)
+    s = np.where(fin, dk, 0.0).sum(axis=1)
+    out = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
     return np.round(2.0 / (1.0 + np.exp(-out)) - 1.0, 4)
 
 

@@ -85,7 +85,12 @@ def calibrate_rater(
     noise_rates = 1.0 - np.diag(t_given_noisy(hoc_res))
     votes = vote_epochs(spark, emb, labels, ids, noise_rates, cfg.vote)
     agg = aggregate_votes(votes, r_scores)
-    curated = curate_scores(agg, cfg.selection.confidence_min)
+    # persist: curated is pool-bounded (≤knn_pool_max rows) but sits on
+    # top of the full vote-epochs fan-out — without a cut point every
+    # downstream action (candidate count, selection histogram, final
+    # write) re-runs ALL the epoch kNN kernels. Measured: 57s -> ~3s
+    # for the selection stage at 50k clips.
+    curated = curate_scores(agg, cfg.selection.confidence_min).persist()
     return hoc_res, curated
 
 

@@ -86,3 +86,44 @@ def flatten_dialog(df: DataFrame, messages_col: str = "messages") -> DataFrame:
         ),
     )
     return df.withColumn("transcript", flat)
+
+
+def read_media_folder(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    codec_from_ext: bool = True,
+) -> DataFrame:
+    """S7 binary media scan via Spark's `binaryFile` source — the
+    re-expression of the reference's image-folder loaders
+    (score_curation/docta/datasets/cifar.py,
+    customize_img_folder.py): one row per file with
+    (clip_id, bytes, codec, length, mod_time).
+
+    Scale notes: binaryFile supports pathGlobFilter pushdown and
+    partition discovery; `content` is only materialized for rows that
+    survive pushed filters, and downstream stages must keep the bytes
+    column out of shuffles (SURVEY.md §7.3 bytes discipline — join on
+    clip_id, never carry content through wide ops). Decode happens in
+    operators/audio.py / operators/multimodal.py mapInPandas stages.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    stem = F.regexp_replace(name, r"\.[A-Za-z0-9]+$", "")
+    ext = F.lower(F.regexp_extract(name, r"\.([A-Za-z0-9]+)$", 1))
+    codec = (
+        F.when(ext == "wav", "pcm_s16le").otherwise(ext)
+        if codec_from_ext
+        else F.lit(None).cast("string")
+    )
+    return df.select(
+        stem.alias("clip_id"),
+        F.col("content").alias("bytes"),
+        codec.alias("codec"),
+        F.col("length"),
+        F.col("modificationTime").alias("mod_time"),
+    )

