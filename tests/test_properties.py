@@ -85,3 +85,28 @@ def test_embeddings_normalized(texts):
     norms = np.linalg.norm(m, axis=1)
     for n in norms:
         assert n == 0 or abs(n - 1.0) < 1e-4
+
+
+@given(
+    st.integers(1, 60),   # queries
+    st.integers(1, 80),   # index rows
+    st.integers(1, 12),   # k
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_cosine_knn_matches_naive(nq, ni, k, seed):
+    """The cache-blocked fused kernel must equal a naive full-sort
+    top-k with (distance, index) tie-break for any shape — including
+    k > index size (padded with -1)."""
+    from ds2_spark.operators.knn_kernels import cosine_knn, l2_normalize_rows
+
+    rng = np.random.default_rng(seed)
+    q = l2_normalize_rows(rng.normal(0, 1, (nq, 8)).astype(np.float32))
+    x = l2_normalize_rows(rng.normal(0, 1, (ni, 8)).astype(np.float32))
+    d, i = cosine_knn(q, x, k=k)
+    # naive: full distance matrix in the SAME f32 arithmetic
+    full = 1.0 - (q @ x.T)
+    for r in range(nq):
+        order = sorted(range(ni), key=lambda c: (float(full[r, c]), c))[:k]
+        expect = order + [-1] * (k - len(order))
+        assert list(i[r]) == expect, (r, list(i[r]), expect)
