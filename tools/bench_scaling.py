@@ -195,33 +195,51 @@ def main() -> int:
     lo, hi = args.cpus_low, args.cpus_high
     factor = hi / lo
 
-    # interleave parallelism levels so ambient noise hits both fairly
+    # interleave parallelism levels, ALTERNATING pair order each round,
+    # so multi-minute ambient-noise storms hit both levels fairly and
+    # per-pair ratios are time-local
     results: dict[int, list[dict]] = {lo: [], hi: []}
+    pair_effs: list[float] = []
     for i in range(args.timed):
-        for cpus in (lo, hi):
+        order = (lo, hi) if i % 2 == 0 else (hi, lo)
+        pair: dict[int, float] = {}
+        for cpus in order:
             t0 = time.time()
             amb = ambient_probe()
             r = run_pipeline_once(cpus, fixture, f"t{cpus}_{i}")
             r["wall_total"] = round(time.time() - t0, 1)
             r["ambient_mips"] = amb
             results[cpus].append(r)
+            pair[cpus] = r["elapsed_sec"]
             print(f"local[{cpus}] run {i}: {r['elapsed_sec']}s "
                   f"({r['clips_per_sec']} clips/s, ambient {amb})", flush=True)
+        pair_effs.append((pair[lo] / pair[hi]) / factor)
+        print(f"  pair {i} efficiency: {pair_effs[-1]:.3f}", flush=True)
 
     stages: dict[int, dict] = {}
     if not args.skip_stages:
+        # alternate levels; per-stage MIN across repeats at each level
+        # = the noise-free capability estimate (each submit is warm)
+        per_level: dict[int, list[dict]] = {lo: [], hi: []}
+        for rep in range(args.stage_repeats):
+            order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+            for cpus in order:
+                s = run_stages_once(cpus, fixture, repeats=1)
+                s["ambient_mips"] = ambient_probe()
+                per_level[cpus].append(s)
+                print(f"stages local[{cpus}] rep {rep}: {s['stages']}", flush=True)
         for cpus in (lo, hi):
-            amb = ambient_probe()
-            s = run_stages_once(cpus, fixture, repeats=args.stage_repeats)
-            s["ambient_mips"] = amb
-            stages[cpus] = s
-            print(f"stages local[{cpus}]: {s['stages']}", flush=True)
+            runs = per_level[cpus]
+            best = {
+                k: min(r["stages"][k] for r in runs) for k in runs[0]["stages"]
+            }
+            stages[cpus] = {"stages": best, "runs": runs}
 
     med_lo = statistics.median(r["elapsed_sec"] for r in results[lo])
     med_hi = statistics.median(r["elapsed_sec"] for r in results[hi])
     cps_lo = statistics.median(r["clips_per_sec"] for r in results[lo])
     cps_hi = statistics.median(r["clips_per_sec"] for r in results[hi])
-    eff = (med_lo / med_hi) / factor
+    eff = statistics.median(pair_effs)
 
     twins = host_twins()
     gemm_speedup = twins["gemm_gflops"][hi] / max(twins["gemm_gflops"][lo], 1e-9)
@@ -255,7 +273,9 @@ def main() -> int:
         f"local{lo}": {"median_sec": med_lo, "clips_per_sec": cps_lo, "runs": results[lo]},
         f"local{hi}": {"median_sec": med_hi, "clips_per_sec": cps_hi, "runs": results[hi]},
         "speedup": round(med_lo / med_hi, 3),
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_of_medians": round((med_lo / med_hi) / factor, 3),
         "data_parallel_efficiency": round(dp_eff, 3) if dp_eff else None,
         "stage_rows": stage_rows,
         "stage_raw": {str(k): v for k, v in stages.items()},
@@ -310,21 +330,28 @@ run_pipeline.py` — the full quality-filter + calibration pipeline
 votes 51 epochs, curation, lt-score, selection) on a deterministic
 {args.clips:,}-clip fixture (seeded, FIXTURES.md profile, 64 parquet
 shards). Protocol: 1 in-JVM warmup + 1 timed run per submit
-(--warm-repeats 1), {args.timed} submits per level, INTERLEAVED
-(lo,hi,lo,hi,...) so ambient noisy-neighbor drift hits both levels
-fairly; each run carries a 1s single-thread ambient probe; medians.
+(--warm-repeats 1), {args.timed} PAIRS of submits, each pair
+back-to-back with alternating order (lo,hi / hi,lo / ...) so the
+multi-minute ambient-noise storms this sandbox exhibits (up to 3x
+swings on identical work — see per-run ambient probes in
+scaling.json) hit both levels fairly; efficiency is the MEDIAN OF
+PER-PAIR ratios (time-local, storm-robust), with per-level medians
+disclosed alongside.
 
 | parallelism | median wall (s) | clips/sec |
 |---|---|---|
 | local[{lo}]  | {med_lo:.1f} | {cps_lo:.1f} |
 | local[{hi}] | {med_hi:.1f} | {cps_hi:.1f} |
 
-- speedup {lo}→{hi} cores ({factor:.0f}x cores): **{med_lo / med_hi:.2f}x**
-- full-job scaling efficiency (T_{lo} / T_{hi}) / {factor:.0f}: **{eff:.3f}** (target >= 0.8)
+- per-pair efficiencies: {summary['pair_efficiencies']}
+- **full-job scaling efficiency (median of pairs): {eff:.3f}** (target >= 0.8)
+- efficiency of per-level medians: {summary['scaling_efficiency_of_medians']:.3f}
 
 ## Per-stage decomposition (layer 2)
 
-`tools/bench_stages.py` at both levels (warm, median of repeats).
+`tools/bench_stages.py` at both levels (warm; MIN across alternating
+repeats per level — the noise-free capability estimate under this
+sandbox's storm-prone ambient load).
 Classes: **data-parallel** stages grow with table size N — at the
 10^12-clip design point they are >~99.99% of all compute; the
 **sample-bounded** calibration block is O(1) in N by the reference's
