@@ -123,6 +123,42 @@ def ambient_probe() -> float:
     return round(x / 1e6, 1)
 
 
+def _spin_once(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.0:
+        x += 1
+    return x
+
+
+def effective_cores(n: int) -> float:
+    """How many of n requested cores the host ACTUALLY delivers right
+    now: n concurrent 1s busy-spins, aggregate rate / single-thread
+    rate. A noisy neighbor holding the cores shows up as a value well
+    below n — in that state a local[n] measurement measures the
+    neighbor, not the engine."""
+    import multiprocessing as mp
+
+    single = _spin_once(None)
+    with mp.Pool(n) as p:
+        total = sum(p.map(_spin_once, range(n)))
+    return round(total / max(single, 1), 2)
+
+
+def wait_for_quiet(n: int, need_frac: float, max_wait_s: int) -> float:
+    """Block until effective_cores(n) >= need_frac * n (or timeout);
+    returns the last probe value. Documented gating criterion: a
+    scaling pair is only meaningful when the host can actually
+    schedule the higher parallelism level."""
+    deadline = time.time() + max_wait_s
+    while True:
+        ec = effective_cores(n)
+        if ec >= need_frac * n or time.time() > deadline:
+            return ec
+        print(f"  [gate] host delivers only {ec}/{n} effective cores — waiting", flush=True)
+        time.sleep(45)
+
+
 # ---------------- host twins (no Spark) ----------------
 
 def _gemm_task(_):
@@ -188,6 +224,11 @@ def main() -> int:
     ap.add_argument("--timed", type=int, default=3)
     ap.add_argument("--stage-repeats", type=int, default=2)
     ap.add_argument("--skip-stages", action="store_true")
+    ap.add_argument("--gate-frac", type=float, default=0.8,
+                    help="start a pair only when the host delivers this "
+                         "fraction of cpus-high effective cores (0=off)")
+    ap.add_argument("--gate-wait", type=int, default=600,
+                    help="max seconds to wait for a quiet window per pair")
     args = ap.parse_args()
 
     subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_pyfiles.py")], check=True)
@@ -200,8 +241,12 @@ def main() -> int:
     # per-pair ratios are time-local
     results: dict[int, list[dict]] = {lo: [], hi: []}
     pair_effs: list[float] = []
+    pair_gates: list[float] = []
     for i in range(args.timed):
         order = (lo, hi) if i % 2 == 0 else (hi, lo)
+        gate_ec = wait_for_quiet(hi, args.gate_frac, args.gate_wait)
+        pair_gates.append(gate_ec)
+        print(f"  [gate] pair {i} starts with {gate_ec}/{hi} effective cores", flush=True)
         pair: dict[int, float] = {}
         for cpus in order:
             t0 = time.time()
@@ -224,6 +269,8 @@ def main() -> int:
         for rep in range(args.stage_repeats):
             order = (lo, hi) if rep % 2 == 0 else (hi, lo)
             for cpus in order:
+                ec = wait_for_quiet(hi, args.gate_frac, args.gate_wait)
+                print(f"  [gate] stage run local[{cpus}] with {ec}/{hi} effective cores", flush=True)
                 s = run_stages_once(cpus, fixture, repeats=1)
                 s["ambient_mips"] = ambient_probe()
                 per_level[cpus].append(s)
@@ -274,6 +321,7 @@ def main() -> int:
         f"local{hi}": {"median_sec": med_hi, "clips_per_sec": cps_hi, "runs": results[hi]},
         "speedup": round(med_lo / med_hi, 3),
         "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "pair_gate_effective_cores": pair_gates,
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_of_medians": round((med_lo / med_hi) / factor, 3),
         "data_parallel_efficiency": round(dp_eff, 3) if dp_eff else None,
