@@ -241,6 +241,7 @@ def main() -> int:
     # per-pair ratios are time-local
     results: dict[int, list[dict]] = {lo: [], hi: []}
     pair_effs: list[float] = []
+    pair_valid: list[bool] = []
     pair_gates: list[float] = []
     for i in range(args.timed):
         order = (lo, hi) if i % 2 == 0 else (hi, lo)
@@ -248,18 +249,30 @@ def main() -> int:
         pair_gates.append(gate_ec)
         print(f"  [gate] pair {i} starts with {gate_ec}/{hi} effective cores", flush=True)
         pair: dict[int, float] = {}
+        probes: list[float] = [gate_ec]
         for cpus in order:
             t0 = time.time()
             amb = ambient_probe()
             r = run_pipeline_once(cpus, fixture, f"t{cpus}_{i}")
+            # bracketing probe: a storm that arrived DURING the run
+            # shows up in the post-run effective-core measurement
+            ec_after = effective_cores(hi)
+            probes.append(ec_after)
             r["wall_total"] = round(time.time() - t0, 1)
             r["ambient_mips"] = amb
+            r["effective_cores_after"] = ec_after
             results[cpus].append(r)
             pair[cpus] = r["elapsed_sec"]
             print(f"local[{cpus}] run {i}: {r['elapsed_sec']}s "
-                  f"({r['clips_per_sec']} clips/s, ambient {amb})", flush=True)
-        pair_effs.append((pair[lo] / pair[hi]) / factor)
-        print(f"  pair {i} efficiency: {pair_effs[-1]:.3f}", flush=True)
+                  f"({r['clips_per_sec']} clips/s, ambient {amb}, "
+                  f"cores-after {ec_after}/{hi})", flush=True)
+        eff_i = (pair[lo] / pair[hi]) / factor
+        valid = all(p >= args.gate_frac * hi for p in probes)
+        pair_effs.append(eff_i)
+        pair_valid.append(valid)
+        print(f"  pair {i} efficiency: {eff_i:.3f} "
+              f"({'VALID' if valid else 'storm-corrupted'}; probes {probes})",
+              flush=True)
 
     stages: dict[int, dict] = {}
     if not args.skip_stages:
@@ -286,7 +299,8 @@ def main() -> int:
     med_hi = statistics.median(r["elapsed_sec"] for r in results[hi])
     cps_lo = statistics.median(r["clips_per_sec"] for r in results[lo])
     cps_hi = statistics.median(r["clips_per_sec"] for r in results[hi])
-    eff = statistics.median(pair_effs)
+    valid_effs = [e for e, v in zip(pair_effs, pair_valid) if v]
+    eff = statistics.median(valid_effs if valid_effs else pair_effs)
 
     twins = host_twins()
     gemm_speedup = twins["gemm_gflops"][hi] / max(twins["gemm_gflops"][lo], 1e-9)
@@ -322,6 +336,8 @@ def main() -> int:
         "speedup": round(med_lo / med_hi, 3),
         "pair_efficiencies": [round(e, 3) for e in pair_effs],
         "pair_gate_effective_cores": pair_gates,
+        "pair_valid": pair_valid,
+        "n_valid_pairs": sum(pair_valid),
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_of_medians": round((med_lo / med_hi) / factor, 3),
         "data_parallel_efficiency": round(dp_eff, 3) if dp_eff else None,
@@ -392,7 +408,11 @@ disclosed alongside.
 | local[{hi}] | {med_hi:.1f} | {cps_hi:.1f} |
 
 - per-pair efficiencies: {summary['pair_efficiencies']}
-- **full-job scaling efficiency (median of pairs): {eff:.3f}** (target >= 0.8)
+  (validity by bracketing effective-core probes: {summary['pair_valid']};
+  a pair is storm-corrupted when the host delivered < 80% of the high
+  level's cores immediately before or after either member run)
+- **full-job scaling efficiency (median of storm-free pairs): {eff:.3f}**
+  (target >= 0.8)
 - efficiency of per-level medians: {summary['scaling_efficiency_of_medians']:.3f}
 
 ## Per-stage decomposition (layer 2)
