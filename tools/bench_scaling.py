@@ -145,6 +145,31 @@ def effective_cores(n: int) -> float:
     return round(total / max(single, 1), 2)
 
 
+def _stat_ticks() -> tuple[int, int]:
+    """(active_ticks, steal_ticks) from /proc/stat cpu line. active
+    excludes idle+iowait, so steal/active is the fraction of scheduled
+    time the hypervisor gave to a NEIGHBOR while we were runnable —
+    an integral over the measurement window, immune to the sampling
+    gaps that defeat point-probes."""
+    f = open("/proc/stat").readline().split()
+    v = list(map(int, f[1:]))
+    idle = v[3] + (v[4] if len(v) > 4 else 0)
+    steal = v[7] if len(v) > 7 else 0
+    return sum(v) - idle, steal
+
+
+class StealMeter:
+    def __enter__(self):
+        self.a0, self.s0 = _stat_ticks()
+        return self
+
+    def __exit__(self, *exc):
+        a1, s1 = _stat_ticks()
+        da = max(a1 - self.a0, 1)
+        self.steal_frac = round((s1 - self.s0) / da, 4)
+        return False
+
+
 def wait_for_quiet(n: int, need_frac: float, max_wait_s: int) -> float:
     """Block until effective_cores(n) >= need_frac * n (or timeout);
     returns the last probe value. Documented gating criterion: a
@@ -227,6 +252,9 @@ def main() -> int:
     ap.add_argument("--gate-frac", type=float, default=0.8,
                     help="start a pair only when the host delivers this "
                          "fraction of cpus-high effective cores (0=off)")
+    ap.add_argument("--max-steal", type=float, default=0.15,
+                    help="pair validity: max hypervisor-steal fraction of "
+                         "active CPU time during either member run")
     ap.add_argument("--gate-wait", type=int, default=600,
                     help="max seconds to wait for a quiet window per pair")
     args = ap.parse_args()
@@ -249,29 +277,29 @@ def main() -> int:
         pair_gates.append(gate_ec)
         print(f"  [gate] pair {i} starts with {gate_ec}/{hi} effective cores", flush=True)
         pair: dict[int, float] = {}
-        probes: list[float] = [gate_ec]
+        steals: list[float] = []
         for cpus in order:
             t0 = time.time()
             amb = ambient_probe()
-            r = run_pipeline_once(cpus, fixture, f"t{cpus}_{i}")
-            # bracketing probe: a storm that arrived DURING the run
-            # shows up in the post-run effective-core measurement
-            ec_after = effective_cores(hi)
-            probes.append(ec_after)
+            with StealMeter() as sm:
+                r = run_pipeline_once(cpus, fixture, f"t{cpus}_{i}")
+            # integrated hypervisor steal over the whole run window —
+            # the validity signal (point probes miss mid-run storms)
+            steals.append(sm.steal_frac)
             r["wall_total"] = round(time.time() - t0, 1)
             r["ambient_mips"] = amb
-            r["effective_cores_after"] = ec_after
+            r["steal_frac"] = sm.steal_frac
             results[cpus].append(r)
             pair[cpus] = r["elapsed_sec"]
             print(f"local[{cpus}] run {i}: {r['elapsed_sec']}s "
                   f"({r['clips_per_sec']} clips/s, ambient {amb}, "
-                  f"cores-after {ec_after}/{hi})", flush=True)
+                  f"steal {sm.steal_frac:.1%})", flush=True)
         eff_i = (pair[lo] / pair[hi]) / factor
-        valid = all(p >= args.gate_frac * hi for p in probes)
+        valid = all(s <= args.max_steal for s in steals)
         pair_effs.append(eff_i)
         pair_valid.append(valid)
         print(f"  pair {i} efficiency: {eff_i:.3f} "
-              f"({'VALID' if valid else 'storm-corrupted'}; probes {probes})",
+              f"({'VALID' if valid else 'storm-corrupted'}; steal {steals})",
               flush=True)
 
     stages: dict[int, dict] = {}
@@ -284,10 +312,12 @@ def main() -> int:
             for cpus in order:
                 ec = wait_for_quiet(hi, args.gate_frac, args.gate_wait)
                 print(f"  [gate] stage run local[{cpus}] with {ec}/{hi} effective cores", flush=True)
-                s = run_stages_once(cpus, fixture, repeats=1)
+                with StealMeter() as sm:
+                    s = run_stages_once(cpus, fixture, repeats=1)
+                s["steal_frac"] = sm.steal_frac
                 s["ambient_mips"] = ambient_probe()
                 per_level[cpus].append(s)
-                print(f"stages local[{cpus}] rep {rep}: {s['stages']}", flush=True)
+                print(f"stages local[{cpus}] rep {rep} (steal {sm.steal_frac:.1%}): {s['stages']}", flush=True)
         for cpus in (lo, hi):
             runs = per_level[cpus]
             best = {
@@ -338,6 +368,7 @@ def main() -> int:
         "pair_gate_effective_cores": pair_gates,
         "pair_valid": pair_valid,
         "n_valid_pairs": sum(pair_valid),
+        "max_steal": args.max_steal,
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_of_medians": round((med_lo / med_hi) / factor, 3),
         "data_parallel_efficiency": round(dp_eff, 3) if dp_eff else None,
@@ -408,9 +439,10 @@ disclosed alongside.
 | local[{hi}] | {med_hi:.1f} | {cps_hi:.1f} |
 
 - per-pair efficiencies: {summary['pair_efficiencies']}
-  (validity by bracketing effective-core probes: {summary['pair_valid']};
-  a pair is storm-corrupted when the host delivered < 80% of the high
-  level's cores immediately before or after either member run)
+  (validity by INTEGRATED hypervisor steal from /proc/stat over each
+  run window: {summary['pair_valid']}; a pair is storm-corrupted when
+  either member lost more than {summary.get('max_steal', 0.15):.0%} of its active CPU time
+  to neighbors — per-run steal fractions in scaling.json)
 - **full-job scaling efficiency (median of storm-free pairs): {eff:.3f}**
   (target >= 0.8)
 - efficiency of per-level medians: {summary['scaling_efficiency_of_medians']:.3f}
