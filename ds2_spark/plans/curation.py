@@ -196,6 +196,9 @@ def curation_pipeline(
         .withColumn("keep", F.col("reason") == "selected")
         .select("clip_id", "keep", "reason", "final_score", "lt_score")
     )
+    persisted = [scored, curated]
+    if not checkpoint_root:
+        persisted += [rules, emb_df]
     return {
         "decisions": decisions,
         "rules": rules,
@@ -203,4 +206,10 @@ def curation_pipeline(
         "hoc": hoc_res,
         "budget": budget,
         "pool_size": len(pool_ids),
+        # every persist() this call created — callers that run the
+        # pipeline repeatedly in one JVM (bench warm-repeats) MUST
+        # unpersist these between runs or the 12g heap accumulates a
+        # full pipeline's worth of cached blocks per repeat (measured:
+        # 2-6x slowdown of later scans from GC pressure)
+        "_persisted": persisted,
     }

@@ -71,3 +71,75 @@ def run_stream_once(spark: SparkSession, events_dir: str, query_name: str = "ev_
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def running_type_stats(events: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per event_type, a running (count, sum, mean) maintained in
+    GroupState across micro-batches — the pattern for any custom
+    accumulator the built-in windowed aggs can't express (north-rule
+    'custom stateful operators' surface). Emits one updated row per
+    group per trigger.
+
+    State is a 2-field tuple (n, sum_value): O(#groups) memory,
+    independent of stream length — safe at any scale."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "sum_value": [round(s, 2)],
+                "mean_value": [round(s / n, 6) if n else 0.0],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType="event_type string, n bigint, sum_value double, mean_value double",
+        stateStructType="n bigint, sum_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_stream_once(
+    spark: SparkSession, events_dir: str, query_name: str = "ev_state"
+) -> DataFrame:
+    """Drive the stateful running-stats stream over a file source one
+    micro-batch per file (maxFilesPerTrigger=1 forces state to carry
+    across triggers) and return the LAST update per group."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = running_type_stats(stream)
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # memory sink in update mode appends every emitted update; the
+    # final state per group is the row with the largest n
+    out = spark.sql(f"SELECT * FROM {query_name}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -94,9 +94,9 @@ def main() -> int:
         )
         r["decisions"].write.mode("overwrite").parquet(args.out)
         el = time.time() - t0
-        for key in ("rules",):
+        for df in r.get("_persisted", []):
             try:
-                r[key].unpersist()
+                df.unpersist()
             except Exception:
                 pass
         return r, el

@@ -155,3 +155,38 @@ def test_read_media_folder_binaryfile(spark, tmp_path):
         read_media_folder(spark, str(d), glob="*.wav")
     ).collect()}
     assert len(pcm_rows["clip_a"]) == 64
+
+
+def test_stateful_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running stats: state must carry across
+    micro-batches (one file per trigger) and the final per-group row
+    must equal the batch aggregate exactly."""
+    import glob
+    import shutil
+
+    from ds2_spark.streaming.events import run_stateful_stream_once
+
+    events_dir = str(tmp_path / "ev_state")
+    os.makedirs(events_dir)
+    src_df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # split into 3 files -> 3 micro-batches
+    for i in range(3):
+        part = src_df.filter(F.col("event_id") % 3 == i)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{events_dir}_tmp{i}")
+        f = glob.glob(f"{events_dir}_tmp{i}/part-*.parquet")[0]
+        shutil.copy(f, os.path.join(events_dir, f"batch_{i}.parquet"))
+
+    got = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in run_stateful_stream_once(spark, events_dir).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n"], round(r["s"], 2))
+        for r in src_df.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k, (n, s) in exp.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - s) < 0.05, (k, got[k][1], s)  # float sum-order grain

@@ -169,6 +169,10 @@ def main() -> int:
             dec.write.mode("overwrite").parquet(f"{wd}/dec_{tag}")
 
         clock("select", _select)
+        # drop this pass's cached blocks (calibrate_rater persists the
+        # curated table) — leaked persists across passes degrade later
+        # scans via heap/GC pressure
+        curated.unpersist()
         t["total"] = round(sum(v for k, v in t.items() if k != "total"), 3)
         return t
 
