@@ -22,9 +22,12 @@ Java regex / RE2 / Python `re`:
     emulated with explicit consuming groups
     `(^|[^A-Za-z0-9_]) core ($|[^A-Za-z0-9_])` re-emitted by the
     replacement via engine-native backreferences ($1/$3 in Java,
-    \\1/\\3 elsewhere). Known, consistent corner: two boundary-
-    delimited hits separated by a SINGLE delimiter char scrub only the
-    first (the delimiter is consumed) — identically in all engines.
+    \\1/\\3 elsewhere). Consuming the delimiter means two bounded hits
+    separated by a SINGLE delimiter char scrub only the first on one
+    pass, so every bounded pattern is applied TWICE: replacements
+    contain no delimiter adjacent to a core, so the second identical
+    pass catches all odd-positioned hits and is a fixed point —
+    identically in all three engines.
 
 The Python twin additionally compiles with `re.ASCII` so any future
 class additions inherit ASCII semantics by default.
@@ -61,12 +64,19 @@ def _bounded(core: str) -> str:
 
 
 # (pattern, tag, bounded) — ORDER MATTERS: SSN before PHONE (an SSN is
-# also a valid phone-ish digit run).
-SCRUB_CHAIN: tuple[tuple[str, str, bool], ...] = (
+# also a valid phone-ish digit run). Bounded patterns appear TWICE
+# back-to-back: one pass misses the second of two hits separated by a
+# single delimiter (the delimiter is consumed); two passes are a fixed
+# point (see module docstring).
+_CHAIN_ONCE: tuple[tuple[str, str, bool], ...] = (
     (EMAIL_RE, "<EMAIL>", False),
     (_bounded(SSN_CORE), "<SSN>", True),
     (PHONE_RE, "<PHONE>", False),
     (_bounded(TOX_CORE), "<TOX>", True),
+)
+SCRUB_CHAIN: tuple[tuple[str, str, bool], ...] = tuple(
+    step for pat, tag, bounded in _CHAIN_ONCE
+    for step in ([(pat, tag, bounded)] * (2 if bounded else 1))
 )
 
 

@@ -66,10 +66,22 @@ def cosine_similarity_arrow():
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        av = np.array(a.tolist(), dtype=np.float64)
-        bv = np.array(b.tolist(), dtype=np.float64)
-        num = np.einsum("ij,ij->i", av, bv)
-        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
-        return pd.Series(num / np.maximum(den, 1e-12))
+        # zero-row Arrow batches and null vectors must not crash the
+        # task: mirror the HOF twin's semantics (null in -> null out)
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        valid = (a.notna() & b.notna()).to_numpy()
+        out = np.zeros(len(a))
+        if valid.any():
+            av = np.array(a[valid].tolist(), dtype=np.float64)
+            bv = np.array(b[valid].tolist(), dtype=np.float64)
+            num = np.einsum("ij,ij->i", av, bv)
+            den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+            out[np.flatnonzero(valid)] = num / np.maximum(den, 1e-12)
+        # nullable dtype so invalid rows surface as SQL NULL (the HOF
+        # twin's null-in -> null-out), never a task-killing ValueError
+        res = pd.Series(out, dtype="Float64")
+        res[~valid] = pd.NA
+        return res
 
     return _cos

@@ -30,6 +30,8 @@ fallback is the round-1 implementation).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,32 +54,57 @@ def bucket_budgets(sizes: dict[int, int], budget: int) -> dict[int, int]:
     return take
 
 
+def _lt_sort_key(v):
+    """Driver-side mirror of Spark's F.desc(lt) ordering so the
+    histogram path ranks exactly like the window fallback: NaN sorts
+    above every number, NULL sorts last (desc_nulls_last default)."""
+    if v is None:
+        return (0, 0.0)
+    if isinstance(v, float) and math.isnan(v):
+        return (2, 0.0)
+    return (1, float(v))
+
+
 def _rank_via_histogram(
-    scored: DataFrame, hist_rows, score_col: str, lt_col: str
+    scored: DataFrame, hist_rows, budgets: dict[int, int], score_col: str, lt_col: str
 ) -> DataFrame:
-    """sel_rank = cum_before(score, lt) + tie rank by clip_id."""
+    """sel_rank = cum_before(score, lt) + tie rank by clip_id; the
+    per-score bucket_take rides the same broadcast join (one small
+    join instead of two)."""
     spark = scored.sparkSession
     by_score: dict = {}
     for r in hist_rows:
         by_score.setdefault(r[score_col], []).append((r[lt_col], int(r["n_ties"])))
     cum_rows = []
     for s, vals in by_score.items():
-        vals.sort(key=lambda x: -x[0])  # lt descending
+        vals.sort(key=lambda x: _lt_sort_key(x[0]), reverse=True)
         cum = 0
+        take = int(budgets.get(int(s), 0)) if s is not None else 0
         for lt, n in vals:
-            cum_rows.append((s, lt, cum))
+            cum_rows.append((s, lt, cum, take))
             cum += n
     cum_df = spark.createDataFrame(
-        cum_rows, f"{score_col} int, {lt_col} double, _cum_before long"
+        cum_rows,
+        f"{score_col} int, {lt_col} double, _cum_before long, bucket_take int",
     )
-    tie_w = Window.partitionBy(score_col, lt_col).orderBy(F.asc("clip_id"))
+    # eqNullSafe on lt: NULL lt rows must rank (last), not vanish —
+    # the window fallback keeps them, so the histogram path must too.
+    # (Spark joins already treat NaN = NaN as true.)
+    sc = scored.alias("sc")
+    cm = cum_df.alias("cm")
+    cond = (F.col(f"sc.{score_col}") == F.col(f"cm.{score_col}")) & F.col(
+        f"sc.{lt_col}"
+    ).eqNullSafe(F.col(f"cm.{lt_col}"))
+    tie_w = Window.partitionBy(f"sc.{score_col}", f"sc.{lt_col}").orderBy(
+        F.asc("clip_id")
+    )
     return (
-        scored.join(F.broadcast(cum_df), [score_col, lt_col])
+        sc.join(F.broadcast(cm), cond)
         .withColumn(
             "sel_rank",
             (F.col("_cum_before") + F.row_number().over(tie_w)).cast("int"),
         )
-        .drop("_cum_before")
+        .select("sc.*", "sel_rank", "bucket_take")
     )
 
 
@@ -100,6 +127,8 @@ def select_subset(
     if hist_ok:
         sizes: dict[int, int] = {}
         for r in hist:
+            if r[score_col] is None:  # null-score rows never selectable
+                continue
             s = int(r[score_col])
             sizes[s] = sizes.get(s, 0) + int(r["n_ties"])
     else:
@@ -109,20 +138,20 @@ def select_subset(
             for r in scored.groupBy(score_col).agg(F.count("*").alias("n")).collect()
         }
     budgets = bucket_budgets(sizes, budget)
-    spark = scored.sparkSession
-    bdf = spark.createDataFrame(
-        [(s, t) for s, t in budgets.items()], f"{score_col} int, bucket_take int"
-    )
 
     if hist_ok:
-        ranked = _rank_via_histogram(scored, hist, score_col, lt_col)
+        ranked = _rank_via_histogram(scored, hist, budgets, score_col, lt_col)
     else:
         # unquantized lt: bounded-input fallback (single sort per bucket)
+        spark = scored.sparkSession
+        bdf = spark.createDataFrame(
+            [(s, t) for s, t in budgets.items()], f"{score_col} int, bucket_take int"
+        )
         w = Window.partitionBy(score_col).orderBy(F.desc(lt_col), F.asc("clip_id"))
-        ranked = scored.withColumn("sel_rank", F.row_number().over(w))
+        ranked = scored.withColumn("sel_rank", F.row_number().over(w)).join(
+            F.broadcast(bdf), score_col
+        )
 
-    return (
-        ranked.join(F.broadcast(bdf), score_col)
-        .withColumn("selected", F.col("sel_rank") <= F.col("bucket_take"))
-        .drop("bucket_take")
-    )
+    return ranked.withColumn(
+        "selected", F.col("sel_rank") <= F.col("bucket_take")
+    ).drop("bucket_take")

@@ -48,7 +48,12 @@ def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.normal(0, 1, size=(n_planes, dim)).astype(np.float32)
 
 
-def lsh_bucket_keys_udf(planes: np.ndarray, n_tables: int, n_planes: int):
+def lsh_bucket_keys_udf(
+    planes: np.ndarray,
+    n_tables: int,
+    n_planes: int,
+    quantize_scale: int | None = None,
+):
     """Bucket keys for ALL tables in ONE Arrow-batched NumPy GEMM.
 
     `planes` stacks every table's hyperplanes ([n_tables*n_planes,
@@ -56,18 +61,44 @@ def lsh_bucket_keys_udf(planes: np.ndarray, n_tables: int, n_planes: int):
     into an integer, offset by table id — returns array<long> of
     length n_tables per row. One vectorized kernel replaces
     n_tables x n_planes interpreted zip_with/aggregate expressions
-    per row (the round-1 hot spot)."""
+    per row (the round-1 hot spot).
+
+    With `quantize_scale` set, `planes` must be integer-valued: each
+    embedding is quantized to round(x*scale) int64 and the dot
+    products are exact integer arithmetic — bit-for-bit reproducible
+    in any engine (the deterministic-oracle path; see
+    queries_catalog._lsh_keys_sql which emits the same planes as SQL
+    literals)."""
     from pyspark.sql.functions import pandas_udf
 
     pow2 = (1 << np.arange(n_planes, dtype=np.int64))
     offsets = np.arange(n_tables, dtype=np.int64) << np.int64(n_planes)
+    planes_t = (
+        planes.astype(np.int64).T if quantize_scale else planes.astype(np.float32).T
+    )
 
     @pandas_udf("array<long>")
     def _keys(v: pd.Series) -> pd.Series:
-        m = np.array(v.tolist(), dtype=np.float32)
-        bits = (m @ planes.T) >= 0                      # [n, T*B]
-        vals = bits.reshape(len(m), n_tables, n_planes) @ pow2  # [n, T]
-        return pd.Series(list(vals + offsets[None, :]))
+        # guard zero-row Arrow batches and null embeddings: null rows
+        # get a null key array (explode() then emits no candidate rows)
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        valid = v.notna().to_numpy()
+        out = np.empty(len(v), dtype=object)
+        out[~valid] = None
+        if valid.any():
+            if quantize_scale:
+                m = np.rint(
+                    np.array(v[valid].tolist(), dtype=np.float64) * quantize_scale
+                ).astype(np.int64)
+            else:
+                m = np.array(v[valid].tolist(), dtype=np.float32)
+            bits = (m @ planes_t) >= 0                      # [n, T*B]
+            vals = bits.reshape(len(m), n_tables, n_planes) @ pow2  # [n, T]
+            vals = vals + offsets[None, :]
+            for j, i in enumerate(np.flatnonzero(valid)):
+                out[i] = vals[j]
+        return pd.Series(out)
 
     return _keys
 

@@ -115,7 +115,22 @@ def run_stage(
     stage_fn is called once per COMMIT GROUP (default: one group for
     all pending waves = one input scan) and may be narrow or
     shuffling; its output must still carry `key_col` (the wave id is
-    recomputed from it for partitioning, so shuffles are safe)."""
+    recomputed from it for partitioning, so shuffles are safe).
+
+    Two contract rules, both ENFORCED not just documented:
+      - stage_fn must not emit keys outside its input's wave group
+        (no key rewrites / synthesized keys): on a partial-resume
+        commit, out-of-group rows are filtered BEFORE the partition
+        overwrite (so a completed wave's partition can never be
+        clobbered with partial data) and their observed count raises
+        after the write — the wave is NOT marked done.
+      - stage_fn must be a pure lazy transform: if it ran its own
+        action on the input (count/persist-and-count/limit sampling),
+        that action would fulfil the input Observation early and the
+        lineage input_rows would be wrong. The input counts therefore
+        ride the SAME write job via a pre-stage observation point, and
+        any early fulfilment is detectable as input_rows=0 with
+        output_rows>0 in _lineage."""
     out_dir = os.path.join(root, stage)
     done = completed_waves(spark, root, run_id, stage)
     stale = {w for w in done if w >= n_waves}
@@ -143,6 +158,7 @@ def run_stage(
         )
         out = stage_fn(grp_in).withColumn("_wave", _wave_expr(key_col, n_waves))
         out_obs = Observation(f"out_{uuid.uuid4().hex[:8]}")
+        partial = len(grp) != n_waves
         out = out.observe(
             out_obs,
             *[
@@ -151,11 +167,27 @@ def run_stage(
                 .alias(f"w{w}")
                 for w in grp
             ],
+            F.sum(F.when(~F.col("_wave").isin(grp), 1).otherwise(0))
+            .cast("long")
+            .alias("_out_of_group"),
         )
+        if partial:
+            # a stage_fn that synthesizes keys outside its input waves
+            # must never clobber an already-completed wave's partition
+            out = out.filter(F.col("_wave").isin(grp))
         overwrite_partitions(out, out_dir, "_wave")
         t1 = time.time()
         in_counts = in_obs.get
         out_counts = out_obs.get
+        bad = int(out_counts.get("_out_of_group") or 0)
+        if bad:
+            raise ValueError(
+                f"stage {stage!r}: stage_fn emitted {bad} rows whose "
+                f"{key_col!r} hashes outside the commit group {sorted(grp)} "
+                f"(key rewrite / synthesized keys). The rows were NOT "
+                f"written and the group is NOT marked done — stage_fn must "
+                f"preserve input keys (see run_stage contract)."
+            )
         lineage_rows = [
             (run_id, stage, w, int(in_counts[f"w{w}"] or 0), int(out_counts[f"w{w}"] or 0), t0, t1, "done")
             for w in grp

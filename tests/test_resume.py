@@ -69,6 +69,64 @@ def test_kill_and_resume_exact(spark, clips_df, tmp_path):
     assert {"rows_per_sec", "input_rows", "output_rows"} <= names
 
 
+def test_key_rewrite_fails_fast_without_clobber(spark, clips_df, tmp_path):
+    """A stage_fn that rewrites keys on a partial (resume) commit must
+    raise — and must NOT overwrite any completed wave's partition with
+    partial data (ADVICE r2 #1)."""
+    inp = clips_df.select("clip_id", "transcript")
+    root = str(tmp_path / "rewrite")
+    # complete waves 0 and 1 only, honest stage
+    crash = []
+
+    def two_waves_then_die(df):
+        crash.append(1)
+        if len(crash) == 3:
+            raise RuntimeError("die after wave 0,1")
+        return _stage(df)
+
+    with pytest.raises(RuntimeError):
+        run_stage(
+            spark, inp, two_waves_then_die, root, "r", "s",
+            n_waves=4, waves_per_commit=1,
+        )
+    lineage = read_lineage(spark, root)
+    assert lineage.filter("status = 'done'").count() == 2
+    good = run_stage(spark, inp, _stage, str(tmp_path / "ref"), "r", "s", n_waves=4)
+    wave01 = {
+        (r["clip_id"], r["out_val"])
+        for r in good.withColumn("_w", F.pmod(F.hash("clip_id"), F.lit(4)))
+        .filter(F.col("_w") < 2)
+        .select("clip_id", "out_val")
+        .collect()
+    }
+
+    # resume with a DISHONEST stage: rewrites every key to a constant
+    # that provably hashes into completed wave 0
+    w0_key = (
+        inp.withColumn("_w", F.pmod(F.hash("clip_id"), F.lit(4)))
+        .filter("_w = 0")
+        .select("clip_id")
+        .first()[0]
+    )
+
+    def key_rewriter(df):
+        return _stage(df).withColumn("clip_id", F.lit(w0_key))
+
+    with pytest.raises(ValueError, match="outside the commit group"):
+        run_stage(
+            spark, inp, key_rewriter, root, "r", "s", n_waves=4,
+        )
+    # completed waves are intact on disk and not marked undone
+    lineage = read_lineage(spark, root)
+    assert lineage.filter("status = 'done'").count() == 2
+    disk = spark.read.parquet(os.path.join(root, "s"))
+    got01 = {
+        (r["clip_id"], r["out_val"])
+        for r in disk.filter(F.col("_wave") < 2).select("clip_id", "out_val").collect()
+    }
+    assert got01 == wave01
+
+
 def test_rerun_is_noop(spark, clips_df, tmp_path):
     inp = clips_df.select("clip_id", "transcript")
     root = str(tmp_path / "noop")

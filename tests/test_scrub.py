@@ -12,6 +12,32 @@ def test_scrub_examples():
     assert scrub_py("clean text") == "clean text"
 
 
+def test_scrub_adjacent_bounded_hits(spark):
+    """Two bounded hits sharing a single delimiter: pass 1 consumes the
+    delimiter and misses the even-positioned hits; the mandatory second
+    pass of every bounded pattern catches them. All three engines must
+    scrub ALL of a run of adjacent lexicon terms / SSNs."""
+    cases = {
+        "zorgblat00 zorgblat01": "<TOX> <TOX>",
+        "zorgblat00 zorgblat01 zorgblat02 zorgblat03": "<TOX> <TOX> <TOX> <TOX>",
+        "a zorgblat04,zorgblat05.zorgblat06 b": "a <TOX>,<TOX>.<TOX> b",
+        "x 123-45-6789 987-65-4321 y": "x <SSN> <SSN> y",
+    }
+    for t, want in cases.items():
+        assert scrub_py(t) == want
+        assert scrub_py(want) == want  # fixed point
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i int, t string"
+    )
+    got = [r["s"] for r in df.select("i", scrub_col("t").alias("s")).orderBy("i").collect()]
+    assert got == list(cases.values())
+    duck = duckdb.connect()
+    duck.execute("create table adj(i int, t varchar)")
+    duck.executemany("insert into adj values (?, ?)", list(enumerate(cases)))
+    got_duck = [r[0] for r in duck.sql(f"select {scrub_sql('t')} from adj order by i").fetchall()]
+    assert got_duck == list(cases.values())
+
+
 def test_scrub_idempotent(fixture_paths):
     import pyarrow.parquet as pq
 
@@ -68,7 +94,7 @@ def test_unicode_three_way_agreement(spark):
         "tel +49\u00a0170\u00a0555\u00a00199 ok",  # NBSP separators: not in the phone class
         "z\u00fcrich zorgblat03\u00df",  # eszett delimits the lexicon term in every engine
         "\u4f60\u597d 123-45-6789 \u518d\u89c1",  # CJK context around an SSN
-        "123-45-6789 987-65-4321",   # shared single delimiter: first only, consistently
+        "123-45-6789 987-65-4321",   # shared single delimiter: 2nd pass catches it
         "end with ssn 123-45-6789",  # $ right-boundary
         "123-45-6789\n",            # trailing newline: $ vs [^w] paths converge
     ]
@@ -80,9 +106,10 @@ def test_unicode_three_way_agreement(spark):
     assert expected[1] == "caf\u00e9 <SSN> fin"
     assert expected[3] == "tel +49\u00a0170\u00a0555\u00a00199 ok"
     assert expected[4] == "z\u00fcrich <TOX>\u00df"
-    # the consumed shared delimiter skips the second SSN match, but the
-    # phone pattern still scrubs the digit run — nothing leaks
-    assert expected[6] == "<SSN> <PHONE>"
+    # pass 1 consumes the shared delimiter and misses the second SSN;
+    # the second identical pass (every bounded pattern runs twice)
+    # catches it — both are tagged as SSNs, not rescued by PHONE
+    assert expected[6] == "<SSN> <SSN>"
     assert expected[7] == "end with ssn <SSN>"
     assert expected[8] == "<SSN>\n"
 
