@@ -34,6 +34,7 @@ HEADLINE = [
     "q_knn_topk",
     "q_ann_lsh",
     "q_cosine_neardup",
+    "q_lsh_neardup",
     "q_rolling_fingerprint",
     "flagship",
 ]

@@ -165,10 +165,23 @@ def ngram_jaccard_pairs(
     )
 
 
+_SH_LANE = 21  # bits per packed popcount lane; caps docs at 2^21 tokens
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens using the portable hash
-    basis: two 32-bit halves from md5 hex; each bit contributes ±1,
-    fingerprint bit = sign of the sum. Pure built-ins (explode + agg)."""
+    """48-bit SimHash over whitespace tokens using the portable hash
+    basis (12 hex chars of md5 -> long). Semantics: each token's bit i
+    contributes ±1; fingerprint bit i = sign of the sum — equivalently
+    bit i is set iff 2 * popcount_i > n_tokens.
+
+    Aggregation shape (the round-2 bench hot spot): instead of 48
+    conditional-sum columns (48 longs of hash-agg state per group,
+    48 branches per row), the per-bit popcounts are PACKED 3-per-long
+    into 21-bit lanes — 16 packed sums + 1 count = 17 agg columns.
+    Lane overflow is impossible below 2^21 (~2M) tokens per doc (a
+    2M-token transcript is not a clip transcript; upstream length
+    rules cap way below). Decode back to bits is a flat projection
+    (codegen'd, no agg state)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -177,23 +190,37 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     ).filter(F.length("tok") > 0)
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
     toks = toks.select("id", h.alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(48)
-    ]
-    agg = toks.groupBy("id").agg(*bit_sums)
+    n_lanes = 48 // 3
+    packed = []
+    for j in range(n_lanes):
+        lane = None
+        for lidx in range(3):
+            i = 3 * j + lidx
+            bit = F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1).cast("long"))
+            term = F.shiftleft(bit, lidx * _SH_LANE)
+            lane = term if lane is None else lane + term
+        packed.append(F.sum(lane).alias(f"p{j}"))
+    agg = toks.groupBy("id").agg(F.count("*").alias("n_tok"), *packed)
+    mask = F.lit((1 << _SH_LANE) - 1).cast("long")
     sim = None
-    for i in range(48):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim + term
+    for j in range(n_lanes):
+        for lidx in range(3):
+            i = 3 * j + lidx
+            cnt = F.shiftright(F.col(f"p{j}"), lidx * _SH_LANE).bitwiseAND(mask)
+            bit = F.when(cnt * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, i)
+            sim = term if sim is None else sim + term
     return agg.select("id", sim.alias("simhash"))
 
 
 def simhash_banded_pairs(
-    sig: DataFrame, max_dist: int = 3, bits: int = 48, id_col: str = "id"
+    sig: DataFrame,
+    max_dist: int = 3,
+    bits: int = 48,
+    id_col: str = "id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — the SCALE path.
 
@@ -205,8 +232,13 @@ def simhash_banded_pairs(
     one bit_count(xor). Output: (id_a, id_b, hamming), id_a < id_b.
 
     Hot buckets (e.g. the all-zeros band of boilerplate-heavy corpora)
-    are AQE skew-join territory; for adversarial inputs cap band
-    bucket size as in lsh_candidate_pairs' max_bucket."""
+    are AQE skew-join territory up to a point; `max_bucket` caps a
+    band bucket's size (as in lsh_candidate_pairs) so an adversarial
+    or boilerplate corpus where one band key collects B members cannot
+    degenerate to a quadratic O(B^2) join — oversized buckets are
+    dropped (their members can still pair through their other bands;
+    a pair found by NO band within the cap is treated as a spam
+    cluster, the standard LSH-dedup trade)."""
     n_bands = max_dist + 1
     width = bits // n_bands
     parts = []
@@ -227,6 +259,11 @@ def simhash_banded_pairs(
     keyed = parts[0]
     for p in parts[1:]:
         keyed = keyed.unionByName(p)
+    if max_bucket is not None:
+        bsz = F.count("*").over(Window.partitionBy("band", "bkey"))
+        keyed = keyed.withColumn("_bsz", bsz).filter(
+            F.col("_bsz") <= max_bucket
+        ).drop("_bsz")
     a = keyed.alias("a")
     b = keyed.alias("b")
     cand = (

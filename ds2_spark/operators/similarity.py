@@ -19,7 +19,7 @@ import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, cosine_similarity_arrow
 
 
 def brute_force_topk(
@@ -46,6 +46,21 @@ def brute_force_topk(
 def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.normal(0, 1, size=(n_planes, dim)).astype(np.float32)
+
+
+def quantized_plane_matrix(
+    dim: int, n_planes: int, n_tables: int, seed: int, scale: int = 1000
+) -> np.ndarray:
+    """Integer-valued hyperplanes for ALL tables stacked
+    ([n_tables*n_planes, dim]): round(N(0,1)*scale). With embeddings
+    quantized to round(x*scale) int64, every dot product is exact
+    integer arithmetic — the same plane literals emitted into SQL give
+    bit-identical bucket keys in any engine (the deterministic-oracle
+    path for q_ann_lsh / q_lsh_neardup)."""
+    stacked = np.concatenate(
+        [_plane_matrix(dim, n_planes, seed + 1000 * t).astype(np.float64) for t in range(n_tables)]
+    )
+    return np.rint(stacked * scale).astype(np.int64)
 
 
 def lsh_bucket_keys_udf(
@@ -115,6 +130,10 @@ def lsh_topk(
     cid: str = "neighbor_id",
     qv: str = "qv",
     cv: str = "cv",
+    max_bucket: int | None = None,
+    planes: np.ndarray | None = None,
+    quantize_scale: int | None = None,
+    rerank: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: union of n_tables independent LSH bucketings,
     exact cosine rerank on the bucket-colliding candidates.
@@ -126,27 +145,115 @@ def lsh_topk(
       4. vectors re-joined exactly once for the Arrow-vectorized
          cosine rerank.
     Hot buckets (skewed key popularity) are AQE skew-join territory;
-    for adversarial inputs cap candidate bucket size upstream as in
-    dedup.lsh_candidate_pairs' max_bucket."""
-    from ..functions.vectors import cosine_similarity_arrow
+    `max_bucket` additionally caps a CANDIDATE bucket's size so one
+    hot key cannot yield O(bucket^2) id pairs before rerank.
 
-    planes = np.concatenate(
-        [_plane_matrix(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    )
-    keys = lsh_bucket_keys_udf(planes, n_tables, n_planes)
+    Integer `planes` + `quantize_scale` make bucket keys bit-exact
+    across engines and `rerank="hof"` swaps the NumPy rerank for the
+    JVM fold that SQL oracles reproduce exactly — together they turn
+    this from rows-only-checkable into an exact-oracle query
+    (quantized_plane_matrix; queries_catalog.q_ann_lsh)."""
+    if planes is None:
+        planes = np.concatenate(
+            [_plane_matrix(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        )
+    keys = lsh_bucket_keys_udf(planes, n_tables, n_planes, quantize_scale=quantize_scale)
     q_keys = queries.select(F.col(qid), F.explode(keys(F.col(qv))).alias("bkey"))
     c_keys = candidates.select(F.col(cid), F.explode(keys(F.col(cv))).alias("bkey"))
+    if max_bucket is not None:
+        csz = F.count("*").over(Window.partitionBy("bkey"))
+        c_keys = c_keys.withColumn("_bsz", csz).filter(
+            F.col("_bsz") <= max_bucket
+        ).drop("_bsz")
     hits = q_keys.join(c_keys, "bkey").select(qid, cid).distinct()
     pairs = (
         hits.join(queries.select(qid, qv), qid)
         .join(candidates.select(cid, cv), cid)
     )
-    sim = F.round(cosine_similarity_arrow()(F.col(qv), F.col(cv)), 6)
+    if rerank == "hof":
+        sim = F.round(
+            cosine_similarity(
+                F.col(qv).cast("array<double>"), F.col(cv).cast("array<double>")
+            ),
+            6,
+        )
+    else:
+        sim = F.round(cosine_similarity_arrow()(F.col(qv), F.col(cv)), 6)
     w = Window.partitionBy(qid).orderBy(F.desc("sim"), F.asc(cid))
     return (
         pairs.select(qid, cid, sim.alias("sim"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+    )
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+    max_bucket: int = 10_000,
+    planes: np.ndarray | None = None,
+    quantize_scale: int | None = None,
+    verify: str = "arrow",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the SCALE path for
+    cosine_neardup_pairs (reference rare-example machinery at corpus
+    scale, docta/core/get_lr_score.py:13-51 embeddings).
+
+    Shape (no cross join anywhere):
+      1. bucket keys for all tables in one NumPy GEMM pandas UDF
+         (lsh_bucket_keys_udf) — vectors touched once;
+      2. explode to (bkey:long, id) rows — the ONLY thing that
+         self-joins; bucket size capped at `max_bucket` (hot/spam
+         buckets dropped, members can still pair via other tables);
+      3. distinct (id_a, id_b) candidate pairs, id_a < id_b;
+      4. vectors re-joined exactly once; exact cosine >= threshold
+         verify — `verify="arrow"` (NumPy batch kernel, default) or
+         `"hof"` (JVM zip_with/aggregate fold — the SQL-exact twin
+         used by the deterministic contract oracle).
+
+    Recall is probabilistic (1-(1-(1-θ/π)^P)^T per pair) — pinned vs
+    the brute-force twin in tests/test_dedup_similarity.py. Passing
+    integer `planes` + `quantize_scale` makes bucket keys bit-exact
+    across engines (see quantized_plane_matrix)."""
+    if planes is None:
+        planes = np.concatenate(
+            [_plane_matrix(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        )
+    keys = lsh_bucket_keys_udf(planes, n_tables, n_planes, quantize_scale=quantize_scale)
+    keyed = emb.select(
+        F.col(id_col).alias("id"), F.explode(keys(F.col(vec_col))).alias("bkey")
+    )
+    bsz = F.count("*").over(Window.partitionBy("bkey"))
+    keyed = keyed.withColumn("_bsz", bsz).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(b, "bkey")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    if verify == "hof":
+        sim = F.round(
+            cosine_similarity(
+                F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+            ),
+            6,
+        )
+    else:
+        sim = F.round(cosine_similarity_arrow()(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
 
 
@@ -157,8 +264,9 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
-    Brute force for bounded inputs; at scale route through lsh buckets
-    first (same rerank expression)."""
+    Brute force — the bounded-input correctness twin of
+    lsh_neardup_pairs (which is the unbounded-corpus scale path:
+    bucket self-join on ids only, exact verify on candidates)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     sim = F.round(

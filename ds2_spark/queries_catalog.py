@@ -378,19 +378,35 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounded to the first 500 vectors: the zip_with/aggregate cosine is
     evaluated per pair (no codegen for higher-order functions), so the
     exact-oracle query stays on a bounded slice; the unbounded scale
-    path is q_ann_lsh / operators.similarity.lsh_topk (bucket-join,
-    vectors never cross-join)."""
+    path is q_lsh_neardup / operators.similarity.lsh_neardup_pairs
+    (bucket self-join on ids, vectors never cross-join)."""
     from .operators.similarity import cosine_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return cosine_neardup_pairs(emb, threshold=0.30).orderBy("id_a", "id_b")
 
 
+# LSH contract-query config: integer planes + embedding quantization
+# round(x*1000) make every bucket key EXACT integer arithmetic in both
+# engines, so the full LSH pipeline gets a rows+schema+hash oracle
+# (previously rows-only "seeded plane matrix not SQL-expressible" —
+# the planes are now emitted into the SQL as literals).
+_LSH_DIM, _LSH_PLANES, _LSH_TABLES, _LSH_SEED, _LSH_SCALE = 64, 6, 6, 42, 1000
+
+
+def _lsh_contract_planes():
+    from .operators.similarity import quantized_plane_matrix
+
+    return quantized_plane_matrix(
+        _LSH_DIM, _LSH_PLANES, _LSH_TABLES, seed=_LSH_SEED, scale=_LSH_SCALE
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets + exact rerank
-    (scale path for q_knn_topk). Not SQL-expressible (seeded plane
-    matrix) — rows-only check; recall vs brute force asserted in
-    tests/test_dedup_similarity.py."""
+    (scale path for q_knn_topk), on deterministic integer planes with
+    quantized dot products — exact-oracle checkable; float-plane
+    recall vs brute force is pinned in tests/test_dedup_similarity.py."""
     from .operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -400,9 +416,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = e.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
-    return lsh_topk(q, cand, dim=64, k=3, n_planes=6, n_tables=6).orderBy(
-        "query_id", "rk"
-    )
+    return lsh_topk(
+        q, cand, dim=_LSH_DIM, k=3, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
+        planes=_lsh_contract_planes(), quantize_scale=_LSH_SCALE, rerank="hof",
+    ).orderBy("query_id", "rk")
+
+
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the LSH-bucketed SCALE path
+    (bucket self-join on ids, exact cosine verify) — the unbounded-
+    corpus twin of q_cosine_neardup, on deterministic integer planes
+    so the whole pipeline is exact-oracle checkable."""
+    from .operators.similarity import lsh_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(
+        emb, dim=_LSH_DIM, threshold=0.30, n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES, planes=_lsh_contract_planes(),
+        quantize_scale=_LSH_SCALE, verify="hof",
+    ).orderBy("id_a", "id_b")
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_jaccard": q_minhash_jaccard,
         "q_cosine_neardup": q_cosine_neardup,
         "q_ann_lsh": q_ann_lsh,
+        "q_lsh_neardup": q_lsh_neardup,
         "q_rolling_fingerprint": q_rolling_fingerprint,
         "q_rollup": q_rollup,
         "q_votes_agg": q_votes_agg,
@@ -953,6 +986,102 @@ def _simhash_neardup_oracle_sql(max_dist: int = 3, bits: int = 48) -> str:
         ORDER BY doc_a, doc_b
     """
 
+
+def _lsh_keys_sql(vec_expr: str) -> list[str]:
+    """Per-table bucket-key SQL expressions over `vec_expr` (a DOUBLE[]
+    column already quantized to round(x*scale)). The SAME integer
+    planes the Spark UDF uses, emitted as literals: every dot product
+    is exact integer arithmetic in double, so keys match bit-for-bit."""
+    planes = _lsh_contract_planes()
+    exprs = []
+    for t in range(_LSH_TABLES):
+        terms = []
+        for j in range(_LSH_PLANES):
+            row = planes[t * _LSH_PLANES + j]
+            lit = "[" + ", ".join(str(int(x)) for x in row) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec_expr}, CAST({lit} AS DOUBLE[])) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        exprs.append("(" + " + ".join(terms) + f" + {t << _LSH_PLANES})")
+    return exprs
+
+
+def _ann_lsh_oracle_sql() -> str:
+    cos = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    keys = _lsh_keys_sql("q")
+    qk = " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS bkey FROM qs" for k in keys
+    )
+    ck = " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS bkey FROM cs" for k in keys
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> round(x * {_LSH_SCALE})) AS q
+          FROM embeddings
+        ),
+        qs AS (SELECT * FROM e WHERE vec_id < 5),
+        cs AS (SELECT * FROM e WHERE vec_id >= 5),
+        qk AS ({qk}), ck AS ({ck}),
+        hits AS (
+          SELECT DISTINCT qk.vec_id AS query_id, ck.vec_id AS neighbor_id
+          FROM qk JOIN ck ON qk.bkey = ck.bkey
+        ),
+        sims AS (
+          SELECT h.query_id, h.neighbor_id, {cos} AS sim
+          FROM hits h
+          JOIN qs a ON a.vec_id = h.query_id
+          JOIN cs b ON b.vec_id = h.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, rk FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rk
+          FROM sims
+        ) WHERE rk <= 3
+        ORDER BY query_id, rk
+    """
+
+
+def _lsh_neardup_oracle_sql(threshold: float = 0.30) -> str:
+    cos = (
+        "round(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
+    keys = _lsh_keys_sql("q")
+    kq = " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS bkey FROM e" for k in keys
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> round(x * {_LSH_SCALE})) AS q
+          FROM embeddings
+        ),
+        k AS ({kq}),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM k a JOIN k b ON a.bkey = b.bkey
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, {cos} AS sim
+        FROM pairs
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b
+        WHERE {cos} >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+ORACLE_SQL["q_ann_lsh"] = _ann_lsh_oracle_sql()
+ORACLE_SQL["q_lsh_neardup"] = _lsh_neardup_oracle_sql()
 
 ORACLE_SQL["q_rollup"] = """
     SELECT coalesce(l_returnflag, '(all)') AS returnflag,

@@ -14,6 +14,7 @@ from ds2_spark.operators.dedup import (
 from ds2_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
+    lsh_neardup_pairs,
     lsh_topk,
 )
 
@@ -75,6 +76,34 @@ def test_simhash_banded_equals_crossjoin(spark, docs):
         assert banded == brute, (d, banded, brute)
 
 
+def test_simhash_banded_max_bucket_caps_degenerate_corpus(spark):
+    """A boilerplate corpus where every signature is IDENTICAL puts all
+    N docs in the same bucket of every band — O(N^2) pairs. max_bucket
+    must drop the oversized buckets (0 pairs out), while leaving a
+    normal-sized corpus's results untouched."""
+    n = 50
+    degenerate = spark.createDataFrame(
+        [(i, 0x123456789ABC) for i in range(n)], "id long, simhash long"
+    )
+    uncapped = simhash_banded_pairs(degenerate, max_dist=3).count()
+    assert uncapped == n * (n - 1) // 2
+    capped = simhash_banded_pairs(degenerate, max_dist=3, max_bucket=10).count()
+    assert capped == 0
+    # cap larger than any real bucket: identical to uncapped on a
+    # non-degenerate corpus
+    rng = np.random.default_rng(7)
+    sigs = spark.createDataFrame(
+        [(int(i), int(rng.integers(0, 1 << 48))) for i in range(60)],
+        "id long, simhash long",
+    )
+    free = {(r["id_a"], r["id_b"]) for r in simhash_banded_pairs(sigs, max_dist=6).collect()}
+    with_cap = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_banded_pairs(sigs, max_dist=6, max_bucket=1000).collect()
+    }
+    assert free == with_cap
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     rng = np.random.default_rng(11)
     n, dim, k = 300, 32, 5
@@ -93,6 +122,55 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.5, recall  # multiprobe LSH on random gaussians
+
+
+def test_lsh_neardup_recall_and_precision_vs_brute_force(spark):
+    """The LSH-bucketed near-dup scale path must find (nearly) every
+    pair the brute-force twin finds — planted near-dups at cos≈0.99
+    collide with overwhelming probability at 4 planes x 8 tables —
+    and, because candidates are verified with exact cosine, must
+    never emit a pair brute force doesn't (precision 1.0)."""
+    rng = np.random.default_rng(5)
+    n, dim = 200, 32
+    base = rng.normal(0, 1, size=(n, dim))
+    # plant 20 near-dup partners: tiny perturbation => cosine ~0.99+
+    planted = base[:20] + rng.normal(0, 0.02, size=(20, dim))
+    allv = np.concatenate([base, planted]).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(int(i), allv[i].tolist()) for i in range(len(allv))],
+        ["vec_id", "embedding"],
+    )
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert len(brute) >= 20
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            emb, dim=dim, threshold=0.9, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert lsh <= brute          # exact verify => no false positives
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.9, recall
+
+
+def test_lsh_neardup_max_bucket_caps_hot_bucket(spark):
+    """All-identical vectors put every id in one bucket per table; the
+    cap must drop those buckets instead of producing O(n^2) pairs."""
+    v = [1.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(i, v) for i in range(40)], ["vec_id", "embedding"]
+    )
+    capped = lsh_neardup_pairs(
+        emb, dim=4, threshold=0.5, n_planes=4, n_tables=2, max_bucket=10
+    ).count()
+    assert capped == 0
+    free = lsh_neardup_pairs(
+        emb, dim=4, threshold=0.5, n_planes=4, n_tables=2
+    ).count()
+    assert free == 40 * 39 // 2
 
 
 def test_cosine_neardup_symmetric_threshold(spark):
