@@ -23,6 +23,11 @@ class HocConfig:
     adam_steps: int = 1500      # hoc.py:276 (ref 1501)
     adam_lr: float = 0.1        # tulu_template.py:33
     seed: int = SEED
+    # rounds packed per Spark task (NOTES.md queue #7): >1 = fewer,
+    # fatter tasks — the broadcast sample pool is deserialized once
+    # per TASK, so packing amortizes it when slots << rounds. Results
+    # are identical for any value (each round keeps its own seed).
+    rounds_per_task: int = 1
 
 
 @dataclass(frozen=True)
@@ -35,6 +40,8 @@ class VoteConfig:
     sample_size: int = 35000    # knn.py:66-70 (ref ≤50k)
     min_similarity: float = 0.0
     seed: int = SEED
+    # epochs packed per Spark task (see HocConfig.rounds_per_task)
+    epochs_per_task: int = 1
 
 
 @dataclass(frozen=True)

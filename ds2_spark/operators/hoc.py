@@ -93,7 +93,8 @@ def consensus_counts(
 
     from pyspark.sql import functions as F
 
-    per_round = spark.range(0, rounds, 1, numPartitions=rounds).mapInPandas(
+    n_parts = max(1, -(-rounds // max(cfg.rounds_per_task, 1)))
+    per_round = spark.range(0, rounds, 1, numPartitions=n_parts).mapInPandas(
         _op, schema="y0 int, y1 int, y2 int, cnt double"
     )
     return per_round.groupBy("y0", "y1", "y2").agg(

@@ -1,14 +1,16 @@
 """Multimodal (image/video) column plumbing.
 
 Audio is this engine's real multimodal payload (operators/audio.py —
-full decode path). Image/video are handled with the SAME Spark-side
+full decode path). Images are handled with the SAME Spark-side
 architecture — opaque `binary` column + typed metadata, processed by
-Arrow-batched mapInPandas with bounded batch sizes — but the codec
-decode itself is STUBBED: no image/video libraries exist in this
-container. The stubs are explicit (`NotImplementedError` or a
-deterministic fake) so the plumbing (schema, partitioning, UDF
-signature, batch shape) is real and tested while the decode body is
-swappable.
+Arrow-batched mapInPandas with bounded batch sizes. Codec-free
+formats decode for REAL in pure NumPy (PPM/P6 and uncompressed
+24-bit BMP — the re-expression of the reference's image-folder
+loaders, score_curation/docta/datasets/cifar.py /
+customize_img_folder.py, which also read raw pixel buffers);
+compressed codecs (PNG/JPEG) and video need libraries absent from
+this container and stay explicit stubs (`NotImplementedError` /
+decoded_ok=false) behind the same registry, swappable in production.
 
 Schema convention:
   media(media_id string, bytes binary, mime string,
@@ -44,6 +46,70 @@ def _decode_fake_rgb(b: bytes) -> np.ndarray:
 register_image_decoder("image/fake-rgb", _decode_fake_rgb)
 
 
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval<=255) -> uint8 [h, w, 3]. Pure NumPy —
+    the format is a text header + raw RGB bytes, no codec needed."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i : i + 1] == b"#":  # comment to end of line
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(b[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    i += 1  # single whitespace byte after maxval, then raw data
+    arr = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return arr.reshape(h, w, 3)
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) -> uint8
+    [h, w, 3] RGB. Handles bottom-up (positive height) and top-down
+    rows and 4-byte row padding. Pure NumPy."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={comp})")
+    top_down = h < 0
+    ah = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(b, dtype=np.uint8, count=row_size * ah, offset=data_off)
+    img = arr.reshape(ah, row_size)[:, : w * 3].reshape(ah, w, 3)[..., ::-1]  # BGR->RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+register_image_decoder("image/x-portable-pixmap", decode_ppm)
+register_image_decoder("image/bmp", decode_bmp)
+
+# file extension -> mime for rows coming off read_media_folder (which
+# carries a codec column derived from the extension)
+MIME_FROM_EXT: dict[str, str] = {
+    "ppm": "image/x-portable-pixmap",
+    "bmp": "image/bmp",
+    "png": "image/png",    # no decoder in this container -> decoded_ok=false
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+}
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """(media_id, decoded_ok, mean_luma, feature array<float>[16]) —
     decode + feature-extract over pruned (media_id, bytes, mime);
@@ -59,10 +125,16 @@ def image_features(media: DataFrame) -> DataFrame:
             for i, (b, mime) in enumerate(zip(pdf["bytes"], pdf["mime"])):
                 dec = _IMAGE_DECODERS.get(mime)
                 if dec is None:
-                    # real codecs absent in this container — explicit stub
+                    # compressed codecs absent in this container — explicit stub
                     feats.append([0.0] * 16)
                     continue
-                img = dec(b)
+                try:
+                    img = dec(b)
+                except (ValueError, IndexError):
+                    # malformed payload: a hostile file must not kill
+                    # the task — surfaced as decoded_ok=false
+                    feats.append([0.0] * 16)
+                    continue
                 ok[i] = True
                 luma[i] = float(img.mean())
                 # 16-bin grayscale histogram as the stand-in feature

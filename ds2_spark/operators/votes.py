@@ -103,7 +103,8 @@ def vote_epochs(
             for ep in pdf["id"].tolist():
                 yield epoch_votes_numpy(e_, l_, c_, nr_, int(ep), cfg)
 
-    return spark.range(0, cfg.epochs, 1, numPartitions=cfg.epochs).mapInPandas(
+    n_parts = max(1, -(-cfg.epochs // max(cfg.epochs_per_task, 1)))
+    return spark.range(0, cfg.epochs, 1, numPartitions=n_parts).mapInPandas(
         _op, schema="epoch int, clip_id string, flagged int, suggested int"
     )
 

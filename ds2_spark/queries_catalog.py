@@ -563,18 +563,17 @@ def q_select_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
-def q_lt_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 semantics twin (F8+A8 composition): mean distance to the
-    k=10 cosine-nearest neighbors (self excluded), mapped through the
-    long-tail sigmoid 2/(1+e^-d)-1 at 4dp (reference
-    get_lr_score.py:13-51). Bounded slice for the exact-SQL oracle;
-    the unbounded path is operators/longtail.lt_scores (blocked NumPy
-    kernel, engine==oracle parity in tests/test_calibration.py).
-    Distances are 6dp-quantized and summed as integers so the mean is
-    bit-exact in both engines."""
+def _bounded_cosine_knn(
+    spark: SparkSession, sf_dir: str, limit: int, k: int
+) -> DataFrame:
+    """Shared kNN twin for the calibration contract queries: bounded
+    embeddings slice, all-pairs 6dp-quantized cosine distance (d6 =
+    round(dist*1e6) as long — integer so downstream means are
+    bit-exact cross-engine), per-query rank rk<=k by (d6, nid).
+    Returns (qid, nid, d6, rk)."""
     from .functions.vectors import cosine_similarity
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < limit)
     a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
     dist = F.round(
@@ -590,7 +589,19 @@ def q_lt_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", F.round(dist * 1e6).cast("long").alias("d6"))
     )
     w = Window.partitionBy("qid").orderBy(F.asc("d6"), F.asc("nid"))
-    knn = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def q_lt_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 semantics twin (F8+A8 composition): mean distance to the
+    k=10 cosine-nearest neighbors (self excluded), mapped through the
+    long-tail sigmoid 2/(1+e^-d)-1 at 4dp (reference
+    get_lr_score.py:13-51). Bounded slice for the exact-SQL oracle;
+    the unbounded path is operators/longtail.lt_scores (blocked NumPy
+    kernel, engine==oracle parity in tests/test_calibration.py).
+    Distances are 6dp-quantized and summed as integers so the mean is
+    bit-exact in both engines."""
+    knn = _bounded_cosine_knn(spark, sf_dir, limit=300, k=10)
     mean_d = F.sum("d6") / (F.count("*") * F.lit(1e6))
     lt = F.round(F.lit(2.0) / (F.lit(1.0) + F.exp(-mean_d)) - 1.0, 4)
     return (
@@ -606,27 +617,8 @@ def q_consensus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (reference docta/core/hoc.py:173-214). Bounded slice with
     synthetic labels vec_id%6; the distributed kernel version is
     operators/hoc.consensus_counts (pytest parity)."""
-    from .functions.vectors import cosine_similarity
-
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
-    dist = F.round(
-        1.0
-        - cosine_similarity(
-            F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")
-        ),
-        6,
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", dist.alias("d"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("nid"))
     nn2 = (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 2)
+        _bounded_cosine_knn(spark, sf_dir, limit=300, k=2)
         .groupBy("qid")
         .agg(
             F.max(F.when(F.col("rk") == 1, F.col("nid"))).alias("n1"),
