@@ -9,6 +9,15 @@ ONE JSON line:
 Includes the clips quality-filter pipeline on a cached deterministic
 bench fixture (clips/sec recorded under queries.clips_pipeline; the
 fixture is generated once into /tmp and reused).
+
+Storm robustness (this sandbox shows up to 3x ambient swings from
+noisy neighbors; see BENCH/BASELINE.md): every query runs in TWO
+interleaved passes and reports the per-query MIN (the capability
+estimate — a storm inflates one pass, rarely both), plus an
+integrated /proc/stat hypervisor-steal fraction and per-pass wall
+totals so a reviewer can tell a plan regression from an ambient storm
+without a re-run. Set DS2_BENCH_PASSES=1 for the old single-pass
+behavior.
 """
 
 from __future__ import annotations
@@ -36,10 +45,22 @@ HEADLINE = [
     "q_cosine_neardup",
     "q_lsh_neardup",
     "q_rolling_fingerprint",
+    "q_audio_features",
     "flagship",
 ]
 
 BENCH_CLIPS = int(os.environ.get("DS2_BENCH_CLIPS", "20000"))
+BENCH_PASSES = int(os.environ.get("DS2_BENCH_PASSES", "2"))
+
+
+def _stat_ticks() -> tuple[int, int]:
+    """(active, steal) CPU ticks from /proc/stat — integrated over the
+    bench window, steal/active is the fraction of scheduled time the
+    hypervisor gave to neighbors (the storm signal)."""
+    v = list(map(int, open("/proc/stat").readline().split()[1:]))
+    idle = v[3] + (v[4] if len(v) > 4 else 0)
+    steal = v[7] if len(v) > 7 else 0
+    return sum(v) - idle, steal
 
 
 def _bench_fixture() -> str:
@@ -65,22 +86,11 @@ def main() -> int:
     spark = get_spark(app_name="ds2_bench")
 
     qs = queries_catalog.queries()
-    timings: dict[str, float] = {}
 
     # warmup: JVM + python workers + kernel model training
     qs["q_tpch_q1"](spark, sf_dir).count()
     qs["flagship"](spark, sf_dir).count()
 
-    total = 0.0
-    for name in HEADLINE:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        assert n >= 0
-
-    # clips pipeline (quality filter + calibration, bench-sized knobs)
     from ds2_spark.config import (
         HocConfig,
         PipelineConfig,
@@ -98,13 +108,30 @@ def main() -> int:
     clips = spark.read.parquet(f"{fixture_dir}/clips.parquet")
     scores = spark.read.parquet(f"{fixture_dir}/scores.parquet")
     n_clips = clips.count()
-    t0 = time.time()
-    res = curation_pipeline(spark, clips, scores, cfg)
-    res["decisions"].write.mode("overwrite").parquet("/tmp/ds2_bench_out")
-    dt = time.time() - t0
-    timings["clips_pipeline"] = round(dt, 3)
-    timings["clips_per_sec"] = round(n_clips / dt, 1)
-    total += dt
+
+    a0, s0 = _stat_ticks()
+    per_pass: list[dict[str, float]] = []
+    for _ in range(max(BENCH_PASSES, 1)):
+        p: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            p[name] = time.time() - t0
+            assert n >= 0
+        t0 = time.time()
+        res = curation_pipeline(spark, clips, scores, cfg)
+        res["decisions"].write.mode("overwrite").parquet("/tmp/ds2_bench_out")
+        p["clips_pipeline"] = time.time() - t0
+        per_pass.append(p)
+    a1, s1 = _stat_ticks()
+
+    # per-query MIN across interleaved passes = capability estimate
+    timings = {
+        name: round(min(p[name] for p in per_pass), 3)
+        for name in per_pass[0]
+    }
+    timings["clips_per_sec"] = round(n_clips / timings["clips_pipeline"], 1)
+    total = sum(v for k, v in timings.items() if k != "clips_per_sec")
 
     print(
         json.dumps(
@@ -116,6 +143,9 @@ def main() -> int:
                 "sf": sf,
                 "bench_clips": n_clips,
                 "cpus": spark.sparkContext.defaultParallelism,
+                "passes": len(per_pass),
+                "pass_totals": [round(sum(p.values()), 1) for p in per_pass],
+                "steal_frac": round((s1 - s0) / max(a1 - a0, 1), 4),
             }
         )
     )

@@ -50,6 +50,48 @@ for _c in ("flac", "opus", "mp3"):
     register_decoder(_c, _decode_pcm16)
 
 
+def parse_wav_header(b: bytes) -> dict | None:
+    """RIFF/WAVE container header -> dict(audio_format, channels,
+    sr_hz, bits, data_off, data_len), or None if not a WAV. Pure
+    bytes — the WAV container is codec-free for PCM payloads, so this
+    is a REAL parser (like the PPM/BMP image decoders), not a stub."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt " and body + 16 <= len(b):
+            fmt = {
+                "audio_format": int.from_bytes(b[body : body + 2], "little"),
+                "channels": int.from_bytes(b[body + 2 : body + 4], "little"),
+                "sr_hz": int.from_bytes(b[body + 4 : body + 8], "little"),
+                "bits": int.from_bytes(b[body + 14 : body + 16], "little"),
+            }
+        elif cid == b"data":
+            data = {"data_off": body, "data_len": min(size, len(b) - body)}
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    return {**fmt, **data}
+
+
+def decode_wav(b: bytes) -> np.ndarray:
+    """RIFF WAV (PCM16) -> float32 mono (channels averaged)."""
+    h = parse_wav_header(b)
+    if h is None or h["audio_format"] != 1 or h["bits"] != 16:
+        raise ValueError("only PCM16 WAV supported")
+    ch = max(h["channels"], 1)
+    n = h["data_len"] // (2 * ch) * ch  # whole frames only
+    pcm = np.frombuffer(b, dtype="<i2", count=n, offset=h["data_off"])
+    mono = pcm.reshape(-1, ch).mean(axis=1) if ch > 1 else pcm.astype(np.float32)
+    return (mono / 32767.0).astype(np.float32)
+
+
+register_decoder("wav", decode_wav)
+
+
 def audio_sanity_fast(clips: DataFrame, dur_tolerance: float = 0.10) -> DataFrame:
     """Metadata-level audio sanity as PURE column expressions — zero
     bytes cross the JVM->Python boundary (at 100TB of audio, shipping
@@ -58,20 +100,40 @@ def audio_sanity_fast(clips: DataFrame, dur_tolerance: float = 0.10) -> DataFram
     fixture). Valid for fixed-width PCM (dur = len/2/sr); compressed
     codecs would fall back to the decode stage below.
 
-    Returns (clip_id, pcm_ok, dur_actual_ms, dur_ok)."""
+    Returns (clip_id, pcm_ok, dur_actual_ms, dur_ok).
+
+    For codec='wav' the canonical 44-byte RIFF header is subtracted
+    and mono PCM16 assumed (the metadata-level approximation; rows
+    where it matters — multichannel, extra chunks — belong in the
+    decoding `audio_sanity` stage, whose parse_wav_header is exact)."""
+    exprs = audio_sanity_exprs(dur_tolerance)
+    return clips.select(
+        "clip_id",
+        exprs["pcm_ok"].alias("pcm_ok"),
+        exprs["dur_actual_ms"].alias("dur_actual_ms"),
+        exprs["dur_ok"].alias("dur_ok"),
+    )
+
+
+def audio_sanity_exprs(dur_tolerance: float = 0.10) -> dict:
+    """The audio_sanity_fast COLUMN EXPRESSIONS, exposed so callers
+    that cannot join (a streaming plan would need a stream-stream
+    join) can compute pcm_ok/dur_ok in place on the same frame."""
     known = F.col("codec").isin(*_DECODERS.keys())
-    blen = F.coalesce(F.length("bytes"), F.lit(0))
+    blen0 = F.coalesce(F.length("bytes"), F.lit(0))
+    blen = F.when(
+        F.col("codec") == "wav", F.greatest(blen0 - 44, F.lit(0))
+    ).otherwise(blen0)
     pcm_ok = known & (blen >= 2) & (blen % 2 == 0)
     dur_actual = F.round(
         blen / 2 * 1000.0 / F.greatest(F.col("sr_hz"), F.lit(1))
     ).cast("int")
     rel = F.abs(F.col("dur_ms") - dur_actual) / F.greatest(dur_actual, F.lit(1))
-    return clips.select(
-        "clip_id",
-        pcm_ok.alias("pcm_ok"),
-        dur_actual.alias("dur_actual_ms"),
-        (pcm_ok & (rel <= dur_tolerance)).alias("dur_ok"),
-    )
+    return {
+        "pcm_ok": pcm_ok,
+        "dur_actual_ms": dur_actual,
+        "dur_ok": pcm_ok & (rel <= dur_tolerance),
+    }
 
 
 def audio_sanity(clips: DataFrame, dur_tolerance: float = 0.10) -> DataFrame:
@@ -121,6 +183,81 @@ def audio_sanity(clips: DataFrame, dur_tolerance: float = 0.10) -> DataFrame:
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_SANITY_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, decoded_ok boolean, zcr double, silence_ratio double, "
+    "clipping_ratio double, snr_db_est double"
+)
+
+
+def audio_features(
+    clips: DataFrame,
+    frame_ms: int = 25,
+    silence_rms: float = 0.01,
+    clip_level: float = 0.999,
+) -> DataFrame:
+    """Per-clip audio quality features for keep/drop rules — the audio
+    analog of the transcript quality heuristics (same Spark shape as
+    audio_sanity: pruned scan -> mapInPandas -> small keyed output;
+    bytes never shuffle).
+
+      zcr             zero-crossing rate (crossings per sample) —
+                      noise/static detector
+      silence_ratio   fraction of frame_ms frames with RMS below
+                      silence_rms — dead-air detector
+      clipping_ratio  fraction of samples at |x| >= clip_level —
+                      clipped-recording detector
+      snr_db_est      20*log10(p90 frame RMS / p10 frame RMS) — crude
+                      signal-vs-noise-floor spread, no VAD needed
+
+    All NumPy-vectorized per clip; frames via a truncating reshape."""
+    pruned = clips.select("clip_id", "bytes", "sr_hz", "codec")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            zcr = np.zeros(n, dtype=np.float64)
+            sil = np.zeros(n, dtype=np.float64)
+            clp = np.zeros(n, dtype=np.float64)
+            snr = np.zeros(n, dtype=np.float64)
+            for i, (b, sr, codec) in enumerate(
+                zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"])
+            ):
+                dec = _DECODERS.get(codec)
+                if dec is None or b is None:
+                    continue
+                try:
+                    pcm = dec(b)
+                except (ValueError, IndexError):
+                    continue
+                if len(pcm) < 2:
+                    continue
+                ok[i] = True
+                zcr[i] = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                clp[i] = float(np.mean(np.abs(pcm) >= clip_level))
+                flen = max(int(max(int(sr), 1) * frame_ms / 1000), 1)
+                nf = len(pcm) // flen
+                if nf >= 1:
+                    frames = pcm[: nf * flen].reshape(nf, flen)
+                    frms = np.sqrt(np.mean(frames * frames, axis=1))
+                    sil[i] = float(np.mean(frms < silence_rms))
+                    p90 = float(np.percentile(frms, 90))
+                    p10 = float(np.percentile(frms, 10))
+                    snr[i] = 20.0 * np.log10(max(p90, 1e-9) / max(p10, 1e-9))
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ok,
+                    "zcr": zcr,
+                    "silence_ratio": sil,
+                    "clipping_ratio": clp,
+                    "snr_db_est": snr,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def decode_pcm(clips: DataFrame) -> DataFrame:

@@ -1,15 +1,23 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Paths:
   brute_force_topk  exact cosine top-k per query via join + window —
                     the correctness baseline (SQL-expressible);
   lsh_topk          random-hyperplane LSH buckets (sign bits of dot
                     products with seeded planes) -> candidates joined
-                    on bucket key -> exact rerank. The scale path:
+                    on bucket key -> exact rerank. Scale path: the
                     shuffle carries (bucket, id) not vectors; probes
-                    multiple bucket permutations for recall.
+                    multiple bucket permutations for recall;
+  ivf_topk          IVF coarse quantizer (seeded k-means on a bounded
+                    sample, GEMM centroid assign, nprobe cell join) —
+                    the other standard ANN scale shape;
+  lsh_neardup_pairs / cosine_neardup_pairs
+                    embedding-cosine near-dup pairs for dedup (scale
+                    path / bounded exact twin).
 
-Also embedding-cosine near-dup pairs (threshold variant) for dedup.
+Every scale path shares one discipline: vectors cross the wire once
+(into the bucketing UDF), joins move ids only, candidate sets are
+verified/reranked with exact cosine, hot buckets are capped.
 """
 
 from __future__ import annotations
@@ -254,6 +262,114 @@ def lsh_neardup_pairs(
     return (
         pairs.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, seed: int, iters: int = 8
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on an L2-normalized sample (driver-side,
+    bounded input — the IVF coarse quantizer's training step). Cosine
+    assignment == argmax dot product on normalized vectors."""
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c.astype(np.float32)
+
+
+def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+    """array<long> of the `nprobe` nearest centroid ids per vector —
+    one NumPy GEMM per Arrow batch (same shape as lsh_bucket_keys_udf;
+    null embeddings -> null, dropped by the downstream explode)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ct = centroids.T.astype(np.float32)
+
+    @pandas_udf("array<long>")
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        valid = v.notna().to_numpy()
+        out = np.empty(len(v), dtype=object)
+        out[~valid] = None
+        if valid.any():
+            m = np.array(v[valid].tolist(), dtype=np.float32)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ ct                                   # [n, C]
+            top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int64)
+            for j, i in enumerate(np.flatnonzero(valid)):
+                out[i] = top[j]
+        return pd.Series(out)
+
+    return _assign
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    train_sample: int = 20_000,
+    seed: int = 42,
+    qid: str = "query_id",
+    cid: str = "neighbor_id",
+    qv: str = "qv",
+    cv: str = "cv",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k — the coarse-quantizer alternative to
+    lsh_topk (both are named scale paths in the training-data brief):
+
+      1. TRAIN: seeded k-means on a bounded candidate sample
+         (driver-side, <= train_sample rows — same bounded-collect
+         contract as the calibration pool);
+      2. ASSIGN: every candidate to its nearest centroid, every query
+         to its `nprobe` nearest — one GEMM pandas UDF each, so the
+         shuffle carries (centroid_id, id) pairs only, never vectors;
+      3. PROBE: equi-join on centroid_id (queries fan out nprobe
+         ways), distinct id pairs, optional `max_bucket` cap against
+         degenerate centroid cells;
+      4. exact Arrow-batched cosine rerank, row_number top-k.
+
+    Recall grows with nprobe (nprobe == n_centroids degenerates to
+    exact brute force through a 1:C join); pinned vs brute force in
+    tests/test_dedup_similarity.py."""
+    samp = candidates.select(cv).limit(train_sample).toPandas()[cv]
+    sample = np.array(samp.tolist(), dtype=np.float32)
+    cents = _kmeans_centroids(sample, n_centroids, seed)
+    c_assign = _ivf_assign_udf(cents, 1)
+    q_assign = _ivf_assign_udf(cents, min(nprobe, len(cents)))
+    c_keys = candidates.select(
+        F.col(cid), F.explode(c_assign(F.col(cv))).alias("cent")
+    )
+    if max_bucket is not None:
+        csz = F.count("*").over(Window.partitionBy("cent"))
+        c_keys = c_keys.withColumn("_bsz", csz).filter(
+            F.col("_bsz") <= max_bucket
+        ).drop("_bsz")
+    q_keys = queries.select(
+        F.col(qid), F.explode(q_assign(F.col(qv))).alias("cent")
+    )
+    hits = q_keys.join(c_keys, "cent").select(qid, cid).distinct()
+    pairs = (
+        hits.join(queries.select(qid, qv), qid)
+        .join(candidates.select(cid, cv), cid)
+    )
+    sim = F.round(cosine_similarity_arrow()(F.col(qv), F.col(cv)), 6)
+    w = Window.partitionBy(qid).orderBy(F.desc("sim"), F.asc(cid))
+    return (
+        pairs.select(qid, cid, sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
     )
 
 

@@ -33,10 +33,16 @@ def salted_repartition(df: DataFrame, n: int, salt_buckets: int = 64) -> DataFra
     )
 
 
-def transcript_features(clips: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
-    """Stage 2: per-clip transcript signals. Never touches `bytes`."""
+def transcript_features(
+    clips: DataFrame,
+    cfg: PipelineConfig | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stage 2: per-clip transcript signals. Never touches `bytes`.
+    `keep_cols` carries extra precomputed columns through the pruned
+    projection (e.g. in-place audio sanity for the streaming plan)."""
     cfg = cfg or PipelineConfig()
-    pruned = clips.select("clip_id", "transcript", "codec", "dur_ms")
+    pruned = clips.select("clip_id", "transcript", "codec", "dur_ms", *keep_cols)
     lid = langid_udf(F.col("transcript"))
     return (
         with_quality_features(pruned)
@@ -66,7 +72,12 @@ def rule_decisions(
         # joined on the key, never shipping bytes through the shuffle.
         df = df.join(audio.select("clip_id", "pcm_ok", "dur_ok"), "clip_id", "left")
     else:
-        df = df.withColumn("pcm_ok", F.lit(True)).withColumn("dur_ok", F.lit(True))
+        # pcm_ok/dur_ok may already ride the frame in place (streaming
+        # plan: audio_sanity_exprs, no stream-stream join); only
+        # default them when genuinely absent
+        for c in ("pcm_ok", "dur_ok"):
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(True))
 
     reason = (
         F.when(F.col("n_chars") < q.min_transcript_chars, "empty_transcript")

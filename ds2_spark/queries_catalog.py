@@ -685,6 +685,53 @@ def q_audio_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality features (zcr / silence / clipping / SNR-spread)
+    via the production mapInPandas operator, on synthesized PCM16
+    payloads whose features have CLOSED FORMS: constant-sample clips
+    (pattern 0x6162), digital silence (0x0000), and full-scale clipped
+    samples (0x7fff). Constant samples make every frame identical, so
+    zcr=0, snr=0, silence/clipping are 0/1 indicators — all exactly
+    expressible as CASE arithmetic in the SQL oracle while the real
+    NumPy kernel (frombuffer, frame reshape, percentiles) runs on the
+    Spark side."""
+    from .operators.audio import audio_features
+
+    ev = _t(spark, sf_dir, "events")
+    n5 = ((F.col("event_id") % 50 + 1) * 5).cast("int")  # samples per clip
+    hexchunk = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("6162"))   # constant +
+        .when(F.col("event_id") % 3 == 1, F.lit("0000"))    # silence
+        .otherwise(F.lit("ff7f"))                            # clipped +1.0
+    )
+    sr = (
+        F.when(F.col("event_id") % 3 == 0, 3001)
+        .when(F.col("event_id") % 3 == 1, 7001)
+        .otherwise(11003)
+    )
+    codec = (
+        F.when(F.col("event_id") % 4 == 0, "pcm_s16le")
+        .when(F.col("event_id") % 4 == 1, "flac")
+        .when(F.col("event_id") % 4 == 2, "opus")
+        .otherwise("wav9")  # unknown codec -> decoded_ok false
+    )
+    clips = ev.select(
+        F.col("event_id").cast("long").alias("clip_id"),
+        F.to_binary(F.repeat(hexchunk, n5), F.lit("hex")).alias("bytes"),
+        sr.cast("int").alias("sr_hz"),
+        codec.alias("codec"),
+    )
+    out = audio_features(clips.withColumn("clip_id", F.col("clip_id").cast("string")))
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("decoded_ok").cast("int").alias("decoded_ok"),
+        "zcr",
+        "silence_ratio",
+        "clipping_ratio",
+        F.col("snr_db_est").alias("snr_db"),
+    ).orderBy("clip_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -719,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lt_score": q_lt_score,
         "q_consensus_counts": q_consensus_counts,
         "q_audio_sanity": q_audio_sanity,
+        "q_audio_features": q_audio_features,
     }
 
 
@@ -1074,6 +1122,26 @@ def _lsh_neardup_oracle_sql(threshold: float = 0.30) -> str:
 
 ORACLE_SQL["q_ann_lsh"] = _ann_lsh_oracle_sql()
 ORACLE_SQL["q_lsh_neardup"] = _lsh_neardup_oracle_sql()
+
+# closed-form twin of q_audio_features (see its docstring): constant-
+# sample PCM makes every feature a CASE indicator. flen(sr=7001) =
+# floor(7001*25/1000) = 175 samples gates the silence-frame branch.
+ORACLE_SQL["q_audio_features"] = """
+    WITH t AS (
+      SELECT event_id AS clip_id,
+             event_id % 3 AS p,
+             (event_id % 50 + 1) * 5 AS n5,
+             event_id % 4 AS c
+      FROM events
+    )
+    SELECT clip_id,
+           CASE WHEN c <> 3 THEN 1 ELSE 0 END AS decoded_ok,
+           CAST(0.0 AS DOUBLE) AS zcr,
+           CAST(CASE WHEN c <> 3 AND p = 1 AND n5 >= 175 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS silence_ratio,
+           CAST(CASE WHEN c <> 3 AND p = 2 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS clipping_ratio,
+           CAST(0.0 AS DOUBLE) AS snr_db
+    FROM t ORDER BY clip_id
+"""
 
 ORACLE_SQL["q_rollup"] = """
     SELECT coalesce(l_returnflag, '(all)') AS returnflag,

@@ -143,3 +143,69 @@ def run_stateful_stream_once(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+# ---------------- streaming quality filter (clips stream) ----------------
+
+CLIPS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+    ]
+)
+
+
+def streaming_rule_decisions(clips_stream: DataFrame, cfg=None) -> DataFrame:
+    """The flagship quality-filter rules stage (langid + ppl + quality
+    ratios + scrub + audio metadata sanity + reason codes) applied to
+    a STREAMING clips DataFrame. Every stage transformation is
+    stateless per row (column exprs + Arrow pandas UDFs), so the
+    identical plan runs under Structured Streaming unchanged — the
+    incremental-ingest twin of plans/pipeline.rule_decisions, with
+    stream==batch equality pinned in tests."""
+    from ..config import PipelineConfig
+    from ..operators.audio import audio_sanity_exprs
+    from ..plans.pipeline import rule_decisions, transcript_features
+
+    cfg = cfg or PipelineConfig()
+    # audio sanity rides the SAME frame as column expressions — a
+    # separate audio DF would make rule_decisions a stream-stream
+    # left join, which Structured Streaming rejects without
+    # watermark+interval machinery the per-row semantics don't need
+    aud = audio_sanity_exprs(cfg.quality.dur_tolerance)
+    enriched = clips_stream.withColumn("pcm_ok", aud["pcm_ok"]).withColumn(
+        "dur_ok", aud["dur_ok"]
+    )
+    feats = transcript_features(enriched, cfg, keep_cols=("pcm_ok", "dur_ok"))
+    return rule_decisions(feats, audio=None, cfg=cfg).select(
+        "clip_id", "lang", "reason", "keep_rules", "transcript_scrubbed"
+    )
+
+
+def run_rules_stream_once(
+    spark: SparkSession, clips_dir: str, query_name: str = "clip_rules", cfg=None
+) -> DataFrame:
+    """Drive the streaming quality filter over a parquet clips
+    directory (micro-batched file source) to completion; append mode —
+    pure per-row decisions, no state, no watermark needed."""
+    stream = (
+        spark.readStream.schema(CLIPS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(clips_dir)
+    )
+    dec = streaming_rule_decisions(stream, cfg)
+    q = (
+        dec.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -66,3 +66,99 @@ def test_decode_matches_frombuffer_exactly(spark, clips_df, fixture_paths):
         raw = clips.loc[r["clip_id"], "bytes"]
         expected = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
         assert np.array_equal(np.array(r["pcm"], dtype=np.float32), expected)
+
+
+def _wav_bytes(pcm16: np.ndarray, sr: int, channels: int = 1, extra_chunk: bool = False) -> bytes:
+    """Minimal RIFF/WAVE encoder (PCM16) for decoder tests."""
+    data = pcm16.astype("<i2").tobytes()
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")                     # PCM
+        + channels.to_bytes(2, "little")
+        + sr.to_bytes(4, "little")
+        + (sr * channels * 2).to_bytes(4, "little")     # byte rate
+        + (channels * 2).to_bytes(2, "little")          # block align
+        + (16).to_bytes(2, "little")                    # bits
+    )
+    chunks = fmt
+    if extra_chunk:  # LIST chunk before data: parser must skip it
+        chunks += b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_parse_and_decode_roundtrip():
+    from ds2_spark.operators.audio import decode_wav, parse_wav_header
+
+    rng = np.random.default_rng(2)
+    pcm = rng.integers(-30000, 30000, size=1600, dtype=np.int16)
+    b = _wav_bytes(pcm, sr=16000)
+    h = parse_wav_header(b)
+    assert h["audio_format"] == 1 and h["channels"] == 1
+    assert h["sr_hz"] == 16000 and h["bits"] == 16
+    got = decode_wav(b)
+    assert np.allclose(got, pcm.astype(np.float32) / 32767.0)
+    # extra chunk between fmt and data must be skipped, not break parse
+    b2 = _wav_bytes(pcm, sr=16000, extra_chunk=True)
+    assert np.allclose(decode_wav(b2), got)
+    # stereo: channels averaged to mono
+    st = np.empty(200, dtype=np.int16)
+    st[0::2] = 1000   # L
+    st[1::2] = 3000   # R
+    mono = decode_wav(_wav_bytes(st, sr=8000, channels=2))
+    assert np.allclose(mono, np.full(100, 2000.0 / 32767.0))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AVEW")  # not a WAVE
+
+
+def test_audio_sanity_fast_wav_container(spark):
+    """codec='wav' rows: fast path subtracts the 44-byte canonical
+    header so the metadata duration matches the decoded duration."""
+    from ds2_spark.operators.audio import audio_sanity_fast
+
+    pcm = np.zeros(16000, dtype=np.int16)  # 1s at 16k
+    b = _wav_bytes(pcm, sr=16000)
+    assert len(b) == 44 + 32000
+    df = spark.createDataFrame(
+        [("w0", bytearray(b), 16000, 1000, "wav")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    row = audio_sanity_fast(df).collect()[0]
+    assert row["pcm_ok"] and row["dur_ok"]
+    assert abs(row["dur_actual_ms"] - 1000) <= 1
+
+
+def test_audio_features(spark):
+    """zcr/silence/clipping/snr on constructed signals: a clip that is
+    half loud sine, half silence, with some clipped samples."""
+    from ds2_spark.operators.audio import audio_features
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64)  # 1s
+    sine = 0.5 * np.sin(2 * np.pi * 100 * t / sr)  # 100 Hz
+    sig = np.concatenate([sine, np.zeros(sr)])     # 1s tone + 1s silence
+    sig[:50] = 1.0                                  # clipped burst
+    pcm16 = np.clip(sig * 32767, -32767, 32767).astype(np.int16)
+    silent = np.zeros(sr, dtype=np.int16)
+    df = spark.createDataFrame(
+        [
+            ("mix", bytearray(pcm16.tobytes()), sr, "pcm_s16le"),
+            ("dead", bytearray(silent.tobytes()), sr, "pcm_s16le"),
+            ("bad", bytearray(b"\x00"), sr, "nocodec"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    out = {r["clip_id"]: r for r in audio_features(df).collect()}
+    mix = out["mix"]
+    assert mix["decoded_ok"]
+    # 100 Hz sine -> 200 crossings/s over 2s of signal where half is
+    # silence: zcr ~= 200 / 16000 = 0.0125 (within loose tolerance)
+    assert 0.005 < mix["zcr"] < 0.03
+    assert 0.4 < mix["silence_ratio"] < 0.6
+    assert 0.0 < mix["clipping_ratio"] < 0.01
+    assert mix["snr_db_est"] > 20.0
+    dead = out["dead"]
+    assert dead["decoded_ok"] and dead["silence_ratio"] == 1.0
+    assert not out["bad"]["decoded_ok"]

@@ -14,6 +14,7 @@ from ds2_spark.operators.dedup import (
 from ds2_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
+    ivf_topk,
     lsh_neardup_pairs,
     lsh_topk,
 )
@@ -171,6 +172,31 @@ def test_lsh_neardup_max_bucket_caps_hot_bucket(spark):
         emb, dim=4, threshold=0.5, n_planes=4, n_tables=2
     ).count()
     assert free == 40 * 39 // 2
+
+
+def test_ivf_topk_recall_and_exhaustive_probe_exactness(spark):
+    """IVF coarse-quantizer ANN: decent recall at nprobe<<C, and
+    EXACT equality with brute force when every centroid is probed
+    (nprobe == n_centroids makes the candidate set complete)."""
+    rng = np.random.default_rng(17)
+    n, dim, k = 400, 32, 5
+    base = rng.normal(0, 1, size=(n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    ex = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(q, cand, k=k).collect()}
+    approx = ivf_topk(q, cand, dim=dim, k=k, n_centroids=16, nprobe=6)
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.6
+    full = ivf_topk(q, cand, dim=dim, k=k, n_centroids=16, nprobe=16)
+    fu = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert fu == ex  # exhaustive probing == brute force
 
 
 def test_cosine_neardup_symmetric_threshold(spark):

@@ -190,3 +190,39 @@ def test_stateful_stream_matches_batch(spark, tmp_path):
     for k, (n, s) in exp.items():
         assert got[k][0] == n, k
         assert abs(got[k][1] - s) < 0.05, (k, got[k][1], s)  # float sum-order grain
+
+
+def test_streaming_quality_filter_matches_batch(spark, clips_df, tmp_path):
+    """The flagship rules stage (langid+ppl+quality+scrub+audio
+    sanity+reasons) over a micro-batched clips STREAM must equal the
+    batch run on the same files — per-row decisions are stateless, so
+    stream==batch exactly."""
+    from ds2_spark.plans.pipeline import rule_decisions, transcript_features
+    from ds2_spark.operators.audio import audio_sanity_fast
+    from ds2_spark.streaming.events import (
+        CLIPS_STREAM_SCHEMA,
+        run_rules_stream_once,
+    )
+
+    clips_dir = str(tmp_path / "clips_stream")
+    cols = [f.name for f in CLIPS_STREAM_SCHEMA.fields]
+    clips_df.select(*cols).repartition(5).write.mode("overwrite").parquet(clips_dir)
+
+    stream_out = run_rules_stream_once(spark, clips_dir, "rules_test")
+    batch_src = spark.read.parquet(clips_dir)
+    batch_out = rule_decisions(
+        transcript_features(batch_src),
+        audio_sanity_fast(batch_src),
+    ).select("clip_id", "lang", "reason", "keep_rules", "transcript_scrubbed")
+
+    key = lambda r: (
+        r["clip_id"], r["lang"], r["reason"], r["keep_rules"], r["transcript_scrubbed"],
+    )
+    got = sorted(key(r) for r in stream_out.collect())
+    exp = sorted(key(r) for r in batch_out.collect())
+    assert got == exp
+    assert len(got) == clips_df.count()
+    # the stream actually exercised every reason path present in batch
+    assert {r["reason"] for r in stream_out.collect()} == {
+        r["reason"] for r in batch_out.collect()
+    }
