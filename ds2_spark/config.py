@@ -27,7 +27,10 @@ class HocConfig:
     # fatter tasks — the broadcast sample pool is deserialized once
     # per TASK, so packing amortizes it when slots << rounds. Results
     # are identical for any value (each round keeps its own seed).
-    rounds_per_task: int = 1
+    # 0 = AUTO: task count = min(rounds, 2 x defaultParallelism) —
+    # every slot gets ~2 tasks (balance) and per-task overhead stops
+    # scaling with the round count.
+    rounds_per_task: int = 0
 
 
 @dataclass(frozen=True)
@@ -40,8 +43,8 @@ class VoteConfig:
     sample_size: int = 35000    # knn.py:66-70 (ref ≤50k)
     min_similarity: float = 0.0
     seed: int = SEED
-    # epochs packed per Spark task (see HocConfig.rounds_per_task)
-    epochs_per_task: int = 1
+    # epochs packed per Spark task; 0 = AUTO (see HocConfig.rounds_per_task)
+    epochs_per_task: int = 0
 
 
 @dataclass(frozen=True)

@@ -93,7 +93,9 @@ def consensus_counts(
 
     from pyspark.sql import functions as F
 
-    n_parts = max(1, -(-rounds // max(cfg.rounds_per_task, 1)))
+    from .votes import _fanout_partitions
+
+    n_parts = _fanout_partitions(spark, rounds, cfg.rounds_per_task)
     per_round = spark.range(0, rounds, 1, numPartitions=n_parts).mapInPandas(
         _op, schema="y0 int, y1 int, y2 int, cnt double"
     )

@@ -103,10 +103,22 @@ def vote_epochs(
             for ep in pdf["id"].tolist():
                 yield epoch_votes_numpy(e_, l_, c_, nr_, int(ep), cfg)
 
-    n_parts = max(1, -(-cfg.epochs // max(cfg.epochs_per_task, 1)))
+    n_parts = _fanout_partitions(spark, cfg.epochs, cfg.epochs_per_task)
     return spark.range(0, cfg.epochs, 1, numPartitions=n_parts).mapInPandas(
         _op, schema="epoch int, clip_id string, flagged int, suggested int"
     )
+
+
+def _fanout_partitions(spark: SparkSession, n_units: int, per_task: int) -> int:
+    """Task count for an epoch/round fan-out. per_task>0: pack that
+    many units per task. per_task==0 (auto): ~2 tasks per slot, so the
+    broadcast pool is deserialized O(slots) times instead of O(units)
+    while load balancing stays fine. Vote/round results are invariant
+    to the partitioning (each unit is seeded by its own id)."""
+    if per_task and per_task > 0:
+        return max(1, -(-n_units // per_task))
+    slots = spark.sparkContext.defaultParallelism
+    return max(1, min(n_units, 2 * slots))
 
 
 def aggregate_votes(votes: DataFrame, scores: DataFrame) -> DataFrame:

@@ -153,7 +153,7 @@ def main() -> int:
                 )
                 .join(lt, "clip_id", "left")
                 .na.fill({"lt_score": 0.0})
-            )
+            ).persist()  # 3 serial jobs read it (count, histogram, write)
             n_cand = scored.count()
             budget = max(int(round(cfg.selection.budget_frac * n_cand)), 1)
             sel = select_subset(scored, budget)
@@ -167,6 +167,7 @@ def main() -> int:
                 )
             )
             dec.write.mode("overwrite").parquet(f"{wd}/dec_{tag}")
+            scored.unpersist()
 
         clock("select", _select)
         # drop this pass's cached blocks (calibrate_rater persists the
