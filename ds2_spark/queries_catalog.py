@@ -697,7 +697,12 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side."""
     from .operators.audio import audio_features
 
-    ev = _t(spark, sf_dir, "events")
+    # spread the tiny pre-synthesis rows across all slots: the parquet
+    # scan often yields 1-2 partitions at small SF, which would serialize
+    # the mapInPandas feature kernel downstream
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
     n5 = ((F.col("event_id") % 50 + 1) * 5).cast("int")  # samples per clip
     hexchunk = (
         F.when(F.col("event_id") % 3 == 0, F.lit("6162"))   # constant +

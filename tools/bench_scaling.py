@@ -298,6 +298,7 @@ def main() -> int:
     # per-pair ratios are time-local
     results: dict[int, list[dict]] = {lo: [], hi: []}
     pair_effs: list[float] = []
+    pair_effs_corr: list[float] = []
     pair_valid: list[bool] = []
     pair_gates: list[float] = []
     for i in range(args.timed):
@@ -327,8 +328,18 @@ def main() -> int:
         valid = all(s <= args.max_steal for s in steals)
         pair_effs.append(eff_i)
         pair_valid.append(valid)
+        # first-order steal correction (DISCLOSED, never used for the
+        # pass verdict): wall*(1-steal) estimates the quiet-host wall —
+        # each member corrected by ITS OWN integrated steal window. The
+        # lo member runs ~4x longer, so storms bias raw pair ratios DOWN
+        # asymmetrically; the corrected ratio removes that first-order
+        # bias while remaining a modeled number.
+        s_by = dict(zip(order, steals))
+        corr_i = (pair[lo] * (1 - s_by[lo]) / (pair[hi] * (1 - s_by[hi]))) / factor
+        pair_effs_corr.append(corr_i)
         print(f"  pair {i} efficiency: {eff_i:.3f} "
-              f"({'VALID' if valid else 'storm-corrupted'}; steal {steals})",
+              f"(steal-corrected {corr_i:.3f}; "
+              f"{'VALID' if valid else 'storm-corrupted'}; steal {steals})",
               flush=True)
 
     stages: dict[int, dict] = {}
@@ -394,6 +405,10 @@ def main() -> int:
         f"local{hi}": {"median_sec": med_hi, "clips_per_sec": cps_hi, "runs": results[hi]},
         "speedup": round(med_lo / med_hi, 3),
         "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "pair_efficiencies_steal_corrected": [round(e, 3) for e in pair_effs_corr],
+        "steal_corrected_median": round(statistics.median(pair_effs_corr), 3)
+        if pair_effs_corr
+        else None,
         "pair_gate_effective_cores": pair_gates,
         "pair_valid": pair_valid,
         "n_valid_pairs": sum(pair_valid),
