@@ -284,13 +284,24 @@ def _kmeans_centroids(
     return c.astype(np.float32)
 
 
-def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+def _ivf_assign_udf(centroids: np.ndarray, nprobe: int, quantize_scale: int | None = None):
     """array<long> of the `nprobe` nearest centroid ids per vector —
     one NumPy GEMM per Arrow batch (same shape as lsh_bucket_keys_udf;
-    null embeddings -> null, dropped by the downstream explode)."""
+    null embeddings -> null, dropped by the downstream explode).
+
+    With `quantize_scale`, centroids must be integer-valued and each
+    vector is quantized to round(x*scale) int64: assignment argmax is
+    exact integer arithmetic (ties to the lower centroid id — the same
+    total order `ORDER BY dot DESC, cent ASC` gives in SQL), making
+    the assignment bit-identical cross-engine (the oracle twin path;
+    no L2 normalization, which is a monotone no-op for argmax only on
+    normalized data and irrelevant for a fixed quantizer)."""
     from pyspark.sql.functions import pandas_udf
 
-    ct = centroids.T.astype(np.float32)
+    if quantize_scale:
+        ct = centroids.T.astype(np.int64)
+    else:
+        ct = centroids.T.astype(np.float32)
 
     @pandas_udf("array<long>")
     def _assign(v: pd.Series) -> pd.Series:
@@ -300,10 +311,16 @@ def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):
         out = np.empty(len(v), dtype=object)
         out[~valid] = None
         if valid.any():
-            m = np.array(v[valid].tolist(), dtype=np.float32)
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            if quantize_scale:
+                m = np.rint(
+                    np.array(v[valid].tolist(), dtype=np.float64) * quantize_scale
+                ).astype(np.int64)
+            else:
+                m = np.array(v[valid].tolist(), dtype=np.float32)
+                m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             sims = m @ ct                                   # [n, C]
-            top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int64)
+            # stable sort => ties resolve to the LOWER centroid id
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int64)
             for j, i in enumerate(np.flatnonzero(valid)):
                 out[i] = top[j]
         return pd.Series(out)
@@ -325,6 +342,9 @@ def ivf_topk(
     qv: str = "qv",
     cv: str = "cv",
     max_bucket: int | None = None,
+    centroids: np.ndarray | None = None,
+    quantize_scale: int | None = None,
+    rerank: str = "arrow",
 ) -> DataFrame:
     """IVF approximate top-k — the coarse-quantizer alternative to
     lsh_topk (both are named scale paths in the training-data brief):
@@ -342,12 +362,21 @@ def ivf_topk(
 
     Recall grows with nprobe (nprobe == n_centroids degenerates to
     exact brute force through a 1:C join); pinned vs brute force in
-    tests/test_dedup_similarity.py."""
-    samp = candidates.select(cv).limit(train_sample).toPandas()[cv]
-    sample = np.array(samp.tolist(), dtype=np.float32)
-    cents = _kmeans_centroids(sample, n_centroids, seed)
-    c_assign = _ivf_assign_udf(cents, 1)
-    q_assign = _ivf_assign_udf(cents, min(nprobe, len(cents)))
+    tests/test_dedup_similarity.py.
+
+    Passing explicit `centroids` skips the k-means training (any
+    fixed coarse quantizer is a valid IVF partition); with integer
+    centroids + `quantize_scale` the assignment is exact integer
+    arithmetic and `rerank="hof"` uses the SQL-reproducible cosine —
+    the deterministic-oracle twin (queries_catalog.q_ivf_topk)."""
+    if centroids is None:
+        samp = candidates.select(cv).limit(train_sample).toPandas()[cv]
+        sample = np.array(samp.tolist(), dtype=np.float32)
+        cents = _kmeans_centroids(sample, n_centroids, seed)
+    else:
+        cents = centroids
+    c_assign = _ivf_assign_udf(cents, 1, quantize_scale)
+    q_assign = _ivf_assign_udf(cents, min(nprobe, len(cents)), quantize_scale)
     c_keys = candidates.select(
         F.col(cid), F.explode(c_assign(F.col(cv))).alias("cent")
     )
@@ -364,7 +393,15 @@ def ivf_topk(
         hits.join(queries.select(qid, qv), qid)
         .join(candidates.select(cid, cv), cid)
     )
-    sim = F.round(cosine_similarity_arrow()(F.col(qv), F.col(cv)), 6)
+    if rerank == "hof":
+        sim = F.round(
+            cosine_similarity(
+                F.col(qv).cast("array<double>"), F.col(cv).cast("array<double>")
+            ),
+            6,
+        )
+    else:
+        sim = F.round(cosine_similarity_arrow()(F.col(qv), F.col(cv)), 6)
     w = Window.partitionBy(qid).orderBy(F.desc("sim"), F.asc(cid))
     return (
         pairs.select(qid, cid, sim.alias("sim"))

@@ -685,6 +685,42 @@ def q_audio_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+# IVF contract config: fixed integer centroids (any fixed coarse
+# quantizer is a valid IVF partition) + quantized assignment make the
+# whole pipeline exact cross-engine, like the LSH quantized planes.
+_IVF_CENTROIDS, _IVF_NPROBE = 16, 4
+
+
+def _ivf_contract_centroids():
+    import numpy as np
+
+    rng = np.random.default_rng(_LSH_SEED + 7)
+    return np.rint(
+        rng.normal(0, 1, size=(_IVF_CENTROIDS, _LSH_DIM)) * _LSH_SCALE
+    ).astype(np.int64)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the non-LSH scale path) on
+    deterministic integer centroids with quantized integer assignment
+    — exact-oracle checkable end to end; k-means-trained recall is
+    pinned in tests/test_dedup_similarity.py."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    return ivf_topk(
+        q, cand, dim=_LSH_DIM, k=3, n_centroids=_IVF_CENTROIDS,
+        nprobe=_IVF_NPROBE, centroids=_ivf_contract_centroids(),
+        quantize_scale=_LSH_SCALE, rerank="hof",
+    ).orderBy("query_id", "rk")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio quality features (zcr / silence / clipping / SNR-spread)
     via the production mapInPandas operator, on synthesized PCM16
@@ -772,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_consensus_counts": q_consensus_counts,
         "q_audio_sanity": q_audio_sanity,
         "q_audio_features": q_audio_features,
+        "q_ivf_topk": q_ivf_topk,
     }
 
 
@@ -1127,6 +1164,67 @@ def _lsh_neardup_oracle_sql(threshold: float = 0.30) -> str:
 
 ORACLE_SQL["q_ann_lsh"] = _ann_lsh_oracle_sql()
 ORACLE_SQL["q_lsh_neardup"] = _lsh_neardup_oracle_sql()
+
+
+def _ivf_oracle_sql() -> str:
+    cents = _ivf_contract_centroids()
+    cos = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+
+    def dots(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT vec_id, {c} AS cent, list_dot_product(q, CAST(["
+            + ", ".join(str(int(x)) for x in cents[c])
+            + f"] AS DOUBLE[])) AS dot FROM {src}"
+            for c in range(_IVF_CENTROIDS)
+        )
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> round(x * {_LSH_SCALE})) AS q
+          FROM embeddings
+        ),
+        qs AS (SELECT * FROM e WHERE vec_id < 5),
+        cs AS (SELECT * FROM e WHERE vec_id >= 5),
+        cd AS (
+          SELECT vec_id, cent FROM (
+            SELECT vec_id, cent, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY dot DESC, cent ASC) AS rk
+            FROM ({dots('cs')})
+          ) WHERE rk = 1
+        ),
+        qd AS (
+          SELECT vec_id, cent FROM (
+            SELECT vec_id, cent, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY dot DESC, cent ASC) AS rk
+            FROM ({dots('qs')})
+          ) WHERE rk <= {_IVF_NPROBE}
+        ),
+        hits AS (
+          SELECT DISTINCT qd.vec_id AS query_id, cd.vec_id AS neighbor_id
+          FROM qd JOIN cd ON qd.cent = cd.cent
+        ),
+        sims AS (
+          SELECT h.query_id, h.neighbor_id, {cos} AS sim
+          FROM hits h
+          JOIN qs a ON a.vec_id = h.query_id
+          JOIN cs b ON b.vec_id = h.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, rk FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rk
+          FROM sims
+        ) WHERE rk <= 3
+        ORDER BY query_id, rk
+    """
+
+
+ORACLE_SQL["q_ivf_topk"] = _ivf_oracle_sql()
 
 # closed-form twin of q_audio_features (see its docstring): constant-
 # sample PCM makes every feature a CASE indicator. flen(sr=7001) =
