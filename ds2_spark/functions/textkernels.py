@@ -30,12 +30,18 @@ EMBED_DIM_DEFAULT = 128
 
 def _byte_ngram_hashes(data: np.ndarray, n: int) -> np.ndarray:
     """Polynomial hashes of all n-grams of a uint8 byte array (uint64,
-    wrapping overflow — deterministic everywhere)."""
+    wrapping overflow — deterministic everywhere). Horner form: n
+    multiply-adds over the window array instead of materializing the
+    [W, n] sliding-window copy (bit-identical, ~4x less memory traffic
+    in the flagship's langid/ppl/embed hot path)."""
     if len(data) < n:
         return np.empty(0, dtype=np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(data, n).astype(np.uint64)
-    pows = HASH_MULT ** np.arange(n - 1, -1, -1, dtype=np.uint64)
-    return (win * pows).sum(axis=1, dtype=np.uint64)
+    w = len(data) - n + 1
+    h = np.zeros(w, dtype=np.uint64)
+    for k in range(n):
+        h *= HASH_MULT
+        h += data[k : k + w]
+    return h
 
 
 def ngram_buckets(text: str, ns: tuple[int, ...], buckets: int) -> np.ndarray:
@@ -44,6 +50,53 @@ def ngram_buckets(text: str, ns: tuple[int, ...], buckets: int) -> np.ndarray:
     hs = [_byte_ngram_hashes(data, n) + np.uint64(0x9E3779B9 * n) for n in ns]
     all_h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
     return (all_h % np.uint64(buckets)).astype(np.int64)
+
+
+# --------------------------------------------------- batched byte plumbing
+#
+# The three inference kernels below (langid / ppl / embed) sit in the
+# flagship's largest data-parallel mapInPandas stage. They process each
+# Arrow batch as ONE concatenated byte array + offsets and segment-reduce
+# per text with np.bincount — no per-text NumPy kernel launches, which
+# dominate wall time for short transcripts (round-3 verdict item 4).
+
+def _concat_utf8(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(concatenated uint8 bytes, per-text start offsets, lengths).
+    None is treated as the empty string (matches the per-text kernels'
+    `if not t: continue` behavior)."""
+    encoded = [(t or "").encode("utf-8") for t in texts]
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded))
+    starts = np.zeros(len(encoded), dtype=np.int64)
+    if len(encoded):
+        np.cumsum(lens[:-1], out=starts[1:])
+    data = (
+        np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        if encoded
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, starts, lens
+
+
+def _batch_window_hashes(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All n-gram hashes of the concatenation that do NOT span a text
+    boundary. Returns (hash + n-salt as uint64, owning text id,
+    window start position in `data`). Hashes are identical to the
+    per-text `ngram_buckets` values because the polynomial hash depends
+    only on window content."""
+    h = _byte_ngram_hashes(data, n)
+    wc = np.maximum(lens - n + 1, 0)
+    total = int(wc.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), e, e
+    # windows are position-ordered, so the valid ones are starts[i] +
+    # [0, wc[i]) per text — build the index directly, no search needed
+    tid = np.repeat(np.arange(len(lens), dtype=np.int64), wc)
+    first = np.cumsum(wc) - wc
+    pos = np.arange(total, dtype=np.int64) - first[tid] + starts[tid]
+    return h[pos] + np.uint64(0x9E3779B9 * n), tid, pos
 
 
 # ---------------------------------------------------------------- langid
@@ -73,17 +126,29 @@ def langid_scores(texts: "list[str] | np.ndarray") -> tuple[np.ndarray, np.ndarr
     idx = np.zeros(n, dtype=np.int64)
     margin = np.zeros(n, dtype=np.float64)
     top = np.full(n, -99.0, dtype=np.float64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        b = ngram_buckets(t, (1, 2, 3), LANGID_BUCKETS)
-        if len(b) == 0:
-            continue
-        scores = logp[:, b].sum(axis=1) / len(b)
-        order = np.argsort(scores)
-        idx[i] = order[-1]
-        margin[i] = scores[order[-1]] - scores[order[-2]]
-        top[i] = scores[order[-1]]
+    if n == 0:
+        return idx, margin, top
+    data, starts, lens = _concat_utf8(texts)
+    parts = [_batch_window_hashes(data, starts, lens, gn) for gn in (1, 2, 3)]
+    h = np.concatenate([p[0] for p in parts])
+    tid = np.concatenate([p[1] for p in parts])
+    if len(h) == 0:
+        return idx, margin, top
+    b = (h % np.uint64(LANGID_BUCKETS)).astype(np.int64)
+    counts = np.bincount(tid, minlength=n).astype(np.float64)
+    # scores[lang, text]: one segmented sum per language (n_langs is small)
+    scores = np.empty((logp.shape[0], n), dtype=np.float64)
+    for li in range(logp.shape[0]):
+        scores[li] = np.bincount(tid, weights=logp[li, b], minlength=n)
+    nz = counts > 0
+    scores[:, nz] /= counts[nz]
+    order = np.argsort(scores[:, nz], axis=0)
+    idx[nz] = order[-1]
+    cols = np.arange(scores.shape[1])[nz]
+    top1 = scores[order[-1], cols]
+    top2 = scores[order[-2], cols]
+    margin[nz] = top1 - top2
+    top[nz] = top1
     return idx, margin, top
 
 
@@ -131,20 +196,29 @@ def perplexities(texts: "list[str] | np.ndarray") -> np.ndarray:
     Texts with <3 bytes get the sentinel 1e4."""
     cnt3, cnt2, d = ppl_model()
     total3 = cnt3.sum()
-    out = np.full(len(texts), 1e4, dtype=np.float64)
+    n = len(texts)
+    out = np.full(n, 1e4, dtype=np.float64)
     uni_floor = 1.0 / PPL_BUCKETS
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        b3, b2 = _trigram_context_buckets(t)
-        if len(b3) == 0:
-            continue
-        c3 = cnt3[b3]
-        c2 = np.maximum(cnt2[b2], 1.0)
-        pb = np.maximum(c3 / total3, uni_floor)  # crude backoff distribution
-        p = np.maximum(c3 - d, 0.0) / c2 + d * pb ** 0.5  # discounted + backoff mass
-        p = np.clip(p, 1e-8, 1.0)
-        out[i] = float(np.exp(-np.log(p).mean()))
+    if n == 0:
+        return out
+    data, starts, lens = _concat_utf8(texts)
+    h3, tid, pos = _batch_window_hashes(data, starts, lens, 3)
+    if len(h3) == 0:
+        return out
+    # leading bigram of each valid trigram window = bigram hash at the
+    # same start position (bigram windows exist wherever trigrams do)
+    h2_all = _byte_ngram_hashes(data, 2) + np.uint64(0x9E3779B9 * 2)
+    b3 = (h3 % np.uint64(PPL_BUCKETS)).astype(np.int64)
+    b2 = (h2_all[pos] % np.uint64(PPL_BUCKETS)).astype(np.int64)
+    c3 = cnt3[b3]
+    c2 = np.maximum(cnt2[b2], 1.0)
+    pb = np.maximum(c3 / total3, uni_floor)  # crude backoff distribution
+    p = np.maximum(c3 - d, 0.0) / c2 + d * pb ** 0.5  # discounted + backoff mass
+    p = np.clip(p, 1e-8, 1.0)
+    counts = np.bincount(tid, minlength=n).astype(np.float64)
+    sums = np.bincount(tid, weights=np.log(p), minlength=n)
+    nz = counts > 0
+    out[nz] = np.exp(-sums[nz] / counts[nz])
     return out
 
 
@@ -155,15 +229,19 @@ def embed_texts(texts: "list[str] | np.ndarray", dim: int = EMBED_DIM_DEFAULT) -
     L2-normalized — the deterministic stand-in for the reference's
     BGE sentence embeddings (preprocess.py:78-80 mean-pool+normalize).
     """
-    out = np.zeros((len(texts), dim), dtype=np.float32)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        b = ngram_buckets(t, (2, 3), 1 << 20)
-        if len(b) == 0:
-            continue
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float32)
+    if n == 0:
+        return out
+    data, starts, lens = _concat_utf8(texts)
+    parts = [_batch_window_hashes(data, starts, lens, gn) for gn in (2, 3)]
+    h = np.concatenate([p[0] for p in parts])
+    tid = np.concatenate([p[1] for p in parts])
+    if len(h):
+        b = (h % np.uint64(1 << 20)).astype(np.int64)
         sign = np.where((b >> 1) & 1 == 0, 1.0, -1.0)
-        np.add.at(out[i], b % dim, sign.astype(np.float32))
+        flat = np.bincount(tid * dim + b % dim, weights=sign, minlength=n * dim)
+        out += flat.reshape(n, dim).astype(np.float32)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     return out

@@ -144,15 +144,66 @@ def _forward_loss(a: np.ndarray, b: np.ndarray, c1, c2, c3) -> float:
     )
 
 
+def _loss_and_grads(
+    a: np.ndarray, b: np.ndarray, c1, c2, c3
+) -> tuple[float, np.ndarray, np.ndarray]:
+    """Closed-form gradient of the squared-residual consensus loss
+    w.r.t. the softmax logits (a for T rows, b for the prior p).
+
+    With T=softmax(a,rows), p=softmax(b) and the analytic moments
+      ĉ1_i = Σ_j p_j T[j,i], ĉ2_ik = Σ_j p_j T[j,i]T[j,k],
+      ĉ3_ikl = Σ_j p_j T[j,i]T[j,k]T[j,l],
+    the residual chain gives (r• = 2(ĉ•−c•)):
+      ∂L/∂T[j,m] = p_j [ r1_m + ((r2+r2ᵀ)·T[j])_m + three c3 contractions ]
+      ∂L/∂p_j    = (T·r1)_j + r2:T[j]⊗T[j] + r3:T[j]⊗T[j]⊗T[j]
+    then the standard softmax Jacobian maps dT→da and dp→db. Verified
+    against central differences in tests (test_hoc analytic-vs-FD)."""
+    t = _softmax(a, axis=1)
+    p = _softmax(b)
+    pt = p[:, None] * t
+    c1_ana = pt.sum(axis=0)
+    c2_ana = np.einsum("ji,jk->ik", pt, t)
+    c3_ana = np.einsum("ji,jk,jl->ikl", pt, t, t)
+    r1 = 2.0 * (c1_ana - c1)
+    r2 = 2.0 * (c2_ana - c2)
+    r3 = 2.0 * (c3_ana - c3)
+    loss = float(
+        ((c1 - c1_ana) ** 2).sum()
+        + ((c2 - c2_ana) ** 2).sum()
+        + ((c3 - c3_ana) ** 2).sum()
+    )
+    # dL/dT — one [j,m] array across all rows j at once
+    r2s = r2 + r2.T
+    g_t = p[:, None] * (
+        r1[None, :]
+        + t @ r2s
+        + np.einsum("mkl,jk,jl->jm", r3, t, t)
+        + np.einsum("iml,ji,jl->jm", r3, t, t)
+        + np.einsum("ikm,ji,jk->jm", r3, t, t)
+    )
+    # dL/dp
+    g_p = (
+        t @ r1
+        + np.einsum("ik,ji,jk->j", r2, t, t)
+        + np.einsum("ikl,ji,jk,jl->j", r3, t, t, t)
+    )
+    # softmax Jacobian: dL/dz = s * (g - <g, s>) per softmax group
+    g_a = t * (g_t - (g_t * t).sum(axis=1, keepdims=True))
+    g_b = p * (g_p - float(g_p @ p))
+    return loss, g_a, g_b
+
+
 def solve_t(
     c1: np.ndarray,
     c2: np.ndarray,
     c3: np.ndarray,
     cfg: HocConfig | None = None,
 ) -> HocResult:
-    """Driver-side Adam on softmax-parameterized (T, p), central-diff
-    gradients (the parameter count is fixed at 6·6+6=42, so FD costs
-    84 cheap forwards per step — data-size independent).
+    """Driver-side Adam on softmax-parameterized (T, p) with analytic
+    gradients (_loss_and_grads — one backprop per step vs the 84
+    central-difference forwards of earlier rounds; this sits in the
+    fixed driver-cost term of every pipeline run, so it is a scaling
+    lever, not just a math nicety).
     Reference analog: hoc.py:93-148 (Adam lr 0.1, ~1500 steps,
     init T = strong diagonal)."""
     cfg = cfg or HocConfig()
@@ -162,22 +213,10 @@ def solve_t(
     params = [a, b]
     m_t = [np.zeros_like(a), np.zeros_like(b)]
     v_t = [np.zeros_like(a), np.zeros_like(b)]
-    beta1, beta2, eps, h = 0.9, 0.999, 1e-8, 1e-5
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
     for step in range(1, cfg.adam_steps + 1):
-        grads = []
-        for pi, param in enumerate(params):
-            g = np.zeros_like(param)
-            flat = param.ravel()
-            gflat = g.ravel()
-            for j in range(flat.size):
-                orig = flat[j]
-                flat[j] = orig + h
-                lp = _forward_loss(params[0], params[1], c1, c2, c3)
-                flat[j] = orig - h
-                lm = _forward_loss(params[0], params[1], c1, c2, c3)
-                flat[j] = orig
-                gflat[j] = (lp - lm) / (2 * h)
-            grads.append(g)
+        _, g_a, g_b = _loss_and_grads(params[0], params[1], c1, c2, c3)
+        grads = [g_a, g_b]
         for pi in range(2):
             m_t[pi] = beta1 * m_t[pi] + (1 - beta1) * grads[pi]
             v_t[pi] = beta2 * v_t[pi] + (1 - beta2) * grads[pi] ** 2

@@ -67,6 +67,37 @@ def test_solver_recovers_known_t():
     assert np.allclose(res.T.sum(axis=1), 1.0)  # row-stochastic property
 
 
+def test_analytic_gradients_match_central_differences():
+    """_loss_and_grads' closed-form backprop == central-difference FD
+    on random logits (the r3→r4 solver change must not alter the
+    optimization surface)."""
+    from ds2_spark.operators.hoc import _forward_loss, _loss_and_grads
+
+    rng = np.random.default_rng(11)
+    t_true = make_t_true()
+    p = np.array([0.06, 0.15, 0.29, 0.29, 0.20, 0.01])
+    pt = p[:, None] * t_true
+    c1 = pt.sum(0)
+    c2 = np.einsum("ji,jk->ik", pt, t_true)
+    c3 = np.einsum("ji,jk,jl->ikl", pt, t_true, t_true)
+    a = rng.normal(0, 1.5, size=(6, 6))
+    b = rng.normal(0, 1.0, size=6)
+    loss, g_a, g_b = _loss_and_grads(a, b, c1, c2, c3)
+    assert loss == pytest.approx(_forward_loss(a, b, c1, c2, c3))
+    h = 1e-6
+    for arr, g in ((a, g_a), (b, g_b)):
+        flat, gflat = arr.ravel(), g.ravel()
+        for j in range(flat.size):
+            orig = flat[j]
+            flat[j] = orig + h
+            lp = _forward_loss(a, b, c1, c2, c3)
+            flat[j] = orig - h
+            lm = _forward_loss(a, b, c1, c2, c3)
+            flat[j] = orig
+            fd = (lp - lm) / (2 * h)
+            assert gflat[j] == pytest.approx(fd, abs=1e-6, rel=1e-4)
+
+
 def test_hoc_recovers_t_on_clusterable_data(spark):
     """End-to-end HOC on synthetic clusterable embeddings: neighbors
     share clean labels by construction, so T should be recovered."""
