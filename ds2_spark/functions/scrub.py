@@ -63,20 +63,41 @@ def _bounded(core: str) -> str:
     return rf"(^|[^{_NONWORD}])({core})($|[^{_NONWORD}])"
 
 
-# (pattern, tag, bounded) — ORDER MATTERS: SSN before PHONE (an SSN is
-# also a valid phone-ish digit run). Bounded patterns appear TWICE
-# back-to-back: one pass misses the second of two hits separated by a
-# single delimiter (the delimiter is consumed); two passes are a fixed
-# point (see module docstring).
-_CHAIN_ONCE: tuple[tuple[str, str, bool], ...] = (
-    (EMAIL_RE, "<EMAIL>", False),
-    (_bounded(SSN_CORE), "<SSN>", True),
-    (PHONE_RE, "<PHONE>", False),
-    (_bounded(TOX_CORE), "<TOX>", True),
+# Conservative JVM prefilters for the bounded patterns (scrub_col
+# only; the SQL/Python twins apply the plain chain — identical
+# output). Rationale, measured on this host (NOTES.md #29): a Java
+# regex whose head is an alternation (`(^|[^...])...`) runs ~10x
+# slower than its bare core AND stops scaling across executor threads,
+# while bare-core patterns scale cleanly. The bounded pattern can only
+# match where its core matches, so `when(rlike(core), replace).
+# otherwise(unchanged)` is semantics-preserving and moves ~all rows
+# onto the cheap scalable scan. For the toxicity lexicon the prefilter
+# is the shared literal prefix of every term (fixture lexicon:
+# 'zorgblat'); a production lexicon without a shared literal should
+# use its own cheap superset filter (e.g. per-term contains, or the
+# union of distinct leading trigrams).
+_TOX_PREFILTER = "zorgblat"
+
+# (pattern, tag, bounded, prefilter) — ORDER MATTERS: SSN before PHONE
+# (an SSN is also a valid phone-ish digit run). Bounded patterns
+# appear TWICE back-to-back: one pass misses the second of two hits
+# separated by a single delimiter (the delimiter is consumed); two
+# passes are a fixed point (see module docstring).
+_CHAIN_ONCE: tuple[tuple[str, str, bool, str | None], ...] = (
+    (EMAIL_RE, "<EMAIL>", False, None),
+    (_bounded(SSN_CORE), "<SSN>", True, SSN_CORE),
+    (PHONE_RE, "<PHONE>", False, None),
+    (_bounded(TOX_CORE), "<TOX>", True, _TOX_PREFILTER),
 )
+_CHAIN_FULL: tuple[tuple[str, str, bool, str | None], ...] = tuple(
+    step for entry in _CHAIN_ONCE
+    for step in ([entry] * (2 if entry[2] else 1))
+)
+# public 3-tuple view (pattern, tag, bounded) — the shape the SQL and
+# Python twins consume; prefilters are a scrub_col implementation
+# detail, not part of the semantics.
 SCRUB_CHAIN: tuple[tuple[str, str, bool], ...] = tuple(
-    step for pat, tag, bounded in _CHAIN_ONCE
-    for step in ([(pat, tag, bounded)] * (2 if bounded else 1))
+    (p, t, b) for p, t, b, _ in _CHAIN_FULL
 )
 
 
@@ -89,10 +110,17 @@ def _replacement(tag: str, bounded: bool, style: str) -> str:
 
 
 def scrub_col(col: Column | str) -> Column:
-    """Spark expression applying the scrub chain (JVM regexp_replace)."""
+    """Spark expression applying the scrub chain (JVM regexp_replace).
+    Bounded steps go behind their conservative core prefilter (see
+    _CHAIN_ONCE comment): identical output, and the hot path stays on
+    bare-core scans that scale across executor threads."""
     c = F.col(col) if isinstance(col, str) else col
-    for pat, tag, bounded in SCRUB_CHAIN:
-        c = F.regexp_replace(c, pat, _replacement(tag, bounded, "java"))
+    for pat, tag, bounded, prefilter in _CHAIN_FULL:
+        replaced = F.regexp_replace(c, pat, _replacement(tag, bounded, "java"))
+        if prefilter is not None:
+            c = F.when(c.rlike(prefilter), replaced).otherwise(c)
+        else:
+            c = replaced
     return c
 
 

@@ -178,10 +178,13 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     conditional-sum columns (48 longs of hash-agg state per group,
     48 branches per row), the per-bit popcounts are PACKED 3-per-long
     into 21-bit lanes — 16 packed sums + 1 count = 17 agg columns.
-    Lane overflow is impossible below 2^21 (~2M) tokens per doc (a
-    2M-token transcript is not a clip transcript; upstream length
-    rules cap way below). Decode back to bits is a flat projection
-    (codegen'd, no agg state)."""
+    Lane overflow is impossible below 2^21 (~2M) tokens per doc; at or
+    above that a lane popcount could carry into its neighbor, so the
+    precondition is ENFORCED, not assumed: docs with n_tok >= 2^21 get
+    a NULL fingerprint (downstream banding drops nulls; a corpus
+    where 2M-token docs matter should use the unpacked 48-column
+    variant or chunk the docs). Decode back to bits is a flat
+    projection (codegen'd, no agg state)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -212,6 +215,9 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             )
             term = F.shiftleft(bit, i)
             sim = term if sim is None else sim + term
+    # enforce the lane-capacity precondition: beyond 2^21 tokens the
+    # packed popcounts could have carried — NULL, never a corrupt value
+    sim = F.when(F.col("n_tok") < F.lit(1 << _SH_LANE), sim)
     return agg.select("id", sim.alias("simhash"))
 
 

@@ -7,9 +7,11 @@ Arrow-batched mapInPandas with bounded batch sizes. Codec-free
 formats decode for REAL in pure NumPy (PPM/P6 and uncompressed
 24-bit BMP — the re-expression of the reference's image-folder
 loaders, score_curation/docta/datasets/cifar.py /
-customize_img_folder.py, which also read raw pixel buffers);
-compressed codecs (PNG/JPEG) and video need libraries absent from
-this container and stay explicit stubs (`NotImplementedError` /
+customize_img_folder.py, which also read raw pixel buffers), and PNG
+decodes for real too — its only compression is DEFLATE, which stdlib
+zlib provides (8-bit non-interlaced; gray/RGB/palette/alpha). JPEG
+(DCT+Huffman) and video need codec libraries absent from this
+container and stay explicit stubs (`NotImplementedError` /
 decoded_ok=false) behind the same registry, swappable in production.
 
 Schema convention:
@@ -96,15 +98,116 @@ def decode_bmp(b: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def _png_unfilter(rr: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (0=None 1=Sub 2=Up
+    3=Average 4=Paeth). Row-sequential by spec (each row references
+    the reconstructed row above); Sub rows vectorize as per-residue
+    cumulative sums, Average/Paeth fall back to a per-byte loop on
+    that row only."""
+    h = rr.shape[0]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(rr[y, 0])
+        line = rr[y, 1:]
+        if f == 0:
+            row = line.copy()
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            row = line.copy()
+            for r in range(bpp):
+                row[r::bpp] = (
+                    np.cumsum(row[r::bpp].astype(np.uint64)) & 0xFF
+                ).astype(np.uint8)
+        elif f == 2:  # Up
+            row = line + prev
+        elif f == 3:  # Average
+            row = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(line[x]) + (a + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            row = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                bb = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                row[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = row
+        prev = recon[y]
+    return recon
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> uint8 [h, w, c] (alpha dropped).
+    Pure NumPy + stdlib zlib — PNG's only compression is DEFLATE, so
+    no codec library is needed. Supports color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); 16-bit and
+    Adam7-interlaced files raise (rare in training corpora and
+    honestly refused rather than mis-decoded)."""
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, pal = 8, bytearray(), None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif typ == b"PLTE":
+            pal = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG data")
+    rr = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    recon = _png_unfilter(rr, stride, channels).reshape(h, w, channels)
+    if ctype == 3:
+        if pal is None:
+            raise ValueError("palette PNG missing PLTE")
+        return pal[recon[..., 0]]
+    if ctype == 4:
+        return recon[..., :1]     # drop alpha
+    if ctype == 6:
+        return recon[..., :3]     # drop alpha
+    return recon
+
+
 register_image_decoder("image/x-portable-pixmap", decode_ppm)
 register_image_decoder("image/bmp", decode_bmp)
+register_image_decoder("image/png", decode_png)
 
 # file extension -> mime for rows coming off read_media_folder (which
 # carries a codec column derived from the extension)
 MIME_FROM_EXT: dict[str, str] = {
     "ppm": "image/x-portable-pixmap",
     "bmp": "image/bmp",
-    "png": "image/png",    # no decoder in this container -> decoded_ok=false
+    "png": "image/png",    # real decoder: decode_png (zlib + NumPy)
     "jpg": "image/jpeg",
     "jpeg": "image/jpeg",
 }

@@ -61,7 +61,7 @@ def quantized_plane_matrix(
 ) -> np.ndarray:
     """Integer-valued hyperplanes for ALL tables stacked
     ([n_tables*n_planes, dim]): round(N(0,1)*scale). With embeddings
-    quantized to round(x*scale) int64, every dot product is exact
+    quantized to floor(x*scale + 0.5) int64, every dot product is exact
     integer arithmetic — the same plane literals emitted into SQL give
     bit-identical bucket keys in any engine (the deterministic-oracle
     path for q_ann_lsh / q_lsh_neardup)."""
@@ -87,7 +87,7 @@ def lsh_bucket_keys_udf(
     per row (the round-1 hot spot).
 
     With `quantize_scale` set, `planes` must be integer-valued: each
-    embedding is quantized to round(x*scale) int64 and the dot
+    embedding is quantized to floor(x*scale + 0.5) int64 and the dot
     products are exact integer arithmetic — bit-for-bit reproducible
     in any engine (the deterministic-oracle path; see
     queries_catalog._lsh_keys_sql which emits the same planes as SQL
@@ -111,8 +111,13 @@ def lsh_bucket_keys_udf(
         out[~valid] = None
         if valid.any():
             if quantize_scale:
-                m = np.rint(
+                # floor(x*s + 0.5): one tie rule shared verbatim with the
+                # oracle SQL (FLOOR(x*s + 0.5)) — np.rint is half-to-even
+                # but SQL round() is half-away-from-zero, so an exact .5
+                # product would silently break the cross-engine guarantee
+                m = np.floor(
                     np.array(v[valid].tolist(), dtype=np.float64) * quantize_scale
+                    + 0.5
                 ).astype(np.int64)
             else:
                 m = np.array(v[valid].tolist(), dtype=np.float32)
@@ -290,7 +295,7 @@ def _ivf_assign_udf(centroids: np.ndarray, nprobe: int, quantize_scale: int | No
     null embeddings -> null, dropped by the downstream explode).
 
     With `quantize_scale`, centroids must be integer-valued and each
-    vector is quantized to round(x*scale) int64: assignment argmax is
+    vector is quantized to floor(x*scale + 0.5) int64: assignment argmax is
     exact integer arithmetic (ties to the lower centroid id — the same
     total order `ORDER BY dot DESC, cent ASC` gives in SQL), making
     the assignment bit-identical cross-engine (the oracle twin path;
@@ -312,8 +317,11 @@ def _ivf_assign_udf(centroids: np.ndarray, nprobe: int, quantize_scale: int | No
         out[~valid] = None
         if valid.any():
             if quantize_scale:
-                m = np.rint(
+                # same floor(x*s + 0.5) tie rule as lsh_bucket_keys_udf /
+                # the oracle SQL (see comment there)
+                m = np.floor(
                     np.array(v[valid].tolist(), dtype=np.float64) * quantize_scale
+                    + 0.5
                 ).astype(np.int64)
             else:
                 m = np.array(v[valid].tolist(), dtype=np.float32)
@@ -326,6 +334,24 @@ def _ivf_assign_udf(centroids: np.ndarray, nprobe: int, quantize_scale: int | No
         return pd.Series(out)
 
     return _assign
+
+
+def _train_vectors(
+    candidates: DataFrame, cv: str, train_sample: int, seed: int
+) -> np.ndarray:
+    """Bounded SEEDED-uniform training sample for the coarse quantizer.
+    `limit()` alone would take whichever partitions answer first, so on
+    a sorted or skewed table the k-means centroids would train on a
+    biased slice and recall would quietly degrade; `sample(fraction,
+    seed)` draws from every partition (same bounded-collect pattern as
+    plans.curation.collect_pool)."""
+    pool = candidates.select(cv)
+    n = pool.count()
+    if n > train_sample:
+        pool = pool.sample(
+            fraction=min(1.0, 1.15 * train_sample / n), seed=seed
+        ).limit(train_sample)
+    return np.array(pool.toPandas()[cv].tolist(), dtype=np.float32)
 
 
 def ivf_topk(
@@ -370,8 +396,7 @@ def ivf_topk(
     arithmetic and `rerank="hof"` uses the SQL-reproducible cosine —
     the deterministic-oracle twin (queries_catalog.q_ivf_topk)."""
     if centroids is None:
-        samp = candidates.select(cv).limit(train_sample).toPandas()[cv]
-        sample = np.array(samp.tolist(), dtype=np.float32)
+        sample = _train_vectors(candidates, cv, train_sample, seed)
         cents = _kmeans_centroids(sample, n_centroids, seed)
     else:
         cents = centroids
@@ -381,10 +406,17 @@ def ivf_topk(
         F.col(cid), F.explode(c_assign(F.col(cv))).alias("cent")
     )
     if max_bucket is not None:
-        csz = F.count("*").over(Window.partitionBy("cent"))
-        c_keys = c_keys.withColumn("_bsz", csz).filter(
-            F.col("_bsz") <= max_bucket
-        ).drop("_bsz")
+        # truncate an oversized cell to a deterministic max_bucket-member
+        # prefix instead of dropping it: candidates live in exactly ONE
+        # cell here (unlike the multi-table LSH paths), so a dropped cell
+        # would make every member permanently unreachable from all
+        # queries. Truncation bounds per-query work; members beyond the
+        # cap still lose recall (disclosed — a persistently hot cell
+        # means the quantizer wants more centroids).
+        rk = F.row_number().over(Window.partitionBy("cent").orderBy(cid))
+        c_keys = c_keys.withColumn("_rk", rk).filter(
+            F.col("_rk") <= max_bucket
+        ).drop("_rk")
     q_keys = queries.select(
         F.col(qid), F.explode(q_assign(F.col(qv))).alias("cent")
     )

@@ -116,18 +116,32 @@ def curation_pipeline(
     """
     cfg = cfg or PipelineConfig()
 
+    _RULE_COLS = (
+        "clip_id", "transcript", "transcript_scrubbed", "lang",
+        "lang_margin", "ppl", "n_chars", "reason", "keep_rules",
+    )
+
     def _rules_stage(c: DataFrame) -> DataFrame:
         if audio is not None:
-            aud = audio
-        else:
-            # JVM-only metadata sanity: bytes never reach Python here
-            from ..operators.audio import audio_sanity_fast
+            # caller supplied a separate (e.g. full-decode) sanity table:
+            # keyed join, bytes never in the shuffle
+            return rule_decisions(transcript_features(c, cfg), audio, cfg).select(
+                *_RULE_COLS
+            )
+        # Default: JVM-only metadata sanity computed IN PLACE on the same
+        # frame (audio_sanity_exprs — the streaming twin's shape). The
+        # former audio_sanity_fast(c) ⋈ features(c) form scanned clips
+        # twice and shuffled the transcript payload through the join;
+        # in-place exprs make rules ONE scan → project → (pandas UDFs)
+        # with no exchange at all — the shape that scales to 100 TB.
+        from ..operators.audio import audio_sanity_exprs
 
-            aud = audio_sanity_fast(c, cfg.quality.dur_tolerance)
-        return rule_decisions(transcript_features(c, cfg), aud, cfg).select(
-            "clip_id", "transcript", "transcript_scrubbed", "lang",
-            "lang_margin", "ppl", "n_chars", "reason", "keep_rules",
+        aud = audio_sanity_exprs(cfg.quality.dur_tolerance)
+        enriched = c.withColumn("pcm_ok", aud["pcm_ok"]).withColumn(
+            "dur_ok", aud["dur_ok"]
         )
+        feats = transcript_features(enriched, cfg, keep_cols=("pcm_ok", "dur_ok"))
+        return rule_decisions(feats, audio=None, cfg=cfg).select(*_RULE_COLS)
 
     if checkpoint_root:
         from ..sources.lineage import run_stage

@@ -387,7 +387,7 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # LSH contract-query config: integer planes + embedding quantization
-# round(x*1000) make every bucket key EXACT integer arithmetic in both
+# floor(x*1000 + 0.5) make every bucket key EXACT integer arithmetic in both
 # engines, so the full LSH pipeline gets a rows+schema+hash oracle
 # (previously rows-only "seeded plane matrix not SQL-expressible" —
 # the planes are now emitted into the SQL as literals).
@@ -962,7 +962,8 @@ ORACLE_SQL: dict[str, str] = {
           FROM events
         ) GROUP BY score ORDER BY score
     """,
-    "flagship": None,  # model UDFs (langid/ppl) — rows-only check
+    "flagship": None,  # filled lazily by oracle_sql() — deterministic
+    # kernel scores emitted as a literal VALUES table (_flagship_oracle_sql)
     "q_ann_lsh": None,  # seeded plane matrix — rows-only + pytest recall
 }
 
@@ -1071,7 +1072,7 @@ def _simhash_neardup_oracle_sql(max_dist: int = 3, bits: int = 48) -> str:
 
 def _lsh_keys_sql(vec_expr: str) -> list[str]:
     """Per-table bucket-key SQL expressions over `vec_expr` (a DOUBLE[]
-    column already quantized to round(x*scale)). The SAME integer
+    column already quantized to floor(x*scale + 0.5)). The SAME integer
     planes the Spark UDF uses, emitted as literals: every dot product
     is exact integer arithmetic in double, so keys match bit-for-bit."""
     planes = _lsh_contract_planes()
@@ -1105,7 +1106,7 @@ def _ann_lsh_oracle_sql() -> str:
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                  list_transform(CAST(embedding AS DOUBLE[]),
-                                x -> round(x * {_LSH_SCALE})) AS q
+                                x -> floor(x * {_LSH_SCALE} + 0.5)) AS q
           FROM embeddings
         ),
         qs AS (SELECT * FROM e WHERE vec_id < 5),
@@ -1144,7 +1145,7 @@ def _lsh_neardup_oracle_sql(threshold: float = 0.30) -> str:
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                  list_transform(CAST(embedding AS DOUBLE[]),
-                                x -> round(x * {_LSH_SCALE})) AS q
+                                x -> floor(x * {_LSH_SCALE} + 0.5)) AS q
           FROM embeddings
         ),
         k AS ({kq}),
@@ -1185,7 +1186,7 @@ def _ivf_oracle_sql() -> str:
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                  list_transform(CAST(embedding AS DOUBLE[]),
-                                x -> round(x * {_LSH_SCALE})) AS q
+                                x -> floor(x * {_LSH_SCALE} + 0.5)) AS q
           FROM embeddings
         ),
         qs AS (SELECT * FROM e WHERE vec_id < 5),
@@ -1447,5 +1448,65 @@ ORACLE_SQL["q_audio_sanity"] = """
 """
 
 
+def _flagship_oracle_sql(sf_dir: str | None = None) -> str:
+    """Exact DuckDB oracle for the flagship keep/drop plan.
+
+    The langid/ppl stages are deterministic NumPy kernels
+    (functions/textkernels.py) — their scores for the oracle-gate
+    documents are evaluated DRIVER-SIDE here and emitted as a literal
+    VALUES table (the same determinism trick as the quantized LSH
+    planes / IVF centroids), so the full plan — quality features,
+    scrub, keep logic, and the worker-side UDF outputs themselves —
+    becomes rows+schema+hash checkable instead of rows-only. A
+    worker/driver divergence (e.g. salted-hash seeds) would surface
+    as a hash mismatch. Pinned to the driver's oracle gate SF
+    (sf0.01; override with DS2_ORACLE_SF_DIR)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .functions import textkernels as tk
+
+    sf_dir = sf_dir or os.environ.get("DS2_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = [t or "" for t in tbl.column("text").to_pylist()]
+    idx, margin, _top = tk.langid_scores(texts)
+    ppl = tk.perplexities(texts)
+    _, langs = tk.langid_model()
+    rows = ",\n          ".join(
+        f"({int(i)}, '{langs[idx[j]]}', {float(margin[j])!r}, {float(ppl[j])!r})"
+        for j, i in enumerate(ids)
+    )
+    return rf"""
+        WITH m(doc_id, lang_pred, margin_raw, ppl_raw) AS (VALUES
+          {rows}
+        ),
+        t AS (
+          SELECT doc_id, text, trim(coalesce(text, '')) AS tr
+          FROM documents
+        )
+        SELECT t.doc_id,
+               length(tr) AS n_chars,
+               CASE WHEN length(tr)=0 THEN 0
+                    ELSE len(regexp_split_to_array(tr, '\s+')) END AS n_tokens,
+               m.lang_pred,
+               round(CAST(m.margin_raw AS DOUBLE), 4) AS lang_margin,
+               round(CAST(m.ppl_raw AS DOUBLE), 4) AS ppl,
+               {scrub_sql('t.text')} AS transcript_scrubbed,
+               (length(tr) >= 2
+                AND CAST(m.margin_raw AS DOUBLE) >= 0.2
+                AND CAST(m.ppl_raw AS DOUBLE) <= 40.0) AS keep
+        FROM t JOIN m USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    if ORACLE_SQL.get("flagship") is None:
+        try:
+            ORACLE_SQL["flagship"] = _flagship_oracle_sql()
+        except OSError:
+            # oracle-gate testdata absent (e.g. packaged run on a
+            # cluster) — flagship falls back to the rows-only check
+            pass
     return {k: v for k, v in ORACLE_SQL.items() if v is not None}

@@ -54,6 +54,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DS2_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # columnar batches default to 4096 rows; with ~12KB audio
+        # payloads that is ~48MB of on-heap ColumnVector churn PER TASK
+        # and the 6GB bytes scan stops scaling with cores (measured:
+        # flat 2->8). 1024-row batches restore scan scaling without
+        # hurting narrow TPC-H-style scans (NOTES.md #28).
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

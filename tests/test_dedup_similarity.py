@@ -199,6 +199,59 @@ def test_ivf_topk_recall_and_exhaustive_probe_exactness(spark):
     assert fu == ex  # exhaustive probing == brute force
 
 
+def test_ivf_train_sample_unbiased_on_sorted_input(spark):
+    """The k-means training sample must be a seeded uniform draw, not
+    limit(): on an id-sorted table whose first partitions hold only
+    cluster A, limit(train_sample) would train the coarse quantizer on
+    A alone. Assert the sample spans both clusters of a label-sorted
+    candidate table even when train_sample < |cluster A|."""
+    from ds2_spark.operators.similarity import _train_vectors
+
+    rng = np.random.default_rng(23)
+    dim = 8
+    a = rng.normal(0, 0.05, size=(300, dim)) + np.r_[[5.0], np.zeros(dim - 1)]
+    b = rng.normal(0, 0.05, size=(300, dim)) - np.r_[[5.0], np.zeros(dim - 1)]
+    allv = np.concatenate([a, b]).astype(np.float32)  # sorted: A then B
+    # many small partitions in id order => limit() sees only cluster A
+    emb = spark.createDataFrame(
+        [(int(i), allv[i].tolist()) for i in range(len(allv))],
+        ["neighbor_id", "cv"],
+    ).repartitionByRange(12, "neighbor_id")
+    sample = _train_vectors(emb, "cv", train_sample=200, seed=7)
+    assert len(sample) <= 200
+    n_a = int((sample[:, 0] > 0).sum())
+    n_b = int((sample[:, 0] < 0).sum())
+    # uniform draw => both clusters represented in rough proportion
+    assert n_a >= 50 and n_b >= 50, (n_a, n_b)
+
+
+def test_simhash_null_on_lane_overflow(spark, monkeypatch):
+    """The packed-lane precondition is enforced, not assumed: a doc at
+    or beyond 2^lane tokens gets a NULL fingerprint rather than a
+    silently carried-into-the-neighbor-lane value. Narrow the lane to
+    make the cliff unit-testable; below the cliff the packed decode is
+    identical to the production-width one."""
+    from ds2_spark.operators import dedup
+
+    small = "alpha beta gamma delta eps"            # 5 tokens
+    big = " ".join(f"t{i}" for i in range(20))      # 20 tokens
+    docs = spark.createDataFrame(
+        [(1, small), (2, big)], ["doc_id", "text"]
+    )
+    baseline = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash64(docs, "doc_id", "text").collect()
+    }
+    assert baseline[1] is not None and baseline[2] is not None
+    monkeypatch.setattr(dedup, "_SH_LANE", 4)       # capacity: 2^4 tokens
+    narrow = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash64(docs, "doc_id", "text").collect()
+    }
+    assert narrow[1] == baseline[1]   # below capacity: identical decode
+    assert narrow[2] is None          # at/over capacity: enforced NULL
+
+
 def test_cosine_neardup_symmetric_threshold(spark):
     v = [1.0, 0.0, 0.0]
     rows = [(0, v), (1, [0.999, 0.01, 0.0]), (2, [0.0, 1.0, 0.0])]

@@ -70,6 +70,7 @@ def submit(cpus: int, script: str, script_args: list[str], timeout: int = 2400) 
         "--conf", f"spark.sql.shuffle.partitions={max(cpus, 8)}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.parquet.columnarReaderBatchSize=1024",
         "--py-files", os.path.join(ROOT, "dist", "ds2_spark.zip"),
         os.path.join(ROOT, script),
     ] + script_args

@@ -68,7 +68,7 @@ def main() -> int:
     from ds2_spark.operators.votes import aggregate_votes, curate_scores, vote_epochs
     from ds2_spark.plans.curation import calibrate_rater, collect_pool, embed_candidates
     from ds2_spark.plans.pipeline import rule_decisions, transcript_features
-    from ds2_spark.operators.audio import audio_sanity_fast
+    from ds2_spark.operators.audio import audio_sanity_exprs
 
     cfg = PipelineConfig(
         hoc=HocConfig(rounds=args.hoc_rounds, sample_size=args.sample_size,
@@ -94,8 +94,14 @@ def main() -> int:
 
         # ---- rules (data-parallel) ----
         def _rules():
-            aud = audio_sanity_fast(clips, cfg.quality.dur_tolerance)
-            r = rule_decisions(transcript_features(clips, cfg), aud, cfg).select(
+            # in-place sanity exprs (same frame, no self-join) — the
+            # production shape in plans/curation._rules_stage
+            aud = audio_sanity_exprs(cfg.quality.dur_tolerance)
+            enriched = clips.withColumn("pcm_ok", aud["pcm_ok"]).withColumn(
+                "dur_ok", aud["dur_ok"]
+            )
+            feats = transcript_features(enriched, cfg, keep_cols=("pcm_ok", "dur_ok"))
+            r = rule_decisions(feats, audio=None, cfg=cfg).select(
                 "clip_id", "transcript", "reason", "keep_rules",
                 "transcript_scrubbed",
             )
