@@ -113,10 +113,16 @@ def scrub_col(col: Column | str) -> Column:
     """Spark expression applying the scrub chain (JVM regexp_replace).
     Bounded steps go behind their conservative core prefilter (see
     _CHAIN_ONCE comment): identical output, and the hot path stays on
-    bare-core scans that scale across executor threads."""
+    bare-core scans that scale across executor threads. Both fixed-
+    point passes of a bounded pattern live inside ONE when() branch —
+    a conditional per pass would re-embed the whole prior chain in
+    each arm and grow the Catalyst expression tree exponentially."""
     c = F.col(col) if isinstance(col, str) else col
-    for pat, tag, bounded, prefilter in _CHAIN_FULL:
-        replaced = F.regexp_replace(c, pat, _replacement(tag, bounded, "java"))
+    for pat, tag, bounded, prefilter in _CHAIN_ONCE:
+        rep = _replacement(tag, bounded, "java")
+        replaced = F.regexp_replace(c, pat, rep)
+        if bounded:
+            replaced = F.regexp_replace(replaced, pat, rep)  # fixed point
         if prefilter is not None:
             c = F.when(c.rlike(prefilter), replaced).otherwise(c)
         else:
