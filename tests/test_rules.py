@@ -30,3 +30,44 @@ def test_rules_catch_planted_defects(spark, clips_df, fixture_paths):
     for cid, t in truth.iterrows():
         if t.is_gibberish:
             assert got[cid] in ("langid_fail", "ppl_outlier", "bad_codec", "dur_mismatch")
+
+
+def test_inplace_rules_plan_single_scan_no_exchange(spark, clips_df):
+    """The production rules shape (plans/curation._rules_stage default:
+    sanity exprs in place) must compile to ONE scan of clips and ZERO
+    exchanges — the former features ⋈ sanity self-join shuffled the
+    transcript payload and was the top scale regression found in the
+    round-4 stage decomposition (NOTES.md #28)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ds2_spark.config import PipelineConfig
+    from ds2_spark.operators.audio import audio_sanity_exprs
+
+    cfg = PipelineConfig()
+    aud = audio_sanity_exprs(cfg.quality.dur_tolerance)
+    enriched = clips_df.withColumn("pcm_ok", aud["pcm_ok"]).withColumn(
+        "dur_ok", aud["dur_ok"]
+    )
+    feats = transcript_features(enriched, cfg, keep_cols=("pcm_ok", "dur_ok"))
+    plan_df = rule_decisions(feats, audio=None, cfg=cfg)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    # a scan appears once in the tree ("+- Scan parquet  (n)") and once
+    # in the node details ("(n) Scan parquet") — count tree entries
+    assert plan.count("Scan parquet  (") == 1, plan
+    assert "Exchange" not in plan, plan
+
+    # and it must produce the same reasons as the join form
+    from ds2_spark.operators.audio import audio_sanity_fast
+
+    join_form = rule_decisions(
+        transcript_features(clips_df, cfg),
+        audio_sanity_fast(clips_df, cfg.quality.dur_tolerance),
+        cfg,
+    )
+    a = {r["clip_id"]: r["reason"] for r in plan_df.select("clip_id", "reason").collect()}
+    b = {r["clip_id"]: r["reason"] for r in join_form.select("clip_id", "reason").collect()}
+    assert a == b
