@@ -10,9 +10,12 @@ loaders, score_curation/docta/datasets/cifar.py /
 customize_img_folder.py, which also read raw pixel buffers), and PNG
 decodes for real too — its only compression is DEFLATE, which stdlib
 zlib provides (8-bit non-interlaced; gray/RGB/palette/alpha). JPEG
-(DCT+Huffman) and video need codec libraries absent from this
-container and stay explicit stubs (`NotImplementedError` /
-decoded_ok=false) behind the same registry, swappable in production.
+decodes for real via the pure-NumPy baseline codec in
+operators/jpeg.py, and video decodes for real for MJPEG-in-AVI
+(RIFF container walk + per-frame JPEG — no inter-frame codec
+needed). Inter-frame codecs (H.264 etc.) need libraries absent from
+this container and raise ValueError (decoded_ok=false) behind the
+same registry, swappable in production.
 
 Schema convention:
   media(media_id string, bytes binary, mime string,
@@ -202,6 +205,13 @@ register_image_decoder("image/x-portable-pixmap", decode_ppm)
 register_image_decoder("image/bmp", decode_bmp)
 register_image_decoder("image/png", decode_png)
 
+# baseline JPEG: real pure-NumPy decoder (operators/jpeg.py). The
+# entropy decode is bit-serial correctness-grade Python; production
+# swaps in a native codec via register_image_decoder — same plumbing.
+from .jpeg import decode_jpeg  # noqa: E402
+
+register_image_decoder("image/jpeg", decode_jpeg)
+
 # file extension -> mime for rows coming off read_media_folder (which
 # carries a codec column derived from the extension)
 MIME_FROM_EXT: dict[str, str] = {
@@ -275,8 +285,44 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
-def decode_video_frame(_b: bytes, _idx: int) -> np.ndarray:
-    """Explicit stub: no video codec in this container."""
-    raise NotImplementedError(
-        "video decode requires ffmpeg/pyav; register a real decoder in production"
-    )
+def parse_avi_mjpeg(b: bytes) -> list[bytes]:
+    """RIFF-AVI container walk -> per-frame JPEG payloads, in stream
+    order. Pure bytes (the same codec-free container logic as
+    audio.parse_wav_header): frames are the '##dc'/'##db' chunks
+    inside the 'movi' LIST; for MJPEG each chunk body is a complete
+    baseline JPEG. Raises ValueError if not a RIFF-AVI."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF-AVI container")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            stop = min(body + size, end)
+            if cid in (b"LIST", b"RIFF"):
+                walk(body + 4, stop)  # skip the 4-byte list type
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(b[body:stop])
+            pos = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(b))
+    return frames
+
+
+def decode_video_frame(b: bytes, idx: int) -> np.ndarray:
+    """Decode frame `idx` of an MJPEG-in-AVI payload -> uint8 pixel
+    array (via operators/jpeg.py). Other containers/codecs raise
+    ValueError — swap in an ffmpeg-backed decoder in production via
+    the same call site."""
+    frames = parse_avi_mjpeg(b)
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    if not 0 <= idx < len(frames):
+        raise ValueError(f"frame {idx} out of range (n={len(frames)})")
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(frames[idx])
+
+

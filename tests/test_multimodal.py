@@ -205,6 +205,10 @@ def test_frame_sample_fanout(spark, media):
     assert sorted(per["bad"]) == [0, 3]
 
 
-def test_video_decode_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
+def test_video_decode_refuses_non_avi():
+    """Non-MJPEG-AVI payloads are refused with ValueError (the
+    registry-level decoded_ok=false path), never mis-decoded."""
+    with pytest.raises(ValueError):
         decode_video_frame(b"x", 0)
+    with pytest.raises(ValueError):
+        decode_video_frame(b"RIFF\x00\x00\x00\x00WAVE", 0)
