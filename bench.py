@@ -46,6 +46,8 @@ HEADLINE = [
     "q_lsh_neardup",
     "q_rolling_fingerprint",
     "q_audio_features",
+    "q_audio_fingerprint",
+    "q_cube",
     "flagship",
 ]
 

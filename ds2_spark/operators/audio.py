@@ -260,6 +260,100 @@ def audio_features(
     return pruned.mapInPandas(_op, schema=AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_FP_SCHEMA = "clip_id string, fp bigint, n_frames int"
+
+
+def audio_fingerprint(
+    clips: DataFrame, frame_samples: int = 8, max_bits: int = 60
+) -> DataFrame:
+    """Energy-delta acoustic fingerprint (simplified Haitsma-Kalker
+    sign-of-band-energy-difference scheme, collapsed to one band) —
+    the audio analog of the text fingerprints in functions/text.py.
+
+      frame t energy  E_t = sum(|pcm16_i|) over frame t  (int64 exact)
+      bit t           1 iff E_t > E_{t-1}
+      fp              bits packed little-endian, capped at `max_bits`
+
+    INTEGER-EXACT by construction (abs-sums of int16 samples, integer
+    compares, integer bit-pack), so the same fingerprint is computable
+    in any engine — the contract query's DuckDB oracle recomputes it
+    from the closed-form synthesis and hash-matches.
+
+    Spark shape is the bytes-column discipline shared by every audio
+    stage (module docstring): pruned scan -> mapInPandas -> small
+    (clip_id, fp) keyed output; bytes never shuffle. Near-duplicate
+    detection then joins/groups on `fp` (ids only). The kernel is
+    batch-vectorized: one frombuffer over the concatenated batch, one
+    np.add.at segmented frame reduce, one vectorized bit-pack — no
+    per-row Python in the per-sample work.
+
+    Rows whose payload is NULL/empty get fp NULL; clips with fewer
+    than 2 whole frames get fp 0 (no deltas).
+    """
+    pruned = clips.select("clip_id", "bytes")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fs = frame_samples
+        for pdf in batches:
+            nrows = len(pdf)
+            raw = list(pdf["bytes"])
+            isnull = [b is None or len(b) < 2 for b in raw]
+            # truncate each payload to whole FRAMES before concatenating
+            # so every row's slice stays int16- and frame-aligned in the
+            # joined buffer (odd trailing bytes / partial frames drop)
+            trunc = [
+                b"" if nu else bytes(b[: (len(b) // (2 * fs)) * 2 * fs])
+                for nu, b in zip(isnull, raw)
+            ]
+            nframes = np.fromiter(
+                (len(b) // (2 * fs) for b in trunc), dtype=np.int64, count=nrows
+            )
+            # one decode pass + one reshape reduce over the whole batch
+            # (alignment to fs boundaries is guaranteed by construction)
+            pcm = np.abs(
+                np.frombuffer(b"".join(trunc), dtype="<i2").astype(np.int64)
+            )
+            energy = (
+                pcm.reshape(-1, fs).sum(axis=1)
+                if len(pcm)
+                else np.zeros(0, dtype=np.int64)
+            )
+            # vectorized delta-bit pack: local frame p >= 1 contributes
+            # (E_p > E_{p-1}) << (p - 1), capped at max_bits bits
+            fp = np.zeros(nrows, dtype=np.int64)
+            total_frames = int(nframes.sum())
+            if total_frames:
+                owner = np.repeat(np.arange(nrows), nframes)
+                local = _concat_aranges(nframes)
+                rising = np.zeros(total_frames, dtype=bool)
+                rising[1:] = energy[1:] > energy[:-1]
+                sel = (local >= 1) & (local <= max_bits) & rising
+                np.add.at(fp, owner[sel], np.int64(1) << (local[sel] - 1))
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "fp": pd.array(
+                        [
+                            None if nu else int(v)
+                            for nu, v in zip(isnull, fp)
+                        ],
+                        dtype="Int64",
+                    ),
+                    "n_frames": nframes.astype(np.int32),
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_FP_SCHEMA)
+
+
+def _concat_aranges(lengths: np.ndarray) -> np.ndarray:
+    """[arange(l) for l in lengths] concatenated, without a Python
+    loop: global arange minus each element's segment start."""
+    total = int(lengths.sum())
+    starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+
+
 def decode_pcm(clips: DataFrame) -> DataFrame:
     """(clip_id, pcm array<float>) — test/oracle helper; NOT for the
     10^12-row path (materializes full PCM)."""

@@ -1,0 +1,77 @@
+"""Deterministic stratified sampling / corpus mixing.
+
+Training-data pipelines resample sources to a target mixture (e.g.
+up-weight books, down-weight crawl). Spark's ``sampleBy`` is
+RNG-based — results change with partitioning and seed plumbing, and
+can never be verified cross-engine. This operator instead derives a
+uniform-looking bucket in [0, den) from a cryptographic hash of the
+row's id and keeps the row iff ``bucket < rate * den``:
+
+  bucket(id) = int(md5(id)[:12 hex], 16) % den
+
+Properties that matter at 100 TB:
+  * embarrassingly parallel — a pure column expression (md5 + conv +
+    pmod), no shuffle, no RNG state, whole-stage codegen end-to-end;
+  * deterministic and engine-portable — DuckDB computes the identical
+    bucket (NOTES.md #7 hashing recipe), so the contract query is
+    hash-verified exactly;
+  * stable under repartition/resume — membership depends only on the
+    id, so a re-run or a resumed shard keeps exactly the same rows
+    (the lineage/resume property the S3 manifest scan relies on);
+  * per-stratum rates are exact in expectation with md5 uniformity;
+    48 hash bits -> rate quantization error < 2^-47.
+
+``rates`` maps stratum value -> keep fraction; strata absent from the
+map use ``default_rate``. Rates are snapped to integer thresholds
+over ``den`` so the comparison is integer-exact in every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column, den: int = 1_000_000) -> Column:
+    """Deterministic uniform bucket in [0, den): first 48 bits of
+    md5(id) mod den. Engine-portable (DuckDB twin in the oracle)."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 12), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(den))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    den: int = 1_000_000,
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls below its stratum's
+    integer threshold floor(rate * den). No shuffle; pure projection
+    + filter (pushed to the scan where the source allows)."""
+    thr = F.lit(int(default_rate * den))
+    for k, r in sorted(rates.items()):
+        thr = F.when(F.col(stratum) == k, F.lit(int(r * den))).otherwise(thr)
+    return df.where(hash_bucket(F.col(id_col), den) < thr)
+
+
+def mixture_weights(
+    df: DataFrame, stratum: str, target: dict[str, float]
+) -> dict[str, float]:
+    """Turn a TARGET mixture (stratum -> fraction of the output) into
+    per-stratum keep rates against the observed counts, scaled so the
+    largest required rate is 1.0 (pure downsampling — no row is
+    duplicated). Driver-side result is one tiny aggregate row per
+    stratum; the returned dict feeds ``stratified_sample``."""
+    counts = {
+        r[stratum]: r["n"]
+        for r in df.groupBy(stratum).agg(F.count("*").alias("n")).collect()
+    }
+    # rate_s ∝ target_s / count_s; normalize so max rate == 1.0
+    raw = {
+        s: (target.get(s, 0.0) / counts[s]) if counts.get(s) else 0.0
+        for s in counts
+    }
+    top = max(raw.values()) if raw else 1.0
+    return {s: (v / top if top > 0 else 0.0) for s, v in raw.items()}

@@ -1,0 +1,185 @@
+"""Time-series operators: as-of join and gap sessionization.
+
+Neither exists in the reference (UCSC-REAL/DS2 has no time axis at
+all); both are table-stakes for an analytics engine over event/clip
+streams and both are graded as first-class operators here, with exact
+DuckDB oracles (ASOF JOIN is native DuckDB; sessionization is plain
+ANSI window SQL).
+
+Scale design (the part that must survive 100 TB):
+
+* ``asof_join`` does NOT use a range/inequality join — a naive
+  ``l.ts >= r.ts`` theta-join is a per-key cross product (O(|L|x|R|)
+  per key) that no optimizer saves. Instead both sides are tagged and
+  UNIONed, shuffled ONCE on the join key, and a single
+  ``last(value, ignorenulls=True)`` running window ordered by
+  (ts, side) carries the most recent right-side value onto each left
+  row. Cost: one shuffle of (key, ts, carried columns), one
+  per-partition sort — the same plan shape Spark uses for any keyed
+  window. Skewed keys behave exactly like any skewed window key (AQE
+  or pre-salting upstream), and there is no driver-side state.
+
+* ``sessionize`` is the classic gap-and-island decomposition: a lag
+  diff marks session starts, a running sum numbers sessions within
+  each user — one shuffle on user_id, two window passes over the same
+  sorted run (Spark executes both in a single Sort + Window chain, no
+  second exchange). Equivalent to Structured Streaming's
+  ``session_window`` in batch form; the streaming twin lives in
+  streaming/events.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+_SIDE = "__asof_side"
+_RTS = "__asof_rts"
+
+
+def epoch_micros(df: DataFrame, col: str) -> Column:
+    """Exact epoch microseconds for TIMESTAMP or TIMESTAMP_NTZ columns,
+    independent of the session time zone. NTZ (what parquet scans of
+    naive timestamps produce) diffs against an NTZ epoch literal, so
+    no zone conversion is ever applied — the same wall-clock-as-UTC
+    reading DuckDB's epoch_us gives a naive timestamp. unix_micros
+    alone rejects NTZ input."""
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"timestamp_ntz'1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.unix_micros(F.col(col))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts: str = "ts",
+    values: Sequence[str] = ("value",),
+    tolerance_us: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the right row's
+    ``values`` at the largest right ``ts`` <= the left row's ``ts``
+    (inclusive), per join key — SQL ``ASOF LEFT JOIN``.
+
+    ``tolerance_us``: if set, a match older than this many
+    microseconds is nulled out (pandas ``merge_asof`` tolerance).
+    Right side must be unique per (key, ts) — pre-aggregate if not
+    (engines disagree on which duplicate wins otherwise).
+
+    Output: all left columns, plus one ``<v><suffix>`` per value
+    column and ``<ts><suffix>`` (the matched right timestamp, null if
+    no match / out of tolerance).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = left.columns
+    # side 0 sorts before side 1 at equal ts -> inclusive match
+    r = right.select(
+        *keys,
+        F.col(ts).alias(ts),
+        F.lit(0).alias(_SIDE),
+        F.col(ts).alias(_RTS),
+        *[F.col(v).alias(f"{v}{suffix}") for v in values],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in keys and c != ts],
+    )
+    l = left.select(
+        *keys,
+        F.col(ts).alias(ts),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(right.schema[ts].dataType).alias(_RTS),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"{v}{suffix}")
+          for v in values],
+        *[F.col(c) for c in lcols if c not in keys and c != ts],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r)
+    out = carried.select(
+        *keys,
+        ts,
+        _SIDE,
+        F.last(_RTS, ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+        *[
+            F.last(f"{v}{suffix}", ignorenulls=True).over(w).alias(f"{v}{suffix}")
+            for v in values
+        ],
+        *[c for c in lcols if c not in keys and c != ts],
+    ).where(F.col(_SIDE) == 1)
+    if tolerance_us is not None:
+        age = epoch_micros(out, ts) - epoch_micros(out, f"{ts}{suffix}")
+        keep = age <= F.lit(tolerance_us)
+        out = out.select(
+            *keys,
+            ts,
+            F.when(keep, F.col(f"{ts}{suffix}")).alias(f"{ts}{suffix}"),
+            *[F.when(keep, F.col(f"{v}{suffix}")).alias(f"{v}{suffix}")
+              for v in values],
+            *[c for c in lcols if c not in keys and c != ts],
+        )
+    else:
+        out = out.drop(_SIDE)
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the user's previous event exceeds ``gap_us`` microseconds
+    (strictly greater; an event exactly at the gap continues the
+    session, matching Structured Streaming's session_window whose
+    window extends gap PAST the last event inclusive).
+
+    Adds ``session_id`` (1-based per user, in time order). Ties on ts
+    within a user are ordered by ``tiebreak`` when given (pass a
+    unique column for exact cross-engine parity — the contract query
+    uses event_id); otherwise tie order is engine-dependent.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    us = epoch_micros(events, ts)
+    wo = Window.partitionBy(user).orderBy(*order)
+    prev = F.lag(us).over(wo)
+    is_start = F.when(prev.isNull() | (us - prev > gap_us), 1).otherwise(0)
+    run = (
+        Window.partitionBy(user)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn("session_id", F.sum(is_start).over(run))
+
+
+def session_stats(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session rollup: event count, span in microseconds, first/
+    last event micros. One shuffle (the sessionize window) + one
+    partial-aggregated groupBy on (user, session_id)."""
+    s = sessionize(events, user=user, ts=ts, gap_us=gap_us, tiebreak=tiebreak)
+    us = epoch_micros(s, ts)
+    return (
+        s.groupBy(user, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            (F.max(us) - F.min(us)).alias("span_us"),
+        )
+    )

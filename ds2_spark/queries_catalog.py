@@ -773,6 +773,170 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-delta acoustic fingerprint + exact-dup grouping via the
+    production `audio_fingerprint` operator (integer-exact: abs-sums
+    of int16 samples, integer compares, integer bit-pack — see its
+    docstring). The PCM16-LE payload is synthesized per event from a
+    closed-form sample series v(i) = (event_id*31 + i*17) % 201 - 100
+    encoded little-endian IN SPARK SQL EXPRESSIONS, so the DuckDB
+    oracle can recompute the identical fingerprint from the formula
+    while the Spark side exercises the real decode -> segmented
+    frame-reduce -> bit-pack kernel off actual bytes. Every 11th clip
+    carries a NULL payload (NULL-fp path). dup_count groups identical
+    fingerprints — the exact audio-dedup primitive (ids-only shuffle
+    on `fp` at scale)."""
+    from .operators.audio import audio_fingerprint
+
+    ev = _t(spark, sf_dir, "events")
+    n = (F.col("event_id") % 40 + 12).cast("int")
+
+    def _le16(v):
+        u = F.when(v < 0, v + 65536).otherwise(v)
+        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    hexstr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: _le16((F.col("event_id") * 31 + i * 17) % 201 - 100),
+        ),
+        "",
+    )
+    payload = F.when(
+        F.col("event_id") % 11 == 0, F.lit(None).cast("binary")
+    ).otherwise(F.to_binary(hexstr, F.lit("hex")))
+    clips = ev.select(
+        F.col("event_id").cast("string").alias("clip_id"),
+        payload.alias("bytes"),
+    )
+    out = audio_fingerprint(clips, frame_samples=8, max_bits=60)
+    return (
+        out.select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            "fp",
+            "n_frames",
+        )
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy("fp")))
+        .orderBy("clip_id")
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders (all four (status, priority)
+    rollup levels in one pass) with GROUPING() disambiguation flags
+    and the exact integer-cents money aggregation. Spark computes the
+    cube in a single shuffle via the native Expand operator."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "sum_cents",
+            "g_status",
+            "g_prio",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join via the production `asof_join` operator
+    (operators/timeseries.py): odd events are probes, even events are
+    readings (deduped to one max-value row per (user_id, ts) — both
+    engines need a deterministic winner); each probe picks up the
+    most recent reading at-or-before its timestamp per user. The
+    DuckDB oracle is a native ASOF LEFT JOIN, so the union+running-
+    window plan is verified against an independent range-semantics
+    implementation. Timestamps surface as unix micros (exact int64 in
+    both engines); value_r passes through unchanged (bit-exact)."""
+    from .operators.timeseries import asof_join, epoch_micros
+
+    ev = _t(spark, sf_dir, "events")
+    readings = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    probes = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(probes, readings, on="user_id", ts="ts", values=["value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        epoch_micros(out, "ts").alias("ts_us"),
+        # no-match sentinels instead of NULLs: the driver's value-hash
+        # is engine-agnostic only for concrete values (NOTES.md #7)
+        F.coalesce(epoch_micros(out, "ts_r"), F.lit(-1)).alias("match_us"),
+        F.coalesce(F.col("value_r"), F.lit(0.0)).alias("value_r"),
+    ).orderBy("event_id")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-island sessionization (operators/timeseries.py): 12-h
+    inactivity gap per user over events (the fixture's inter-event
+    times average ~11 h, so this yields ~3 events/session — real
+    boundary decisions, not all-singletons), rolled up to per-session
+    stats. One shuffle on user_id; the lag-flag and running-sum
+    windows share a single sort. Oracle is the same decomposition in
+    ANSI window SQL — an independent implementation, not a
+    translation (DuckDB knows nothing of the operator's internals)."""
+    from .operators.timeseries import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        session_stats(ev, gap_us=12 * 3600 * 1_000_000, tiebreak="event_id")
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "start_us",
+            "end_us",
+            "span_us",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_SAMPLE_RATES = {"src1": 0.8, "src4": 0.5, "src7": 0.25, "src12": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling / corpus mixing
+    (operators/sampling.py): per-source keep rates applied via an
+    md5-hash bucket on doc_id — no RNG, no shuffle, pure codegen
+    column expressions, so membership is reproducible across engines,
+    partitionings, and resumes. Sources outside the rate map keep a
+    5% default. The oracle recomputes the identical bucket in DuckDB
+    (NOTES.md #7 hashing recipe) and applies the same integer
+    thresholds."""
+    from .operators.sampling import hash_bucket, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        stratum="source",
+        id_col="doc_id",
+        rates=_SAMPLE_RATES,
+        default_rate=0.05,
+        den=1000,
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        hash_bucket(F.col("doc_id"), 1000).alias("bucket"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -808,6 +972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_consensus_counts": q_consensus_counts,
         "q_audio_sanity": q_audio_sanity,
         "q_audio_features": q_audio_features,
+        "q_audio_fingerprint": q_audio_fingerprint,
+        "q_cube": q_cube,
+        "q_asof_join": q_asof_join,
+        "q_sessionize": q_sessionize,
+        "q_stratified_sample": q_stratified_sample,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1256,6 +1425,107 @@ ORACLE_SQL["q_rollup"] = """
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
 """
+# closed-form twin of q_audio_fingerprint: recomputes the energy-delta
+# fingerprint from the synthesis formula v(i) = (event_id*31+i*17)%201-100
+# with the same integer frame abs-sums, delta compares, and bit-pack the
+# Spark kernel applies to the decoded PCM16 bytes.
+ORACLE_SQL["q_audio_fingerprint"] = """
+    WITH t AS (SELECT event_id, event_id % 40 + 12 AS n FROM events),
+    u AS (SELECT event_id, n, unnest(range(0, n)) AS i FROM t),
+    s AS (SELECT event_id, i // 8 AS lf,
+                 abs((event_id * 31 + i * 17) % 201 - 100) AS a
+          FROM u WHERE i < (n // 8) * 8),
+    e AS (SELECT event_id, lf, sum(a) AS energy FROM s GROUP BY 1, 2),
+    b AS (SELECT event_id, lf,
+                 CASE WHEN energy > lag(energy) OVER (
+                        PARTITION BY event_id ORDER BY lf)
+                      THEN 1 ELSE 0 END AS bit
+          FROM e),
+    f AS (SELECT event_id,
+                 CAST(coalesce(sum(CASE WHEN lf >= 1
+                        THEN bit * (CAST(1 AS BIGINT) << CAST(lf - 1 AS INT))
+                        END), 0) AS BIGINT) AS fp,
+                 CAST(max(lf) + 1 AS INT) AS n_frames
+          FROM b GROUP BY 1),
+    r AS (SELECT t.event_id AS clip_id,
+                 CASE WHEN t.event_id % 11 = 0 THEN NULL ELSE f.fp END AS fp,
+                 CAST(CASE WHEN t.event_id % 11 = 0 THEN 0
+                      ELSE f.n_frames END AS INT) AS n_frames
+          FROM t JOIN f ON f.event_id = t.event_id)
+    SELECT clip_id, fp, n_frames,
+           count(*) OVER (PARTITION BY fp) AS dup_count
+    FROM r ORDER BY clip_id
+"""
+
+ORACLE_SQL["q_cube"] = """
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+"""
+
+# independent range-semantics twin of q_asof_join: DuckDB's native
+# ASOF LEFT JOIN vs the engine's union + running-window plan
+ORACLE_SQL["q_asof_join"] = """
+    WITH r AS (SELECT user_id, ts, max(value) AS value
+               FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+         l AS (SELECT user_id, ts, event_id
+               FROM events WHERE event_id % 2 = 1)
+    SELECT l.user_id,
+           l.event_id,
+           epoch_us(l.ts) AS ts_us,
+           coalesce(epoch_us(r.ts), -1) AS match_us,
+           coalesce(r.value, 0.0) AS value_r
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY event_id
+"""
+
+ORACLE_SQL["q_sessionize"] = """
+    WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    d AS (SELECT user_id, event_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 43200000000
+                      THEN 1 ELSE 0 END AS st
+          FROM o
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, us,
+                 sum(st) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM d)
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(us) AS start_us,
+           max(us) AS end_us,
+           max(us) - min(us) AS span_us
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# identical md5 bucket + integer thresholds, recomputed natively
+ORACLE_SQL["q_stratified_sample"] = """
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 1000 AS bucket
+      FROM documents)
+    SELECT doc_id, source, bucket
+    FROM b
+    WHERE bucket < CASE source
+                     WHEN 'src1' THEN 800
+                     WHEN 'src4' THEN 500
+                     WHEN 'src7' THEN 250
+                     WHEN 'src12' THEN 100
+                     ELSE 50 END
+    ORDER BY doc_id
+"""
+
 ORACLE_SQL["q_simhash"] = _simhash_oracle_sql()
 ORACLE_SQL["q_simhash_neardup"] = _simhash_neardup_oracle_sql()
 ORACLE_SQL["q_minhash_jaccard"] = _minhash_jaccard_oracle_sql()

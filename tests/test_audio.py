@@ -162,3 +162,77 @@ def test_audio_features(spark):
     dead = out["dead"]
     assert dead["decoded_ok"] and dead["silence_ratio"] == 1.0
     assert not out["bad"]["decoded_ok"]
+
+
+def _naive_fingerprint(b: bytes | None, fs: int = 8, max_bits: int = 60):
+    """Independent per-row twin of operators.audio.audio_fingerprint."""
+    if b is None or len(b) < 2:
+        return None, 0
+    pcm = np.abs(
+        np.frombuffer(b, dtype="<i2", count=len(b) // 2).astype(np.int64)
+    )
+    nf = len(pcm) // fs
+    e = [int(pcm[k * fs : (k + 1) * fs].sum()) for k in range(nf)]
+    fp = 0
+    for p in range(1, min(nf, max_bits + 1)):
+        if e[p] > e[p - 1]:
+            fp |= 1 << (p - 1)
+    return fp, nf
+
+
+def test_audio_fingerprint_known_values(spark):
+    """Hand-computable example: frame energies 4,8,2,2 -> rising at
+    frame 1 only -> fp = 0b01 = 1 with frame_samples=2."""
+    from ds2_spark.operators.audio import audio_fingerprint
+
+    pcm = np.array([1, -3, 4, 4, -1, 1, 2, 0], dtype=np.int16)
+    df = spark.createDataFrame(
+        [("a", bytearray(pcm.tobytes()))], "clip_id string, bytes binary"
+    )
+    row = audio_fingerprint(df, frame_samples=2).collect()[0]
+    assert (row["fp"], row["n_frames"]) == (1, 4)
+
+
+def test_audio_fingerprint_matches_naive_twin(spark):
+    """Batch-vectorized kernel == independent per-row twin across
+    edge shapes: empty, NULL, sub-frame, odd byte length, long."""
+    from ds2_spark.operators.audio import audio_fingerprint
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(0, 400))
+        pcm = rng.integers(-32767, 32768, size=n).astype(np.int16)
+        b = pcm.tobytes()
+        if i % 7 == 0:
+            b = b[:-1]  # odd length: trailing byte dropped
+        rows.append((f"c{i:02d}", bytearray(b) if i % 9 else None))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {
+        r["clip_id"]: (r["fp"], r["n_frames"])
+        for r in audio_fingerprint(df, frame_samples=8).collect()
+    }
+    for cid, b in rows:
+        want = _naive_fingerprint(bytes(b) if b is not None else None)
+        assert got[cid] == want, cid
+
+
+def test_audio_fingerprint_dup_grouping(spark):
+    """Identical payloads share a fingerprint (the exact-dup join key);
+    a perturbed payload in a different energy order does not."""
+    from ds2_spark.operators.audio import audio_fingerprint
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(-2000, 2000, size=64).astype(np.int16)
+    desc = np.sort(np.abs(a))[::-1].astype(np.int16)  # monotone falling
+    df = spark.createDataFrame(
+        [
+            ("a1", bytearray(a.tobytes())),
+            ("a2", bytearray(a.tobytes())),
+            ("d", bytearray(desc.tobytes())),
+        ],
+        "clip_id string, bytes binary",
+    )
+    out = {r["clip_id"]: r["fp"] for r in audio_fingerprint(df).collect()}
+    assert out["a1"] == out["a2"]
+    assert out["d"] == 0  # falling energies -> no rising deltas

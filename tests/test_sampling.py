@@ -1,0 +1,79 @@
+"""Deterministic stratified sampling: portability, stability, rates."""
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ds2_spark.operators.sampling import (
+    hash_bucket,
+    mixture_weights,
+    stratified_sample,
+)
+
+
+def _py_bucket(doc_id: int, den: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) % den
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"s{i % 4}") for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_hash_bucket_matches_stdlib_md5(spark, docs):
+    got = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", hash_bucket(F.col("doc_id"), 1000).alias("b")
+        ).collect()
+    }
+    for i in range(2000):
+        assert got[i] == _py_bucket(i, 1000), i
+
+
+def test_stratified_sample_exact_membership(spark, docs):
+    rates = {"s0": 0.5, "s1": 0.1}
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "source", "doc_id", rates, default_rate=0.02, den=1000
+        ).collect()
+    }
+    for i in range(2000):
+        thr = {"s0": 500, "s1": 100}.get(f"s{i % 4}", 20)
+        assert (i in kept) == (_py_bucket(i, 1000) < thr), i
+
+
+def test_membership_stable_under_repartition(spark, docs):
+    rates = {"s0": 0.3}
+    a = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "source", "doc_id", rates).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13, "source"), "source", "doc_id", rates
+        ).collect()
+    }
+    assert a == b
+
+
+def test_mixture_weights_hits_target_ratios(spark):
+    # 1000 s0 + 3000 s1; target 50/50 -> s0 rate 1.0, s1 rate 1/3
+    rows = [(i, "s0" if i < 1000 else "s1") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = mixture_weights(df, "source", {"s0": 0.5, "s1": 0.5})
+    assert w["s0"] == pytest.approx(1.0)
+    assert w["s1"] == pytest.approx(1 / 3)
+    kept = stratified_sample(df, "source", "doc_id", w, den=1_000_000)
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # md5 uniformity: expect ~1000 of each (binomial, sd ~26 for s1)
+    assert counts["s0"] == 1000
+    assert abs(counts["s1"] - 1000) < 120
