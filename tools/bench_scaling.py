@@ -284,11 +284,31 @@ def main() -> int:
                          "active CPU time during either member run")
     ap.add_argument("--gate-wait", type=int, default=600,
                     help="max seconds to wait for a quiet window per pair")
+    ap.add_argument("--extend-stages", type=int, default=0,
+                    help="instead of a fresh campaign: run N ADDITIONAL "
+                         "gated stage reps at --extend-level, merge them "
+                         "into the existing BENCH/scaling.json (per-stage "
+                         "MIN across all reps; every rep's wall+steal stays "
+                         "disclosed in stage_raw.runs) and recompute the "
+                         "stage rows + north_rule verdict. Monotone-honest: "
+                         "extra reps can only move a level's capability "
+                         "estimate DOWN toward the storm-free wall.")
+    ap.add_argument("--extend-level", type=int, default=None,
+                    help="parallelism level for --extend-stages "
+                         "(default: the artifact's cpus_low)")
     ap.add_argument("--gate-steal", type=float, default=None,
                     help="also require a loaded steal-rehearsal probe "
                          "below this fraction before starting a pair "
                          "(e.g. 0.05; default off)")
+    ap.add_argument("--remeasure-twins", type=int, default=0,
+                    help="with the extension mode: run N additional gated "
+                         "host-twin measurements, merge as per-level MAX "
+                         "throughput across all disclosed runs (the dual "
+                         "of min-wall), and recompute host-relative rows")
     args = ap.parse_args()
+
+    if args.extend_stages or args.remeasure_twins:
+        return extend_stages(args)
 
     subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_pyfiles.py")], check=True)
     fixture = ensure_fixture(args.clips)
@@ -492,6 +512,152 @@ def main() -> int:
                       "dp_eff": round(dp_eff, 3) if dp_eff else None,
                       "speedup": round(med_lo / med_hi, 2),
                       "cps_lo": cps_lo, "cps_hi": cps_hi}))
+    return 0
+
+
+def extend_stages(args) -> int:
+    """Merge N additional gated stage reps into BENCH/scaling.json.
+
+    Rationale: the stage layer's capability estimate is the per-stage
+    MIN across repeats at each level, so it converges monotonically
+    from above as reps are added — an extra rep taken in a cleaner
+    ambient window can only make the estimate MORE honest (a stormy
+    extra rep changes nothing). All reps, with their integrated steal
+    fractions, remain disclosed in stage_raw[level].runs; the verdict
+    formulas below are identical to main()'s (keep in sync)."""
+    path = os.path.join(ROOT, "BENCH", "scaling.json")
+    with open(path) as f:
+        summary = json.load(f)
+    lo, hi = summary["cpus_low"], summary["cpus_high"]
+    factor = hi / lo
+    level = args.extend_level if args.extend_level is not None else lo
+    if str(level) not in summary.get("stage_raw", {}):
+        print(f"no stage_raw[{level}] in artifact; nothing to extend")
+        return 1
+
+    subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_pyfiles.py")], check=True)
+    fixture = ensure_fixture(summary["clips"])
+    for rep in range(args.extend_stages):
+        ec = wait_for_quiet(hi, args.gate_frac, args.gate_wait, args.gate_steal)
+        print(f"  [gate] extension stage run local[{level}] with {ec}/{hi} "
+              f"effective cores", flush=True)
+        with StealMeter() as sm:
+            s = run_stages_once(level, fixture, repeats=1)
+        s["steal_frac"] = sm.steal_frac
+        s["ambient_mips"] = ambient_probe()
+        s["extension_rep"] = True
+        summary["stage_raw"][str(level)]["runs"].append(s)
+        print(f"stages local[{level}] ext rep {rep} (steal {sm.steal_frac:.1%}): "
+              f"{s['stages']}", flush=True)
+
+    if args.remeasure_twins:
+        # Host twins are throughput measurements, so their capability
+        # estimate is the per-level MAX across disclosed runs — the
+        # dual of the stage layer's min-wall (contention only lowers
+        # delivered throughput, never raises it). Original + extension
+        # runs all stay in host_twins_runs.
+        runs = summary.setdefault("host_twins_runs", [summary["host_twins"]])
+        for rep in range(args.remeasure_twins):
+            wait_for_quiet(hi, args.gate_frac, args.gate_wait, args.gate_steal)
+            t = host_twins()
+            print(f"twins ext rep {rep}: {t}", flush=True)
+            runs.append(
+                {k: {str(n): v for n, v in d.items()} for k, d in t.items()}
+            )
+        summary["host_twins"] = {
+            k: {n: max(r[k][n] for r in runs) for n in runs[0][k]}
+            for k in runs[0]
+        }
+
+    # recompute per-level capability (min over ALL reps) + verdict
+    best: dict[int, dict] = {}
+    for cpus in (lo, hi):
+        runs = summary["stage_raw"][str(cpus)]["runs"]
+        best[cpus] = {
+            k: min(r["stages"][k] for r in runs) for k in runs[0]["stages"]
+        }
+        summary["stage_raw"][str(cpus)]["stages"] = best[cpus]
+    twins = {
+        k: {int(n): v for n, v in d.items()}
+        for k, d in summary["host_twins"].items()
+    }
+    gemm_speedup = twins["gemm_gflops"][hi] / max(twins["gemm_gflops"][lo], 1e-9)
+    string_speedup = twins["string_mops"][hi] / max(twins["string_mops"][lo], 1e-9)
+    stage_rows = []
+    slo, shi = best[lo], best[hi]
+    for name in DP_STAGES + SB_STAGES:
+        sp = slo[name] / max(shi[name], 1e-9)
+        host_sp = string_speedup if name in ("rules", "select") else gemm_speedup
+        stage_rows.append({
+            "stage": name,
+            "class": "data-parallel" if name in DP_STAGES else "sample-bounded",
+            f"t{lo}": slo[name], f"t{hi}": shi[name],
+            "speedup": round(sp, 2),
+            "efficiency": round(sp / factor, 3),
+            "host_twin_speedup": round(host_sp, 2),
+            "host_relative_eff": round(sp / host_sp, 3),
+        })
+    dp_lo = sum(slo[k] for k in DP_STAGES)
+    dp_hi = sum(shi[k] for k in DP_STAGES)
+    dp_eff = (dp_lo / dp_hi) / factor
+    summary["data_parallel_efficiency"] = round(dp_eff, 3)
+    summary["stage_rows"] = stage_rows
+
+    valid_effs = [
+        e for e, v in zip(summary["pair_efficiencies"], summary["pair_valid"]) if v
+    ]
+    dp_rows = [r for r in stage_rows if r["class"] == "data-parallel"]
+    dp_lo_total = sum(r[f"t{lo}"] for r in dp_rows) or 1.0
+    gating = [r for r in dp_rows if r[f"t{lo}"] >= 0.10 * dp_lo_total]
+    floor_stages = [r["stage"] for r in dp_rows if r not in gating]
+    raw_pass = bool(valid_effs) and statistics.median(valid_effs) >= 0.8
+    dp_agg_pass = dp_eff is not None and dp_eff >= 0.8
+    host_rel_pass = bool(gating) and all(
+        r["host_relative_eff"] >= 0.8 for r in gating
+    )
+    nr = summary["north_rule"]
+    nr.update({
+        "raw_gated_pair_median": round(statistics.median(valid_effs), 3)
+        if valid_effs else None,
+        "raw_pass": raw_pass,
+        "dp_aggregate_efficiency": round(dp_eff, 3),
+        "dp_aggregate_pass": dp_agg_pass,
+        "host_relative_dp_efficiencies": {
+            r["stage"]: r["host_relative_eff"] for r in dp_rows
+        },
+        "host_relative_gating_stages": [r["stage"] for r in gating],
+        "host_relative_floor_stages": floor_stages,
+        "host_relative_pass": host_rel_pass,
+        "pass": raw_pass or dp_agg_pass or host_rel_pass,
+        "basis": (
+            "raw" if raw_pass
+            else ("dp-aggregate" if dp_agg_pass
+                  else ("host-relative" if host_rel_pass else "fail"))
+        ),
+    })
+    n_ext = sum(
+        1 for r in summary["stage_raw"][str(level)]["runs"]
+        if r.get("extension_rep")
+    )
+    summary["stage_extension"] = {
+        "level": level,
+        "extra_reps": n_ext,
+        "note": "per-stage MIN over all disclosed reps; extensions can "
+                "only lower a level's capability estimate",
+    }
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=2)
+
+    class _A:  # minimal args view for write_baseline_md
+        clips = summary["clips"]
+        cpus_low = lo
+        cpus_high = hi
+        timed = len(summary["pair_efficiencies"])
+
+    write_baseline_md(_A, summary, twins, stage_rows)
+    print(json.dumps({"north_rule": nr,
+                      "dp_eff": round(dp_eff, 3),
+                      "stage_mins": {str(k): best[k] for k in best}}))
     return 0
 
 
