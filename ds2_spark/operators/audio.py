@@ -354,6 +354,42 @@ def _concat_aranges(lengths: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
+def audio_neardup_pairs(
+    clips: DataFrame,
+    frame_samples: int = 8,
+    max_bits: int = 60,
+    max_dist: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate audio pairs by fingerprint Hamming distance —
+    small perturbations (re-encode jitter, level changes on a few
+    samples) flip at most a few energy-delta bits, so near-dups sit
+    within a small Hamming radius of each other while unrelated clips
+    are ~30 bits apart.
+
+    Pure composition: `audio_fingerprint` (bytes cross the wire once,
+    per-clip int64 out) feeding the generic pigeonhole banding of
+    `dedup.simhash_banded_pairs` — (max_dist+1) bands over the fp,
+    per-band bucket equi-join on ids only, exact one-expression
+    bit_count(xor) verify, optional `max_bucket` hot-bucket cap. The
+    whole candidate/verify stage is JVM column arithmetic; nothing
+    row-wise touches Python after the decode.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_dist.
+    NULL-fingerprint clips (empty payloads) can't pair and are
+    dropped."""
+    from .dedup import simhash_banded_pairs
+
+    fp = audio_fingerprint(clips, frame_samples=frame_samples,
+                           max_bits=max_bits)
+    sig = fp.where(F.col("fp").isNotNull()).select(
+        F.col("clip_id").alias("id"), F.col("fp").alias("simhash")
+    )
+    return simhash_banded_pairs(
+        sig, max_dist=max_dist, bits=max_bits, max_bucket=max_bucket
+    )
+
+
 def decode_pcm(clips: DataFrame) -> DataFrame:
     """(clip_id, pcm array<float>) — test/oracle helper; NOT for the
     10^12-row path (materializes full PCM)."""

@@ -773,6 +773,24 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def _synth_pcm16_hex(n, sample):
+    """PCM16-LE payload synthesized IN SPARK SQL EXPRESSIONS from a
+    closed-form per-sample function `sample(i) -> Column` (n samples),
+    so a DuckDB oracle can recompute identical bytes/energies from the
+    same formula while Spark exercises real binary decode kernels."""
+
+    def _le16(v):
+        u = F.when(v < 0, v + 65536).otherwise(v)
+        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    hexstr = F.array_join(
+        F.transform(F.sequence(F.lit(0), n - 1), lambda i: _le16(sample(i))),
+        "",
+    )
+    return F.to_binary(hexstr, F.lit("hex"))
+
+
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-delta acoustic fingerprint + exact-dup grouping via the
     production `audio_fingerprint` operator (integer-exact: abs-sums
@@ -790,22 +808,12 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     n = (F.col("event_id") % 40 + 12).cast("int")
-
-    def _le16(v):
-        u = F.when(v < 0, v + 65536).otherwise(v)
-        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
-        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
-
-    hexstr = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: _le16((F.col("event_id") * 31 + i * 17) % 201 - 100),
-        ),
-        "",
+    synth = _synth_pcm16_hex(
+        n, lambda i: (F.col("event_id") * 31 + i * 17) % 201 - 100
     )
     payload = F.when(
         F.col("event_id") % 11 == 0, F.lit(None).cast("binary")
-    ).otherwise(F.to_binary(hexstr, F.lit("hex")))
+    ).otherwise(synth)
     clips = ev.select(
         F.col("event_id").cast("string").alias("clip_id"),
         payload.alias("bytes"),
@@ -820,6 +828,59 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dup_count", F.count("*").over(Window.partitionBy("fp")))
         .orderBy("clip_id")
     )
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio detection via the production
+    `audio_neardup_pairs` operator (fingerprint + pigeonhole Hamming
+    banding + exact bit_count(xor) verify — see its docstring for the
+    scale shape). The synthesis plants real near-dup structure:
+    clips sharing g = event_id % 4001 play the same closed-form
+    series, but each variant (event_id // 4001) perturbs sample 0 —
+    only frame 0's energy moves, so within a group fingerprints sit
+    at Hamming distance <= 1 while unrelated clips are far apart.
+    clip_id is zero-padded so the operator's string id ordering
+    equals the oracle's numeric ordering."""
+    from .operators.audio import audio_neardup_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    g = F.col("event_id") % 4001
+    var = F.floor(F.col("event_id") / 4001)
+    # >= 488 samples -> >= 61 frames -> all 60 fingerprint bits are
+    # live, so every 20-bit band carries real signal (a short-clip
+    # synthesis would zero the high bands and degenerate the banding
+    # join toward all-pairs); the odd tail samples exercise the
+    # whole-frame truncation path
+    n = (488 + g % 5).cast("int")
+    # QUADRATIC hash of the unique per-sample index h = g*8191 + i.
+    # Anything linear in i (sawtooth, multiplicative hash of a linear
+    # index) makes all groups windows of one slowly-varying cyclic
+    # sequence, which collapses into mass cross-group near-collisions
+    # of the energy-delta bits; h^2's varying step (2h+1) breaks the
+    # common-orbit structure so frame energies decorrelate across
+    # groups. All arithmetic stays within int64 in both engines.
+    def _sample(i):
+        h = g * 8191 + i
+        a = (h * h) % 2147483648
+        return (a * 31 + h) % 2147483648 % 201 - 100 + F.when(
+            i == 0, 40 * var
+        ).otherwise(F.lit(0))
+
+    synth = _synth_pcm16_hex(n, _sample)
+    payload = F.when(
+        F.col("event_id") % 11 == 0, F.lit(None).cast("binary")
+    ).otherwise(synth)
+    clips = ev.select(
+        F.lpad(F.col("event_id").cast("string"), 7, "0").alias("clip_id"),
+        payload.alias("bytes"),
+    )
+    pairs = audio_neardup_pairs(clips, frame_samples=8, max_bits=60,
+                                max_dist=2)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    ).orderBy("id_a", "id_b")
 
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_sanity": q_audio_sanity,
         "q_audio_features": q_audio_features,
         "q_audio_fingerprint": q_audio_fingerprint,
+        "q_audio_neardup": q_audio_neardup,
         "q_cube": q_cube,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
@@ -1455,6 +1517,49 @@ ORACLE_SQL["q_audio_fingerprint"] = """
     SELECT clip_id, fp, n_frames,
            count(*) OVER (PARTITION BY fp) AS dup_count
     FROM r ORDER BY clip_id
+"""
+
+# closed-form twin of q_audio_neardup: recomputes the perturbed-group
+# fingerprints from the synthesis formula, then the same 3x20-bit
+# pigeonhole banding + bit_count(xor) verify natively in SQL
+ORACLE_SQL["q_audio_neardup"] = """
+    WITH t AS (SELECT event_id, event_id % 4001 AS g,
+                      event_id // 4001 AS var,
+                      488 + (event_id % 4001) % 5 AS n
+               FROM events),
+    u AS (SELECT event_id, g, var, n, unnest(range(0, n)) AS i FROM t),
+    s AS (SELECT event_id, i // 8 AS lf,
+                 abs((((g * 8191 + i) * (g * 8191 + i)) % 2147483648 * 31
+                      + g * 8191 + i) % 2147483648 % 201 - 100
+                     + CASE WHEN i = 0 THEN 40 * var ELSE 0 END) AS a
+          FROM u WHERE i < (n // 8) * 8),
+    e AS (SELECT event_id, lf, sum(a) AS energy FROM s GROUP BY 1, 2),
+    b AS (SELECT event_id, lf,
+                 CASE WHEN energy > lag(energy) OVER (
+                        PARTITION BY event_id ORDER BY lf)
+                      THEN 1 ELSE 0 END AS bit
+          FROM e),
+    f AS (SELECT event_id,
+                 CAST(coalesce(sum(CASE WHEN lf BETWEEN 1 AND 60
+                        THEN bit * (CAST(1 AS BIGINT) << CAST(lf - 1 AS INT))
+                        END), 0) AS BIGINT) AS fp
+          FROM b GROUP BY 1),
+    r AS (SELECT event_id AS clip_id, fp FROM f
+          WHERE event_id % 11 <> 0),
+    bands AS (SELECT clip_id, fp, band,
+                     (fp >> (band * 20)) & 1048575 AS bkey
+              FROM r CROSS JOIN (VALUES (0), (1), (2)) AS bb(band)),
+    cand AS (SELECT DISTINCT x.clip_id AS id_a, x.fp AS fp_a,
+                             y.clip_id AS id_b, y.fp AS fp_b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bkey = y.bkey
+              AND x.clip_id < y.clip_id)
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= 2
+    ORDER BY id_a, id_b
 """
 
 ORACLE_SQL["q_cube"] = """

@@ -209,3 +209,63 @@ def run_rules_stream_once(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def session_event_counts(events: DataFrame, gap: str = "12 hours",
+                         watermark: str = "1 day") -> DataFrame:
+    """Native session-window aggregation: per-user sessions that merge
+    while events arrive within `gap` of the running window. Works on
+    batch and streaming frames alike. This is the streaming twin of
+    operators/timeseries.sessionize (whose batch decomposition is
+    DuckDB-oracle-verified); pytest pins the two implementations to
+    each other on the same data. Session state is bounded by the
+    watermark: closed sessions age out of the state store.
+
+    Boundary note: session_window treats an event exactly `gap` after
+    the previous as a NEW session (half-open [start, last+gap)
+    windows); the batch operator continues the session on exact
+    equality. Microsecond event times make ties measure-zero; pick
+    one convention when porting corpora with quantized timestamps."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_stream_once(
+    spark: SparkSession,
+    events_dir: str,
+    query_name: str = "ev_sessions",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Drive the session-window stream over a file source in several
+    micro-batches (sessions must merge ACROSS triggers) and return the
+    final session table. NOTE: the file source picks files by
+    modification time, not event time — when replaying a directory
+    whose files are not in event-time order, pass a watermark wider
+    than the replay's disorder or whole late files are (correctly)
+    dropped as late data."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_dir)
+    )
+    agg = session_event_counts(stream, watermark=watermark)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -236,3 +236,42 @@ def test_audio_fingerprint_dup_grouping(spark):
     out = {r["clip_id"]: r["fp"] for r in audio_fingerprint(df).collect()}
     assert out["a1"] == out["a2"]
     assert out["d"] == 0  # falling energies -> no rising deltas
+
+
+def test_audio_neardup_pairs_matches_allpairs_twin(spark):
+    """Banded near-dup == exhaustive all-pairs Hamming filter on a
+    corpus with planted near-dup groups (shared base series, one
+    perturbed sample) plus unrelated clips."""
+    from itertools import combinations
+
+    from ds2_spark.operators.audio import audio_neardup_pairs
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for gidx in range(12):
+        base = rng.integers(-8000, 8000, size=520).astype(np.int16)
+        for v in range(3):
+            pcm = base.copy()
+            pcm[0] = np.int16(min(32767, int(pcm[0]) + 500 * v))
+            rows.append((f"g{gidx:02d}v{v}", bytearray(pcm.tobytes())))
+    for j in range(30):
+        pcm = rng.integers(-8000, 8000, size=520).astype(np.int16)
+        rows.append((f"u{j:02d}", bytearray(pcm.tobytes())))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+
+    fps = {cid: _naive_fingerprint(bytes(b))[0] for cid, b in rows}
+    want = set()
+    for (a, fa), (b, fb) in combinations(sorted(fps.items()), 2):
+        if bin(fa ^ fb).count("1") <= 2:
+            want.add((a, b))
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in audio_neardup_pairs(df, max_dist=2).collect()
+    }
+    assert got == want
+    # every planted within-group pair must be found
+    for gidx in range(12):
+        ids = sorted(f"g{gidx:02d}v{v}" for v in range(3))
+        for a, b in combinations(ids, 2):
+            assert (a, b) in got, (a, b)

@@ -226,3 +226,52 @@ def test_streaming_quality_filter_matches_batch(spark, clips_df, tmp_path):
     assert {r["reason"] for r in stream_out.collect()} == {
         r["reason"] for r in batch_out.collect()
     }
+
+
+def test_streaming_sessions_match_batch_operator(spark, tmp_path):
+    """Native streaming session_window (merging across micro-batches)
+    == the batch gap-and-island operator (operators/timeseries) on the
+    same events — two independent sessionization implementations."""
+    from ds2_spark.operators.timeseries import epoch_micros, session_stats
+    from ds2_spark.streaming.events import (
+        run_session_stream_once,
+        session_event_counts,
+    )
+
+    events_dir = str(tmp_path / "sess_ev")
+    os.makedirs(events_dir)
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # range-partition by ts so micro-batches see advancing event time
+    # (file listing order == range order): with time-shuffled files the
+    # watermark would — correctly — drop whole late files as they
+    # arrive, and stream != batch by design, not by bug
+    src.repartitionByRange(6, "ts").write.mode("overwrite").parquet(events_dir)
+    batch_df = spark.read.parquet(events_dir)
+
+    gap_us = 12 * 3600 * 1_000_000
+    # watermark wider than the data span: the file source replays
+    # files in modification-time order (not event-time), so a tight
+    # watermark would — correctly — drop whole out-of-order files;
+    # late-data eviction itself is covered by the windowed-count test
+    stream_out = run_session_stream_once(spark, events_dir,
+                                         watermark="3650 days")
+    batch_out = session_stats(batch_df, gap_us=gap_us, tiebreak="event_id")
+
+    got = {
+        (r["user_id"], int(r["session_start"].timestamp() * 1e6)):
+            (r["n_events"], int(r["session_end"].timestamp() * 1e6))
+        for r in stream_out.collect()
+    }
+    exp = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["end_us"] + gap_us)
+        for r in batch_out.collect()
+    }
+    assert len(got) > 50
+    assert got == exp  # same sessions, same counts, end = last + gap
+
+    # batch-mode session_window agrees with itself run as a stream
+    batch_native = {
+        (r["user_id"], int(r["session_start"].timestamp() * 1e6)): r["n_events"]
+        for r in session_event_counts(batch_df).collect()
+    }
+    assert batch_native == {k: v[0] for k, v in got.items()}
