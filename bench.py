@@ -48,6 +48,9 @@ HEADLINE = [
     "q_audio_features",
     "q_audio_fingerprint",
     "q_cube",
+    "q_asof_join",
+    "q_sessionize",
+    "q_stratified_sample",
     "flagship",
 ]
 

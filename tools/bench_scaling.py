@@ -305,9 +305,16 @@ def main() -> int:
                          "host-twin measurements, merge as per-level MAX "
                          "throughput across all disclosed runs (the dual "
                          "of min-wall), and recompute host-relative rows")
+    ap.add_argument("--extend-pairs", type=int, default=0,
+                    help="extension mode: run N additional gated FULL-JOB "
+                         "pairs (same back-to-back alternating protocol), "
+                         "append them to the artifact's pair lists, and "
+                         "recompute medians + the verdict; unlike stage "
+                         "mins this is NOT monotone — every appended pair "
+                         "moves the valid-pair median by its own weight")
     args = ap.parse_args()
 
-    if args.extend_stages or args.remeasure_twins:
+    if args.extend_stages or args.remeasure_twins or args.extend_pairs:
         return extend_stages(args)
 
     subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_pyfiles.py")], check=True)
@@ -537,6 +544,70 @@ def extend_stages(args) -> int:
 
     subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_pyfiles.py")], check=True)
     fixture = ensure_fixture(summary["clips"])
+
+    for i in range(args.extend_pairs):
+        # identical protocol to main()'s pair loop: gated entry,
+        # back-to-back members, alternating order, integrated-steal
+        # validity — appended pairs are disclosed like original ones
+        n_prev = len(summary["pair_efficiencies"])
+        order = (lo, hi) if n_prev % 2 == 0 else (hi, lo)
+        gate_ec = wait_for_quiet(hi, args.gate_frac, args.gate_wait, args.gate_steal)
+        summary["pair_gate_effective_cores"].append(gate_ec)
+        print(f"  [gate] extension pair {n_prev} starts with {gate_ec}/{hi} "
+              f"effective cores", flush=True)
+        pair: dict[int, float] = {}
+        steals: list[float] = []
+        for cpus in order:
+            t0 = time.time()
+            amb = ambient_probe()
+            with StealMeter() as sm:
+                r = run_pipeline_once(cpus, fixture, f"t{cpus}_ext{n_prev}")
+            steals.append(sm.steal_frac)
+            r["wall_total"] = round(time.time() - t0, 1)
+            r["ambient_mips"] = amb
+            r["steal_frac"] = sm.steal_frac
+            r["extension_pair"] = True
+            summary[f"local{cpus}"]["runs"].append(r)
+            pair[cpus] = r["elapsed_sec"]
+            print(f"local[{cpus}] ext pair {n_prev}: {r['elapsed_sec']}s "
+                  f"({r['clips_per_sec']} clips/s, ambient {amb}, "
+                  f"steal {sm.steal_frac:.1%})", flush=True)
+        eff_i = (pair[lo] / pair[hi]) / factor
+        valid = all(s <= summary["max_steal"] for s in steals)
+        s_by = dict(zip(order, steals))
+        corr_i = (pair[lo] * (1 - s_by[lo]) / (pair[hi] * (1 - s_by[hi]))) / factor
+        summary["pair_efficiencies"].append(round(eff_i, 3))
+        summary["pair_efficiencies_steal_corrected"].append(round(corr_i, 3))
+        summary["pair_valid"].append(valid)
+        print(f"  ext pair {n_prev} efficiency: {eff_i:.3f} "
+              f"(steal-corrected {corr_i:.3f}; "
+              f"{'VALID' if valid else 'storm-corrupted'}; steal {steals})",
+              flush=True)
+    if args.extend_pairs:
+        for cpus in (lo, hi):
+            runs = summary[f"local{cpus}"]["runs"]
+            summary[f"local{cpus}"]["median_sec"] = round(
+                statistics.median(r["elapsed_sec"] for r in runs), 4)
+            summary[f"local{cpus}"]["clips_per_sec"] = round(
+                statistics.median(r["clips_per_sec"] for r in runs), 3)
+        med_lo = summary[f"local{lo}"]["median_sec"]
+        med_hi = summary[f"local{hi}"]["median_sec"]
+        summary["speedup"] = round(med_lo / med_hi, 3)
+        summary["scaling_efficiency_of_medians"] = round(
+            (med_lo / med_hi) / factor, 3)
+        corr_valid = [
+            c for c, v in zip(summary["pair_efficiencies_steal_corrected"],
+                              summary["pair_valid"]) if v
+        ]
+        if corr_valid:
+            summary["steal_corrected_median"] = round(
+                statistics.median(corr_valid), 3)
+        summary["n_valid_pairs"] = sum(summary["pair_valid"])
+        ve = [e for e, v in zip(summary["pair_efficiencies"],
+                                summary["pair_valid"]) if v]
+        summary["scaling_efficiency"] = round(
+            statistics.median(ve if ve else summary["pair_efficiencies"]), 3)
+
     for rep in range(args.extend_stages):
         ec = wait_for_quiet(hi, args.gate_frac, args.gate_wait, args.gate_steal)
         print(f"  [gate] extension stage run local[{level}] with {ec}/{hi} "
