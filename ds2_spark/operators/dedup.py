@@ -307,3 +307,93 @@ def hamming_pairs(sig: DataFrame, max_dist: int = 3) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_dist)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup PAIRS -> connected
+    COMPONENTS, the step that turns pairwise dedup output into "keep
+    one canonical doc per cluster". Output: (id, comp) where comp is
+    the component's minimum member id (deterministic canonical
+    label). `vertices` (one `id` column) adds isolated docs as
+    singleton components; omitted, only paired ids appear.
+
+    Spark shape — hash-min label propagation, the standard
+    distributed CC (GraphX/Pregel semantics) expressed in DataFrame
+    ops: each round every vertex takes the min of its own label and
+    its neighbors' labels (one shuffle-join edges x labels + one
+    groupBy-min per round), until a round changes nothing. Rounds
+    needed = graph diameter, and near-dup graphs are overwhelmingly
+    tiny cliques (diameter 1-2) with the occasional chain — the loop
+    is driver-side but each round is fully distributed and the
+    per-round `changed` check is a cheap scan of the materialized
+    round. Each round's labels are `localCheckpoint`ed: iterative
+    self-joins otherwise stack a join per round onto the logical plan
+    and the optimizer/codegen cost grows exponentially with depth
+    (a 20-round chain OOMs the driver long before the data does).
+    Checkpointing truncates lineage to the materialized blocks, so
+    every round's plan is one join + one aggregate regardless of
+    round number. On a real cluster prefer `sc.setCheckpointDir` +
+    `.checkpoint()` for fault tolerance (localCheckpoint blocks die
+    with their executor); semantics are identical.
+
+    At the 10^12-doc design point the same loop runs unchanged; for
+    adversarial long-chain graphs switch to the large-star/small-star
+    variant (same join shapes, O(log n) rounds). Raises RuntimeError
+    if max_iter rounds don't converge rather than returning a wrong
+    (still-moving) labeling.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    ids = edges.select(F.col("src").alias("id"))
+    if vertices is not None:
+        ids = ids.union(vertices.select("id"))
+    edges = edges.localCheckpoint()
+    labels = ids.distinct().withColumn("comp", F.col("id")).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("_moved"),
+            )
+        ).localCheckpoint()  # eager: truncates lineage, materializes once
+        changed = new_labels.where(F.col("_moved")).limit(1).count()
+        labels = new_labels.drop("_moved")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-one-per-cluster dedup: drop every row whose id belongs to
+    a near-dup component but is not its canonical (minimum) member.
+    One components computation + one broadcast-size semi/anti join in
+    the common case (the drop list is |dups| - |clusters| rows — tiny
+    relative to the corpus)."""
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

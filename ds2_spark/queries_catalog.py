@@ -909,6 +909,42 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> canonical doc per
+    cluster (the keep-one step every dedup pipeline ends with), via
+    the production `connected_components` hash-min label propagation
+    (operators/dedup.py — distributed rounds, driver only checks the
+    per-round moved counter). Pairs come from the SimHash banding
+    scale path; every document appears (singletons are their own
+    component). The DuckDB oracle computes reachability with a
+    recursive CTE over the same pair set — a genuinely different
+    fixpoint algorithm, so the two engines cross-check the CLUSTERING
+    itself, not just the pair list."""
+    from .operators.dedup import (
+        connected_components,
+        simhash64,
+        simhash_banded_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash64(docs, id_col="doc_id", text_col="text")
+    pairs = simhash_banded_pairs(sig, max_dist=3)
+    comp = connected_components(
+        pairs, vertices=docs.select(F.col("doc_id").alias("id"))
+    )
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            "comp",
+            "cluster_size",
+            (F.col("id") == F.col("comp")).cast("int").alias("canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join via the production `asof_join` operator
     (operators/timeseries.py): odd events are probes, even events are
@@ -1036,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_fingerprint": q_audio_fingerprint,
         "q_audio_neardup": q_audio_neardup,
         "q_cube": q_cube,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
         "q_stratified_sample": q_stratified_sample,
@@ -1269,7 +1306,9 @@ def _minhash_jaccard_oracle_sql(n_hashes: int = 8, bands: int = 4, k: int = 5) -
     """
 
 
-def _simhash_neardup_oracle_sql(max_dist: int = 3, bits: int = 48) -> str:
+def _simhash_neardup_oracle_sql(
+    max_dist: int = 3, bits: int = 48, ordered: bool = True
+) -> str:
     """Same pigeonhole banding over the q_simhash signature CTE; the
     final Hamming check makes banding invisible in the result, so a
     plain all-pairs SQL would give the same rows — banding in the
@@ -1297,7 +1336,7 @@ def _simhash_neardup_oracle_sql(max_dist: int = 3, bits: int = 48) -> str:
         )
         SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_dist}
-        ORDER BY doc_a, doc_b
+        {"ORDER BY doc_a, doc_b" if ordered else ""}
     """
 
 
@@ -1573,6 +1612,28 @@ ORACLE_SQL["q_cube"] = """
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
+"""
+
+# clustering twin of q_dedup_clusters: reachability by recursive CTE
+# (label flooding to a fixpoint via UNION-dedup) over the same
+# SimHash-banding pair set; component id = min reachable doc_id
+ORACLE_SQL["q_dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+      {_simhash_neardup_oracle_sql(ordered=False)}
+    ),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY 1),
+    sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.comp, s.cluster_size,
+           CAST(c.doc_id = c.comp AS INT) AS canonical
+    FROM comp c JOIN sizes s USING (comp)
+    ORDER BY doc_id
 """
 
 # independent range-semantics twin of q_asof_join: DuckDB's native

@@ -258,3 +258,71 @@ def test_cosine_neardup_symmetric_threshold(spark):
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
     pairs = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(emb, 0.95).collect()}
     assert pairs == {(0, 1)}
+
+
+def _union_find_components(edges, vertices):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min member id per component
+    comp_min = {}
+    for v in vertices:
+        r = find(v)
+        comp_min.setdefault(r, v if v < r else r)
+        comp_min[r] = min(comp_min[r], v)
+    return {v: comp_min[find(v)] for v in vertices}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Hash-min label propagation == classic union-find on a random
+    sparse graph with isolated vertices and a long chain (diameter >>
+    1 exercises multi-round convergence)."""
+    import numpy as np
+
+    from ds2_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(23)
+    vertices = list(range(240))
+    edges = set()
+    while len(edges) < 90:
+        a, b = (int(x) for x in rng.integers(0, 200, size=2))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges |= {(i, i + 1) for i in range(220, 239)}  # 20-node chain
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(v,) for v in vertices], "id long")
+
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, vertices=verts).collect()
+    }
+    want = _union_find_components(sorted(edges), vertices)
+    assert got == want
+    # isolated vertices (200..219) are singletons
+    for v in range(200, 220):
+        assert got[v] == v
+
+
+def test_canonical_docs_keeps_one_per_cluster(spark):
+    from ds2_spark.operators.dedup import canonical_docs
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 7), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(r["doc_id"] for r in canonical_docs(df, pairs).collect())
+    # clusters {1,2,7} -> keep 1; {4,5} -> keep 4; others untouched
+    assert kept == [0, 1, 3, 4, 6, 8, 9]
