@@ -1004,6 +1004,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style intra-document repetition quality filter
+    (operators/repetition.py): duplicate-line fraction, duplicate-line
+    char mass, and top word-2-gram char fraction per document, with
+    the Gopher keep/drop thresholds. The synthetic corpus has no
+    newlines, so the query first derives 2-word pseudo-lines by
+    turning every second word boundary into a newline — a literal,
+    length-preserving regex rewrite mirrored verbatim in the DuckDB
+    oracle, so both engines score the exact same multi-line text.
+    Everything downstream is the production operator: explode +
+    map-side-combined groupBys, zero Python."""
+    from .operators.repetition import repetition_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+ \S+) ", "$1\n").alias("text"),
+    )
+    return repetition_features(docs).orderBy("doc_id")
+
+
 _SAMPLE_RATES = {"src1": 0.8, "src4": 0.5, "src7": 0.25, "src12": 0.1}
 
 
@@ -1076,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
         "q_stratified_sample": q_stratified_sample,
+        "q_repetition_filter": q_repetition_filter,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1690,6 +1711,60 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# same 2-word pseudo-line rewrite, then the Gopher repetition math
+# recomputed natively: line counts via unnest(string_split), 2-gram
+# counts via a list comprehension — integer sums on both engines, so
+# the final double divisions are bit-identical
+ORACLE_SQL["q_repetition_filter"] = r"""
+    WITH derived AS (
+      SELECT doc_id,
+             regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, trim(x) AS line
+      FROM derived, unnest(string_split(text, chr(10))) AS u(x)
+      WHERE trim(x) <> ''
+    ),
+    lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+    lagg AS (
+      SELECT doc_id, sum(cnt) AS n_lines, sum(cnt - 1) AS n_dup,
+             sum((cnt - 1) * length(line)) AS dup_chars,
+             sum(cnt * length(line)) AS line_chars
+      FROM lc GROUP BY 1
+    ),
+    words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM derived
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i + 1]
+                     FOR i IN generate_series(1, greatest(len(w) - 1, 0))]) AS g
+      FROM words
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2),
+    gagg AS (SELECT doc_id, max(cnt * length(g)) AS top_gram_chars FROM gc GROUP BY 1),
+    feat AS (
+      SELECT b.doc_id,
+             CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+             CASE WHEN coalesce(l.n_lines, 0) = 0 THEN 0.0
+                  ELSE CAST(l.n_dup AS DOUBLE) / l.n_lines END AS dup_line_frac,
+             CASE WHEN coalesce(l.line_chars, 0) = 0 THEN 0.0
+                  ELSE CAST(l.dup_chars AS DOUBLE) / l.line_chars END AS dup_line_char_frac,
+             CASE WHEN coalesce(g.top_gram_chars, 0) = 0 OR length(b.text) = 0 THEN 0.0
+                  ELSE CAST(g.top_gram_chars AS DOUBLE) / length(b.text) END AS top_2gram_char_frac
+      FROM derived b
+      LEFT JOIN lagg l USING (doc_id)
+      LEFT JOIN gagg g USING (doc_id)
+    )
+    SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+           CAST(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                AND top_2gram_char_frac <= 0.20 AS INT) AS rep_keep
+    FROM feat ORDER BY doc_id
 """
 
 ORACLE_SQL["q_simhash"] = _simhash_oracle_sql()

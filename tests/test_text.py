@@ -100,3 +100,50 @@ def test_fingerprint_and_token_count(spark):
     assert by["a"]["fp"] == by["b"]["fp"]  # case/whitespace-insensitive dup key
     assert by["a"]["fp"] != by["c"]["fp"]
     assert by["a"]["tc"] == 2
+
+
+def test_repetition_features_hand_computed(spark):
+    """Literal expectations computed by hand (module docstring
+    semantics), including the short-doc / empty-doc / whitespace-only
+    edge cases and the Spark sequence(1, n<1) descent trap."""
+    from ds2_spark.operators.repetition import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            # 3 lines, 'aa bb' twice: dlf 1/3, dcf (1*5)/(2*5+2)=5/12,
+            # words [aa,bb,aa,bb,cc] -> top gram 'aa bb' cnt 2 len 5,
+            # text_len 14 -> 10/14; dlf>0.3 -> drop
+            (1, "aa bb\naa bb\ncc"),
+            # 12 distinct words, one line: all-distinct grams len 5,
+            # top 5/35; keep
+            (2, " ".join(f"q{i:x}" for i in range(12))),
+            (3, ""),  # no lines, no grams -> zeros, keep
+            (4, "  hello  "),  # 1 line after trim, no grams, keep
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+
+    r1 = rows[1]
+    assert r1["n_lines"] == 3
+    assert abs(r1["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(r1["dup_line_char_frac"] - 5 / 12) < 1e-12
+    assert abs(r1["top_2gram_char_frac"] - 10 / 14) < 1e-12
+    assert r1["rep_keep"] == 0
+
+    r2 = rows[2]
+    assert r2["n_lines"] == 1
+    assert r2["dup_line_frac"] == 0.0
+    assert abs(r2["top_2gram_char_frac"] - 5 / 35) < 1e-12
+    assert r2["rep_keep"] == 1
+
+    for d in (3, 4):
+        r = rows[d]
+        assert (
+            r["dup_line_frac"],
+            r["dup_line_char_frac"],
+            r["top_2gram_char_frac"],
+            r["rep_keep"],
+        ) == (0.0, 0.0, 0.0, 1)
+    assert rows[3]["n_lines"] == 0
+    assert rows[4]["n_lines"] == 1
