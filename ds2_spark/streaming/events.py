@@ -269,3 +269,54 @@ def run_session_stream_once(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: first occurrence of
+    each event_id within the watermark horizon passes, replays are
+    dropped. `dropDuplicatesWithinWatermark` ages dedup keys out of
+    the state store once the watermark passes them — plain
+    `dropDuplicates` on a stream keeps every key forever, which at
+    the 10^12-event design point is an unbounded state store and an
+    inevitable OOM. The horizon is the at-least-once redelivery
+    window of the upstream bus (e.g. Kafka), not the stream's
+    lifetime, so state stays O(events per horizon).
+
+    Works on a batch DataFrame too (falls back to plain
+    dropDuplicates semantics over the whole input), which is what the
+    stream==batch parity test exploits.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_dedup_stream_once(
+    spark: SparkSession,
+    events_dir: str,
+    query_name: str = "ev_dedup",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Drive the dedup stream over a file-source replay (several
+    micro-batches, so replayed duplicates arrive in LATER triggers
+    than their originals and must be caught by the state store, not
+    by intra-batch dedup)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_dir)
+    )
+    q = (
+        dedup_events_stream(stream, watermark=watermark)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -275,3 +275,35 @@ def test_streaming_sessions_match_batch_operator(spark, tmp_path):
         for r in session_event_counts(batch_df).collect()
     }
     assert batch_native == {k: v[0] for k, v in got.items()}
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a multi-trigger replay with
+    redelivered duplicates == batch dropDuplicates on the same
+    directory: every event_id exactly once, replays caught by the
+    state store across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from ds2_spark.streaming.events import (
+        dedup_events_stream,
+        run_dedup_stream_once,
+    )
+
+    events_dir = str(tmp_path / "dedup_ev")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("event_id") < 400
+    )
+    src.repartitionByRange(3, "ts").write.mode("overwrite").parquet(events_dir)
+    # at-least-once redelivery: a subset arrives again in later files
+    src.filter(F.col("event_id") % 3 == 0).repartition(2).write.mode(
+        "append"
+    ).parquet(events_dir)
+
+    out = run_dedup_stream_once(spark, events_dir, watermark="3650 days")
+    got = sorted(r["event_id"] for r in out.collect())
+    exp = sorted(
+        r["event_id"]
+        for r in dedup_events_stream(spark.read.parquet(events_dir)).collect()
+    )
+    assert got == exp
+    assert len(got) == src.count()  # replay added nothing
