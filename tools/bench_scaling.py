@@ -538,7 +538,11 @@ def extend_stages(args) -> int:
     lo, hi = summary["cpus_low"], summary["cpus_high"]
     factor = hi / lo
     level = args.extend_level if args.extend_level is not None else lo
-    if str(level) not in summary.get("stage_raw", {}):
+    # the stage layer is only a prerequisite for stage/twin extension;
+    # full-job pair extension works on a --skip-stages artifact too
+    if (args.extend_stages or args.remeasure_twins) and str(level) not in summary.get(
+        "stage_raw", {}
+    ):
         print(f"no stage_raw[{level}] in artifact; nothing to extend")
         return 1
 
