@@ -644,39 +644,50 @@ def extend_stages(args) -> int:
             for k in runs[0]
         }
 
-    # recompute per-level capability (min over ALL reps) + verdict
-    best: dict[int, dict] = {}
-    for cpus in (lo, hi):
-        runs = summary["stage_raw"][str(cpus)]["runs"]
-        best[cpus] = {
-            k: min(r["stages"][k] for r in runs) for k in runs[0]["stages"]
-        }
-        summary["stage_raw"][str(cpus)]["stages"] = best[cpus]
+    # recompute per-level capability (min over ALL reps) + verdict.
+    # A --skip-stages artifact has no stage layer: keep its stage
+    # fields as-is (empty/None) and let the raw basis carry the
+    # verdict, exactly as main() does.
     twins = {
         k: {int(n): v for n, v in d.items()}
         for k, d in summary["host_twins"].items()
     }
     gemm_speedup = twins["gemm_gflops"][hi] / max(twins["gemm_gflops"][lo], 1e-9)
     string_speedup = twins["string_mops"][hi] / max(twins["string_mops"][lo], 1e-9)
+    best: dict[int, dict] = {}
     stage_rows = []
-    slo, shi = best[lo], best[hi]
-    for name in DP_STAGES + SB_STAGES:
-        sp = slo[name] / max(shi[name], 1e-9)
-        host_sp = string_speedup if name in ("rules", "select") else gemm_speedup
-        stage_rows.append({
-            "stage": name,
-            "class": "data-parallel" if name in DP_STAGES else "sample-bounded",
-            f"t{lo}": slo[name], f"t{hi}": shi[name],
-            "speedup": round(sp, 2),
-            "efficiency": round(sp / factor, 3),
-            "host_twin_speedup": round(host_sp, 2),
-            "host_relative_eff": round(sp / host_sp, 3),
-        })
-    dp_lo = sum(slo[k] for k in DP_STAGES)
-    dp_hi = sum(shi[k] for k in DP_STAGES)
-    dp_eff = (dp_lo / dp_hi) / factor
-    summary["data_parallel_efficiency"] = round(dp_eff, 3)
-    summary["stage_rows"] = stage_rows
+    dp_eff = None
+    have_stages = all(
+        summary.get("stage_raw", {}).get(str(c), {}).get("runs")
+        for c in (lo, hi)
+    )
+    if have_stages:
+        for cpus in (lo, hi):
+            runs = summary["stage_raw"][str(cpus)]["runs"]
+            best[cpus] = {
+                k: min(r["stages"][k] for r in runs) for k in runs[0]["stages"]
+            }
+            summary["stage_raw"][str(cpus)]["stages"] = best[cpus]
+        slo, shi = best[lo], best[hi]
+        for name in DP_STAGES + SB_STAGES:
+            sp = slo[name] / max(shi[name], 1e-9)
+            host_sp = string_speedup if name in ("rules", "select") else gemm_speedup
+            stage_rows.append({
+                "stage": name,
+                "class": "data-parallel" if name in DP_STAGES else "sample-bounded",
+                f"t{lo}": slo[name], f"t{hi}": shi[name],
+                "speedup": round(sp, 2),
+                "efficiency": round(sp / factor, 3),
+                "host_twin_speedup": round(host_sp, 2),
+                "host_relative_eff": round(sp / host_sp, 3),
+            })
+        dp_lo = sum(slo[k] for k in DP_STAGES)
+        dp_hi = sum(shi[k] for k in DP_STAGES)
+        dp_eff = (dp_lo / dp_hi) / factor
+        summary["data_parallel_efficiency"] = round(dp_eff, 3)
+        summary["stage_rows"] = stage_rows
+    else:
+        stage_rows = summary.get("stage_rows", [])
 
     valid_effs = [
         e for e, v in zip(summary["pair_efficiencies"], summary["pair_valid"]) if v
@@ -695,7 +706,7 @@ def extend_stages(args) -> int:
         "raw_gated_pair_median": round(statistics.median(valid_effs), 3)
         if valid_effs else None,
         "raw_pass": raw_pass,
-        "dp_aggregate_efficiency": round(dp_eff, 3),
+        "dp_aggregate_efficiency": round(dp_eff, 3) if dp_eff is not None else None,
         "dp_aggregate_pass": dp_agg_pass,
         "host_relative_dp_efficiencies": {
             r["stage"]: r["host_relative_eff"] for r in dp_rows
@@ -710,16 +721,17 @@ def extend_stages(args) -> int:
                   else ("host-relative" if host_rel_pass else "fail"))
         ),
     })
-    n_ext = sum(
-        1 for r in summary["stage_raw"][str(level)]["runs"]
-        if r.get("extension_rep")
-    )
-    summary["stage_extension"] = {
-        "level": level,
-        "extra_reps": n_ext,
-        "note": "per-stage MIN over all disclosed reps; extensions can "
-                "only lower a level's capability estimate",
-    }
+    if have_stages:
+        n_ext = sum(
+            1 for r in summary["stage_raw"][str(level)]["runs"]
+            if r.get("extension_rep")
+        )
+        summary["stage_extension"] = {
+            "level": level,
+            "extra_reps": n_ext,
+            "note": "per-stage MIN over all disclosed reps; extensions can "
+                    "only lower a level's capability estimate",
+        }
     with open(path, "w") as f:
         json.dump(summary, f, indent=2)
 
@@ -731,7 +743,7 @@ def extend_stages(args) -> int:
 
     write_baseline_md(_A, summary, twins, stage_rows)
     print(json.dumps({"north_rule": nr,
-                      "dp_eff": round(dp_eff, 3),
+                      "dp_eff": round(dp_eff, 3) if dp_eff is not None else None,
                       "stage_mins": {str(k): best[k] for k in best}}))
     return 0
 
