@@ -1,0 +1,100 @@
+"""Benchmark decontamination: drop training documents that contain
+any word n-gram from a held-out evaluation set.
+
+The standard LLM-pipeline step (GPT-3 appendix C / The Pile: 13-gram
+overlap removal) that none of the dedup operators cover: dedup
+compares the corpus against ITSELF; decontamination compares it
+against a small external benchmark. Reference analog: DS2 curates by
+per-sample quality scores (LLM_scoring/); leakage removal is the
+complementary hygiene step any 10^12-clip training corpus needs
+before the quality filter's keep/drop verdict is trusted.
+
+Spark shape — the benchmark side is tiny by nature (benchmarks are
+thousands of documents, the corpus is trillions), so its distinct
+n-gram keys BROADCAST: the corpus-side explode never shuffles, each
+partition probes the broadcast hash set locally, and the only
+wide op is the distinct/count per contaminated doc_id (ids only,
+already tiny). Keys are the first 16 hex chars of md5(gram) — 64
+bits, birthday-safe for benchmark-scale key sets, engine-portable
+(identical strings in Spark, DuckDB, Python), and they cap key width
+for long n-grams.
+
+Normalization (mirrored by the contract oracle): words = lowercased
+split on whitespace, empties dropped; an n-gram is n consecutive
+words joined by single spaces. A document with fewer than n words
+has no n-grams and can never be contaminated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def ngram_keys(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, key) for every distinct word n-gram of every document.
+    sequence(1, m) with m < 1 would descend (Spark picks step -1), so
+    short docs get an explicit empty array."""
+    grams = F.when(
+        F.size(F.col("_w")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(_w) - {n - 1}), "
+            f"i -> array_join(slice(_w, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
+        .select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(F.col(id_col), F.substring(F.md5("_g"), 1, 16).alias("key"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """(id_col, n_hits) for every training doc sharing >= 1 word
+    n-gram with the benchmark; n_hits = distinct shared n-grams.
+    Benchmark keys broadcast; corpus grams never shuffle."""
+    bench_keys = ngram_keys(
+        benchmark,
+        bench_id_col or id_col,
+        bench_text_col or text_col,
+        n,
+    ).select("key").distinct()
+    doc_keys = ngram_keys(docs, id_col, text_col, n)
+    return (
+        doc_keys.join(F.broadcast(bench_keys), "key")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    **kwargs,
+) -> DataFrame:
+    """Training corpus minus every document the report flags — one
+    broadcast probe + one ids-only anti-join."""
+    hits = contamination_report(
+        docs, benchmark, id_col=id_col, text_col=text_col, n=n, **kwargs
+    )
+    return docs.join(hits.select(id_col), id_col, "left_anti")

@@ -1004,6 +1004,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): training
+    docs sharing any word 5-gram with a held-out benchmark — here the
+    deterministic doc_id % 37 == 0 subset plays the benchmark, and
+    the corpus's built-in near-dups make two NON-benchmark docs
+    genuinely contaminated. Benchmark n-gram keys broadcast (64-bit
+    md5-prefix keys, identical strings in both engines); the corpus
+    explode never shuffles; the report is ids-only."""
+    from .operators.decontam import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return contamination_report(docs, bench, n=5).orderBy("doc_id")
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style intra-document repetition quality filter
     (operators/repetition.py): duplicate-line fraction, duplicate-line
@@ -1097,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_stratified_sample": q_stratified_sample,
         "q_repetition_filter": q_repetition_filter,
+        "q_decontaminate": q_decontaminate,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1711,6 +1727,28 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# same lowercase/split/5-gram/md5-prefix normalization, benchmark =
+# doc_id % 37 == 0, recomputed natively (list slice + comprehension)
+ORACLE_SQL["q_decontaminate"] = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             substr(md5(unnest([array_to_string(w[i:i+4], ' ')
+                                FOR i IN generate_series(1, greatest(len(w) - 4, 0))])),
+                    1, 16) AS key
+      FROM w
+    ),
+    bg AS (SELECT DISTINCT key FROM dg WHERE doc_id % 37 = 0)
+    SELECT doc_id, count(*) AS n_hits
+    FROM dg JOIN bg USING (key)
+    GROUP BY 1 ORDER BY 1
 """
 
 # same 2-word pseudo-line rewrite, then the Gopher repetition math
