@@ -1004,6 +1004,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-3 keywords (operators/tfidf.py):
+    corpus-global document frequency joined back onto per-doc term
+    counts, smoothed-idf scores rounded to 6 dp for engine
+    portability, deterministic (score desc, term asc) ranking."""
+    from .operators.tfidf import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): training
     docs sharing any word 5-gram with a held-out benchmark — here the
@@ -1113,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1727,6 +1739,33 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# same tokenization + sklearn smooth-idf formula recomputed natively;
+# both engines round scores to 6 dp BEFORE ranking so last-ulp ln()
+# differences can affect neither values nor order
+ORACLE_SQL["q_tfidf_top_terms"] = r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dfr USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 # same lowercase/split/5-gram/md5-prefix normalization, benchmark =

@@ -147,3 +147,32 @@ def test_repetition_features_hand_computed(spark):
         ) == (0.0, 0.0, 0.0, 1)
     assert rows[3]["n_lines"] == 0
     assert rows[4]["n_lines"] == 1
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """Smoothed TF-IDF against hand-derived values (N=3, ln-based,
+    6-dp rounding) with deterministic tie-breaks."""
+    import math
+
+    from ds2_spark.operators.tfidf import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana APPLE"),
+            (2, "banana cherry"),
+            (3, "durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    idf1 = math.log(4 / 2) + 1  # df=1
+    idf2 = math.log(4 / 3) + 1  # df=2
+    assert rows[(1, 1)] == ("apple", 2, 1, round(2 * idf1, 6))
+    assert rows[(1, 2)] == ("banana", 1, 2, round(idf2, 6))
+    assert rows[(2, 1)] == ("cherry", 1, 1, round(idf1, 6))
+    assert rows[(2, 2)] == ("banana", 1, 2, round(idf2, 6))
+    assert rows[(3, 1)] == ("durian", 3, 1, round(3 * idf1, 6))
+    assert (3, 2) not in rows  # single-term doc has one ranked row
