@@ -407,3 +407,88 @@ def decode_pcm(clips: DataFrame) -> DataFrame:
     return clips.select("clip_id", "bytes", "codec").mapInPandas(
         _op, schema="clip_id string, pcm array<float>"
     )
+
+
+AUDIO_SPECTRAL_SCHEMA = (
+    "clip_id string, decoded_ok boolean, centroid_hz double, "
+    "bandwidth_hz double, rolloff_hz double, flatness double"
+)
+
+
+def audio_spectral_features(
+    clips: DataFrame,
+    rolloff_frac: float = 0.85,
+) -> DataFrame:
+    """Per-clip spectral shape features via one rFFT per clip — the
+    frequency-domain complement to audio_features' time-domain set
+    (same Spark shape: pruned scan -> mapInPandas -> small keyed
+    output; bytes never shuffle, one Arrow batch in, one out).
+
+      centroid_hz    power-weighted mean frequency — dull vs bright
+      bandwidth_hz   sqrt(power-weighted variance around centroid)
+      rolloff_hz     frequency below which rolloff_frac of the power
+                     lies — band-limit / low-bitrate-transcode detector
+      flatness       geometric/arithmetic mean of the power spectrum
+                     (Wiener entropy, 0=tonal .. 1=white noise) —
+                     static/hum detector
+
+    DC is excluded from every statistic (a constant offset says
+    nothing about spectral shape). Silent or undecodable clips report
+    decoded_ok with zeroed features. NumPy-vectorized per clip; no
+    SciPy dependency (np.fft.rfft only).
+    """
+    pruned = clips.select("clip_id", "bytes", "sr_hz", "codec")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            cen = np.zeros(n, dtype=np.float64)
+            bwi = np.zeros(n, dtype=np.float64)
+            rof = np.zeros(n, dtype=np.float64)
+            fla = np.zeros(n, dtype=np.float64)
+            for i, (b, sr, codec) in enumerate(
+                zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"])
+            ):
+                dec = _DECODERS.get(codec)
+                if dec is None or b is None:
+                    continue
+                try:
+                    pcm = dec(b)
+                except (ValueError, IndexError):
+                    continue
+                if len(pcm) < 4:
+                    continue
+                ok[i] = True
+                spec = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+                power = spec[1:]  # exclude DC
+                total = float(power.sum())
+                if total <= 0.0:
+                    continue  # silence: ok, zeroed features
+                freqs = np.fft.rfftfreq(len(pcm), d=1.0 / max(int(sr), 1))[1:]
+                p = power / total
+                c = float(np.dot(p, freqs))
+                cen[i] = c
+                bwi[i] = float(np.sqrt(np.dot(p, (freqs - c) ** 2)))
+                cum = np.cumsum(p)
+                # float-sum error can leave cum[-1] just under the
+                # target for rolloff_frac ~ 1.0; clamp to the last bin
+                ridx = min(int(np.searchsorted(cum, rolloff_frac)), len(freqs) - 1)
+                rof[i] = float(freqs[ridx])
+                # flatness on the normalized spectrum (scale-free)
+                fla[i] = float(
+                    np.exp(np.mean(np.log(np.maximum(p, 1e-300))))
+                    / np.mean(p)
+                )
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ok,
+                    "centroid_hz": cen,
+                    "bandwidth_hz": bwi,
+                    "rolloff_hz": rof,
+                    "flatness": fla,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_SPECTRAL_SCHEMA)

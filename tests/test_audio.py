@@ -275,3 +275,63 @@ def test_audio_neardup_pairs_matches_allpairs_twin(spark):
         ids = sorted(f"g{gidx:02d}v{v}" for v in range(3))
         for a, b in combinations(ids, 2):
             assert (a, b) in got, (a, b)
+
+
+def test_audio_spectral_features(spark):
+    """Spectral features against analytic expectations AND a direct
+    NumPy recomputation of the exact operator math.
+
+    A pure sine at f0 concentrates all non-DC power in one rFFT bin:
+    centroid == rolloff == f0, bandwidth ~ 0, flatness ~ 0. White-ish
+    uniform noise spreads power: flatness near 1, centroid near the
+    power-weighted mid-band.
+    """
+    from ds2_spark.operators.audio import audio_spectral_features
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64)
+    f0 = 1000  # exact bin for a 1-s clip (bin width = 1 Hz)
+    sine = 0.5 * np.sin(2 * np.pi * f0 * t / sr)
+    rng = np.random.default_rng(7)
+    noise = rng.uniform(-0.5, 0.5, sr)
+    to_pcm = lambda s: bytearray(  # noqa: E731
+        np.clip(s * 32767, -32767, 32767).astype(np.int16).tobytes()
+    )
+    df = spark.createDataFrame(
+        [
+            ("sine", to_pcm(sine), sr, "pcm_s16le"),
+            ("noise", to_pcm(noise), sr, "pcm_s16le"),
+            ("dead", bytearray(np.zeros(sr, np.int16).tobytes()), sr, "pcm_s16le"),
+            ("bad", bytearray(b"\x00"), sr, "nocodec"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    out = {r["clip_id"]: r for r in audio_spectral_features(df).collect()}
+
+    s = out["sine"]
+    assert s["decoded_ok"]
+    assert abs(s["centroid_hz"] - f0) < 2.0
+    assert s["bandwidth_hz"] < 20.0
+    assert abs(s["rolloff_hz"] - f0) < 2.0
+    assert s["flatness"] < 0.01
+
+    n = out["noise"]
+    assert n["flatness"] > 0.3
+    assert 1500 < n["centroid_hz"] < 2500  # mid-band for flat power
+    assert n["rolloff_hz"] > 3000
+
+    d = out["dead"]
+    assert d["decoded_ok"] and d["centroid_hz"] == 0.0 and d["flatness"] == 0.0
+    assert not out["bad"]["decoded_ok"]
+
+    # exact parity with a direct NumPy recomputation (same formulas,
+    # independent code path straight off the int16 buffer)
+    pcm = np.frombuffer(bytes(to_pcm(noise)), dtype=np.int16).astype(
+        np.float64
+    ) / 32768.0
+    spec = np.abs(np.fft.rfft(pcm)) ** 2
+    p = spec[1:] / spec[1:].sum()
+    freqs = np.fft.rfftfreq(len(pcm), d=1.0 / sr)[1:]
+    c = float(np.dot(p, freqs))
+    assert abs(n["centroid_hz"] - c) < 1e-6
+    assert abs(n["bandwidth_hz"] - float(np.sqrt(np.dot(p, (freqs - c) ** 2)))) < 1e-6
