@@ -51,6 +51,9 @@ HEADLINE = [
     "q_asof_join",
     "q_sessionize",
     "q_stratified_sample",
+    "q_repetition_filter",
+    "q_decontaminate",
+    "q_tfidf_top_terms",
     "flagship",
 ]
 
