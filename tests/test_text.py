@@ -176,3 +176,30 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert rows[(2, 2)] == ("banana", 1, 2, round(idf2, 6))
     assert rows[(3, 1)] == ("durian", 3, 1, round(3 * idf1, 6))
     assert (3, 2) not in rows  # single-term doc has one ranked row
+
+
+def test_text_operators_tolerate_null_text(spark):
+    """NULL transcripts exist in real corpora: every text operator
+    must degrade to 'no content' semantics, never throw."""
+    from ds2_spark.operators.decontam import (
+        contamination_report,
+        decontaminate,
+    )
+    from ds2_spark.operators.repetition import repetition_features
+    from ds2_spark.operators.tfidf import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert rep[1]["n_lines"] == 0 and rep[1]["rep_keep"] == 1
+
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    assert [r["doc_id"] for r in contamination_report(docs, bench, n=5).collect()] == [2]
+    assert sorted(r["doc_id"] for r in decontaminate(docs, bench, n=5).collect()) == [1]
+
+    tf = tfidf_top_terms(docs, k=2).collect()
+    assert {r["doc_id"] for r in tf} == {2}  # null doc has no terms
+    # N counts the null-text doc: idf = ln((2+1)/(1+1)) + 1
+    import math
+    assert tf[0]["score"] == round(math.log(3 / 2) + 1, 6)
