@@ -183,3 +183,73 @@ def session_stats(
             (F.max(us) - F.min(us)).alias("span_us"),
         )
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_us: int = 3_600_000_000,
+    z_threshold: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """Time-series anomaly detection: per-key rolling z-score of each
+    value against the PRECEDING window_us of history (current row
+    excluded — an anomaly must not mask itself).
+
+    Output: (event_id, key_col, t_us, value, n_window, z, anomaly).
+    Rows with fewer than min_points of history get z=0, anomaly=0
+    (not enough evidence either way).
+
+    Spark shape: ONE shuffle on key_col, then a single Sort + Window
+    computing count/sum/sum-of-squares over a rangeBetween frame on
+    exact integer microseconds. Cross-engine exactness discipline
+    (same trick as q_tpch_q1's integer-cents aggregation): the frame
+    sums are taken over value CENTS (round(value*100) as BIGINT), so
+    every engine accumulates identical integers regardless of
+    summation order; mean/variance/z are then one fixed double
+    expression over those integers, and z is rounded to 6 dp. A
+    skewed hot key bounds at one partition per key — for truly hot
+    keys pre-split by time range (same frame, union the seams).
+    """
+    t_us = epoch_micros(events, ts_col)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = events.select(
+        "event_id",
+        F.col(key_col),
+        t_us.alias("t_us"),
+        F.col(value_col).alias("value"),
+        cents.alias("_c"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("t_us")
+        .rangeBetween(-window_us, -1)
+    )
+    stats = base.select(
+        "event_id",
+        key_col,
+        "t_us",
+        "value",
+        "_c",
+        F.count("_c").over(w).alias("n_window"),
+        F.sum("_c").over(w).alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).over(w).alias("_ss"),
+    )
+    n = F.col("n_window").cast("double")
+    mean = F.col("_s") / n
+    var = F.col("_ss") / n - mean * mean
+    z = F.when(
+        (F.col("n_window") >= min_points) & (var > F.lit(1e-9)),
+        F.round((F.col("_c") - mean) / F.sqrt(var), 6),
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        "event_id",
+        key_col,
+        "t_us",
+        "value",
+        "n_window",
+        z.alias("z"),
+        (F.abs(z) > z_threshold).cast("int").alias("anomaly"),
+    )

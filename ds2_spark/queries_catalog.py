@@ -1004,6 +1004,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rolling z-score anomaly flags over the events stream
+    (operators/timeseries.rolling_zscore): each value scored against
+    the preceding hour of history, current row and same-microsecond
+    peers excluded. One shuffle on event_type, one Sort + Window with
+    exact integer-cents frame sums (count/sum/sum-of-squares), so the
+    DuckDB oracle accumulates identical integers and the final double
+    z expression matches bit-for-bit after 6-dp rounding."""
+    from .operators.timeseries import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_zscore(ev).orderBy("event_id")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF top-3 keywords (operators/tfidf.py):
     corpus-global document frequency joined back onto per-doc term
@@ -1125,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_rolling_zscore": q_rolling_zscore,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1739,6 +1754,41 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# same preceding-hour RANGE frame over exact integer micros + cents:
+# both engines sum identical integers (order-free), then the one
+# fixed double expression for mean/var/z matches bit-for-bit
+ORACLE_SQL["q_rolling_zscore"] = """
+    WITH b AS (
+      SELECT event_id, event_type, epoch_us(ts) AS t_us, value,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, event_type, t_us, value, c,
+             count(c) OVER w AS n_window,
+             CAST(sum(c) OVER w AS DOUBLE) AS sm,
+             CAST(sum(c * c) OVER w AS DOUBLE) AS ss
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY t_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+    ),
+    m AS (
+      SELECT *, sm / n_window AS mean,
+             ss / n_window - (sm / n_window) * (sm / n_window) AS var
+      FROM s WHERE n_window > 0
+      UNION ALL
+      SELECT *, NULL, NULL FROM s WHERE n_window = 0
+    )
+    SELECT event_id, event_type, t_us, value, n_window,
+           CASE WHEN n_window >= 5 AND var > 1e-9
+                THEN round((c - mean) / sqrt(var), 6)
+                ELSE 0.0 END AS z,
+           CAST(CASE WHEN n_window >= 5 AND var > 1e-9
+                     THEN abs(round((c - mean) / sqrt(var), 6)) > 3.0
+                     ELSE FALSE END AS INT) AS anomaly
+    FROM m ORDER BY event_id
 """
 
 # same tokenization + sklearn smooth-idf formula recomputed natively;

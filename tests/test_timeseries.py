@@ -185,3 +185,51 @@ def test_session_stats_consistency(spark):
     assert got_counts == dict(want_counts)
     for r in stats:
         assert r["span_us"] == r["end_us"] - r["start_us"] >= 0
+
+
+def test_rolling_zscore_hand_series(spark):
+    """z-scores vs an independent NumPy recomputation on a hand-built
+    series; min-points gating, zero-variance gating, same-timestamp
+    peer exclusion, and the anomaly flag."""
+    from ds2_spark.operators.timeseries import rolling_zscore
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    vals = [10.0, 12.0, 10.0, 12.0, 10.0, 12.0, 30.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "a", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    # second key with too little history: all z = 0
+    rows += [
+        (100 + i, t0 + dt.timedelta(minutes=i), 1, "b", 5.0, "{}")
+        for i in range(3)
+    ]
+    # tie pair on key 'c': same microsecond, peers exclude each other
+    rows += [
+        (200, t0, 1, "c", 1.0, "{}"),
+        (201, t0, 1, "c", 2.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["event_id"]: r for r in rolling_zscore(ev).collect()}
+
+    cents = [round(v * 100) for v in vals]
+    for i in range(7):
+        r = out[i]
+        assert r["n_window"] == i
+        hist = np.array(cents[:i], dtype=np.float64)
+        if i < 5 or hist.var() <= 1e-9:
+            exp = 0.0
+        else:
+            exp = round((cents[i] - hist.mean()) / hist.std(), 6)
+        assert r["z"] == exp, (i, r["z"], exp)
+        assert r["anomaly"] == int(abs(exp) > 3.0)
+    assert out[6]["anomaly"] == 1  # the 30.0 outlier fires
+    assert sum(out[i]["anomaly"] for i in range(6)) == 0
+
+    for i in range(3):
+        assert out[100 + i]["z"] == 0.0 and out[100 + i]["anomaly"] == 0
+    assert out[200]["n_window"] == 0 and out[201]["n_window"] == 0
