@@ -94,3 +94,42 @@ def rule_decisions(
     return df.withColumn("reason", reason).withColumn(
         "keep_rules", F.col("reason") == "candidate"
     )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    sum_cols: dict[str, str],
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: groupBy(keys + salt)
+    partial-aggregates, then groupBy(keys) merges the partials.
+
+    A hot key that would land its entire row mass on one reducer is
+    split across salt_buckets reducers in phase 1; phase 2 then moves
+    at most |keys| x salt_buckets pre-aggregated rows regardless of
+    row skew. The salt must be high-cardinality WITHIN a key or it
+    splits nothing: pass an id-like column via `salt_on`; the default
+    hashes every column of the row (deterministic, no RNG, so the
+    plan stays resume-stable). Output is exactly plain
+    groupBy(keys).sum(...). For simple sums Spark's own map-side
+    combine already bounds the shuffle — the operator's value is the
+    PATTERN (phase-1 key widening) that also rescues combiner-hostile
+    aggregates (collect_list, exact distinct buffers, percentile
+    state) where partial aggregation cannot shrink the hot key.
+
+    sum_cols: {output_name: input_col}, summed exactly (use integer
+    cents for money so the two-phase regroup is order-free)."""
+    salt_src = (
+        F.col(salt_on) if salt_on
+        else F.hash(*[F.col(c) for c in df.columns])
+    )
+    phase1 = (
+        df.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(salt_buckets)))
+        .groupBy(*key_cols, "_salt")
+        .agg(*[F.sum(src).alias(out) for out, src in sum_cols.items()])
+    )
+    return phase1.groupBy(*key_cols).agg(
+        *[F.sum(out).alias(out) for out in sum_cols]
+    )

@@ -1004,6 +1004,29 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (plans/pipeline.salted_agg):
+    groupBy(event_type + salt-of-event_id) partial sums, then a merge
+    groupBy(event_type) that moves at most |types| x 16 rows however
+    hot a type is. The oracle is a plain salt-blind GROUP BY — the
+    whole point is that salting is invisible in the result. Integer
+    cents keep the two-phase regroup order-free."""
+    from .plans.pipeline import salted_aggregate
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {"total_cents": "cents", "n_events": "one"},
+        salt_on="event_id",
+    )
+    return out.orderBy("event_type")
+
+
 def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type rolling z-score anomaly flags over the events stream
     (operators/timeseries.rolling_zscore): each value scored against
@@ -1140,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_rolling_zscore": q_rolling_zscore,
+        "q_salted_agg": q_salted_agg,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1754,6 +1778,15 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# salt-blind plain GROUP BY: salting must be invisible in the result
+ORACLE_SQL["q_salted_agg"] = """
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           count(*) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1
 """
 
 # same preceding-hour RANGE frame over exact integer micros + cents:

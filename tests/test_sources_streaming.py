@@ -307,3 +307,34 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     )
     assert got == exp
     assert len(got) == src.count()  # replay added nothing
+
+
+def test_salted_aggregate_equals_plain_groupby(spark):
+    """Salting is invisible in results — including on a pathologically
+    hot key (90% of rows in one group) and with a NULL salt column."""
+    from ds2_spark.plans.pipeline import salted_aggregate
+
+    rows = [(i, "hot" if i % 10 else "cold", i % 97) for i in range(2000)]
+    rows.append((None, "hot", 5))  # null salt_on column
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+
+    df1 = df.withColumn("one", F.lit(1).cast("long"))
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_aggregate(
+            df1, ["k"], {"total": "v", "n": "one"}, salt_on="id"
+        ).collect()
+    }
+    exp = {
+        r["k"]: (r["total"], r["n"])
+        for r in df1.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.sum("one").alias("n"))
+        .collect()
+    }
+    assert got == exp
+    # default salt (hash of all columns) also matches
+    got2 = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_aggregate(df1, ["k"], {"total": "v", "n": "one"}).collect()
+    }
+    assert got2 == exp
