@@ -1004,6 +1004,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style character-entropy quality signal
+    (functions/entropy.char_entropy): Shannon bits/char per document
+    via the char-granularity word-count shape — map-side combine
+    bounds the (doc, char) shuffle by the alphabet size per
+    partition. 6-dp rounding absorbs cross-engine float-sum order."""
+    from .functions.entropy import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (plans/pipeline.salted_agg):
     groupBy(event_type + salt-of-event_id) partial sums, then a merge
@@ -1164,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_rolling_zscore": q_rolling_zscore,
         "q_salted_agg": q_salted_agg,
+        "q_char_entropy": q_char_entropy,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1777,6 +1789,30 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src7' THEN 250
                      WHEN 'src12' THEN 100
                      ELSE 50 END
+    ORDER BY doc_id
+"""
+
+# same char counts (empty tokens dropped on both sides) + the same
+# -sum(p*log2 p) expression rounded to 6 dp
+ORACLE_SQL["q_char_entropy"] = """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, c, count(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2
+    ),
+    np AS (SELECT doc_id, sum(cnt) AS n_chars FROM cc GROUP BY 1),
+    e AS (
+      SELECT cc.doc_id, np.n_chars,
+             round(-sum((CAST(cnt AS DOUBLE) / n_chars)
+                        * log2(CAST(cnt AS DOUBLE) / n_chars)), 6)
+               AS entropy_bits
+      FROM cc JOIN np USING (doc_id) GROUP BY 1, 2
+    )
+    SELECT d.doc_id, CAST(coalesce(e.n_chars, 0) AS BIGINT) AS n_chars,
+           coalesce(e.entropy_bits, 0.0) AS entropy_bits
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN e USING (doc_id)
     ORDER BY doc_id
 """
 

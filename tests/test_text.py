@@ -203,3 +203,53 @@ def test_text_operators_tolerate_null_text(spark):
     # N counts the null-text doc: idf = ln((2+1)/(1+1)) + 1
     import math
     assert tf[0]["score"] == round(math.log(3 / 2) + 1, 6)
+
+
+def test_char_entropy_and_compression_ratio(spark):
+    """Entropy against closed-form values (uniform k-symbol text has
+    exactly log2(k) bits); compression ratio against direct zlib."""
+    import zlib
+
+    from ds2_spark.functions.entropy import (
+        char_entropy,
+        compression_ratio_udf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),        # 0 bits
+            (2, "abab"),        # 1 bit
+            (3, "abcd"),        # 2 bits
+            (4, None),
+            (5, ""),
+            (6, "aab"),         # -2/3*log2(2/3) - 1/3*log2(1/3)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert (rows[1]["n_chars"], rows[1]["entropy_bits"]) == (4, 0.0)
+    assert (rows[2]["n_chars"], rows[2]["entropy_bits"]) == (4, 1.0)
+    assert (rows[3]["n_chars"], rows[3]["entropy_bits"]) == (4, 2.0)
+    for d in (4, 5):
+        assert (rows[d]["n_chars"], rows[d]["entropy_bits"]) == (0, 0.0)
+    import math
+    exp6 = round(-(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3), 6)
+    assert rows[6]["entropy_bits"] == exp6
+
+    texts = ["x" * 5000, "the quick brown fox jumps over the lazy dog", "", None]
+    out = (
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        .select("i", compression_ratio_udf("text").alias("r"))
+        .collect()
+    )
+    got = {r["i"]: r["r"] for r in out}
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] == 1.0
+        else:
+            raw = t.encode()
+            assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
+    assert got[0] < 0.01  # pure repetition crushes
+    assert got[1] > 0.8   # short natural text barely compresses
