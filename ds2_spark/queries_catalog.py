@@ -1004,6 +1004,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking + deterministic sequence packing
+    (operators/chunking.py): 16-token chunks with 4-token overlap,
+    greedily packed into ~64-token bins by running-sum start position
+    (global order here — bounded contract input; keyed at scale).
+    Every boundary is integer arithmetic mirrored in the oracle."""
+    from .operators.chunking import chunk_documents, pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    return pack_chunks(ch, budget_tokens=64).orderBy("doc_id", "chunk_idx")
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style character-entropy quality signal
     (functions/entropy.char_entropy): Shannon bits/char per document
@@ -1176,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_zscore": q_rolling_zscore,
         "q_salted_agg": q_salted_agg,
         "q_char_entropy": q_char_entropy,
+        "q_chunk_pack": q_chunk_pack,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1790,6 +1804,45 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# identical integer chunk/pack math: n_chunks = floor((max(n-4,1)+11)
+# / 12), slice bounds clamp the same way, running-sum ROWS frame over
+# the unique (doc_id, chunk_idx) order
+ORACLE_SQL["q_chunk_pack"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    ch AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(
+               0, CAST(floor((greatest(n - 4, 1) + 11) / 12.0) AS INT) - 1))
+               AS chunk_idx
+      FROM nz
+    ),
+    c2 AS (
+      SELECT doc_id, chunk_idx,
+             t[chunk_idx * 12 + 1 : chunk_idx * 12 + 16] AS ct
+      FROM ch
+    ),
+    c3 AS (
+      SELECT doc_id, chunk_idx, CAST(len(ct) AS INT) AS n_tokens,
+             array_to_string(ct, ' ') AS chunk_text
+      FROM c2
+    ),
+    p AS (
+      SELECT *, sum(n_tokens) OVER (
+        ORDER BY doc_id, chunk_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c3
+    )
+    SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+           CAST(floor((cum - n_tokens) / 64.0) AS INT) AS bin,
+           CAST((cum - n_tokens) % 64 AS INT) AS bin_offset
+    FROM p ORDER BY doc_id, chunk_idx
 """
 
 # same char counts (empty tokens dropped on both sides) + the same
