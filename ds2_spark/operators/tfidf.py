@@ -72,3 +72,75 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval of documents for a small query set.
+
+    Output: (query_id, doc_id, score, rank), rank 1..k per query by
+    (score desc, doc_id asc). Lucene's positive smoothed idf:
+    ln((N - df + 0.5) / (df + 0.5) + 1); term weight
+    idf * tf / (tf + k1 * (1 - b + b * dl/avgdl)); repeated query
+    terms count once (standard bag-of-unique-terms query model).
+
+    Spark shape: the query side is tiny by nature (a query workload,
+    not a table), so its distinct (query_id, term) pairs BROADCAST
+    onto the corpus term index — the corpus-side tf table shuffles
+    only on its own aggregations, and the scored join emits
+    (query, doc) partial weights that one groupBy reduces. N, df,
+    dl, and the corpus length total are exact integers, so the one
+    fixed double expression matches any engine bit-for-bit after the
+    6-dp rounding applied BEFORE ranking (same discipline as
+    tfidf_top_terms).
+    """
+    words = lambda c: F.filter(  # noqa: E731
+        F.split(F.lower(c), r"\s+"), lambda x: x != F.lit("")
+    )
+    doc_terms = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = doc_terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = doc_terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    n_docs = docs.select(id_col).distinct().count()
+    total_len = dl.agg(F.sum("dl")).collect()[0][0] or 0
+    # exact-integer inputs; the double division happens once, in the
+    # same form, in every engine
+    avgdl = F.lit(float(total_len)) / F.lit(float(max(n_docs, 1)))
+
+    q_terms = queries.select(
+        F.col(query_id_col),
+        F.explode(words(F.col(query_text_col))).alias("term"),
+    ).distinct()
+
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    weight = idf * F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(q_terms), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(df_.join(F.broadcast(q_terms.select("term").distinct()), "term")), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(weight), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

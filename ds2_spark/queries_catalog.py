@@ -1004,6 +1004,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    ("q1", "table scan"),
+    ("q2", "fast vector batch"),
+    ("q3", "customer order value"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 retrieval (operators/tfidf.bm25_topk) for a
+    literal 3-query workload over the documents corpus: query terms
+    broadcast onto the corpus term index, exact-integer tf/df/dl/N
+    inputs, one fixed double expression rounded to 6 dp before the
+    deterministic (score desc, doc_id asc) ranking."""
+    from .operators.tfidf import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return bm25_topk(docs, qs, k=5).orderBy("query_id", "rank")
+
+
 def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking + deterministic sequence packing
     (operators/chunking.py): 16-token chunks with 4-token overlap,
@@ -1190,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_agg": q_salted_agg,
         "q_char_entropy": q_char_entropy,
         "q_chunk_pack": q_chunk_pack,
+        "q_bm25_topk": q_bm25_topk,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1804,6 +1825,58 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# identical Lucene-smoothed BM25 with exact-integer tf/df/dl/N and
+# the same operator-for-operator double expression, rounded to 6 dp
+# before ranking; the query workload is the same literal VALUES list
+ORACLE_SQL["q_bm25_topk"] = r"""
+    WITH qs(query_id, query_text) AS (
+      VALUES ('q1', 'table scan'), ('q2', 'fast vector batch'),
+             ('q3', 'customer order value')
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
+             CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+               / CAST(count(DISTINCT doc_id) AS DOUBLE) AS avgdl
+      FROM documents
+    ),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(list_filter(regexp_split_to_array(lower(query_text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM qs
+    ),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln((stats.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+               * tf.tf
+               / (tf.tf + 1.2 * (1.0 - 0.75 + (0.75 * dl.dl) / stats.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN qt USING (term)
+      JOIN dl USING (doc_id)
+      JOIN dfr USING (term)
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 # identical integer chunk/pack math: n_chunks = floor((max(n-4,1)+11)

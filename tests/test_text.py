@@ -253,3 +253,54 @@ def test_char_entropy_and_compression_ratio(spark):
             assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
     assert got[0] < 0.01  # pure repetition crushes
     assert got[1] > 0.8   # short natural text barely compresses
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 against an independent Python recomputation on a 4-doc
+    corpus, plus ranking and absent-term behavior."""
+    import math
+
+    from ds2_spark.operators.tfidf import bm25_topk
+
+    corpus = {
+        1: "cat sat on the mat",
+        2: "cat cat cat",
+        3: "dog sat",
+        4: "unrelated words entirely here",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [("qa", "cat sat"), ("qb", "zebra")],
+        "query_id string, query_text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_topk(docs, qs, k=3).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {}
+    for t in toks.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+
+    def bm25(q, d, k1=1.2, b=0.75):
+        s = 0.0
+        for w in set(q.split()):
+            tf = toks[d].count(w)
+            if not tf:
+                continue
+            idf = math.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+            s += idf * tf / (tf + k1 * (1 - b + b * len(toks[d]) / avgdl))
+        return round(s, 6)
+
+    exp_scores = {d: bm25("cat sat", d) for d in corpus if bm25("cat sat", d) > 0}
+    order = sorted(exp_scores, key=lambda d: (-exp_scores[d], d))
+    exp = {
+        ("qa", d): (exp_scores[d], i + 1) for i, d in enumerate(order[:3])
+    }
+    assert got == exp  # zebra matches nothing; doc 4 never appears
