@@ -75,3 +75,38 @@ def test_pack_bins_hand_computed(spark):
 
     with pytest.raises(SparkRuntimeException, match="exceeds budget"):
         pack_chunks(ch, budget_tokens=32).collect()
+
+
+def test_chunk_reconstruction_property(spark):
+    """Property: dropping each chunk's first `overlap` tokens (except
+    chunk 0) and concatenating reconstructs the document exactly, for
+    a sweep of awkward lengths around every boundary."""
+    from ds2_spark.operators.chunking import chunk_documents
+
+    chunk_tokens, overlap = 16, 4
+    stride = chunk_tokens - overlap
+    lengths = sorted(
+        {1, 2, stride, stride + 1, chunk_tokens, chunk_tokens + 1,
+         2 * stride, 2 * stride + overlap, 50, 51, 52, 53, 100, 149}
+    )
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in lengths],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r[
+            "chunk_text"
+        ].split()
+    for n in lengths:
+        chunks = [by_doc[n][i] for i in range(len(by_doc[n]))]
+        rebuilt = list(chunks[0]) if chunks else []
+        for c in chunks[1:]:
+            assert c[:overlap] == rebuilt[-overlap:]  # overlap agrees
+            rebuilt.extend(c[overlap:])
+        assert rebuilt == [f"w{i}" for i in range(n)], n
+        assert all(len(c) <= chunk_tokens for c in chunks)
+        assert all(len(c) >= 1 for c in chunks)
