@@ -110,7 +110,10 @@ def bm25_topk(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
     )
     tf = doc_terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = doc_terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # doc length from the tf aggregate, not a second corpus explode:
+    # sum(tf) per doc == token count, and tf is both smaller and
+    # already partitioned by doc-side keys
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     n_docs = docs.select(id_col).distinct().count()
