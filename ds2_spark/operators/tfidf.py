@@ -109,10 +109,21 @@ def bm25_topk(
     doc_terms = docs.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
     )
-    tf = doc_terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # the term index (tf) feeds three consumers (dl, df, the scored
+    # join); Catalyst does not dedupe common subplans, so without
+    # materialization the corpus would be scanned+exploded once per
+    # consumer. A LAZY localCheckpoint computes the index on first
+    # use and every other branch reads the materialized blocks —
+    # corpus crosses the wire once, like every other index operator
+    # here. (On a real cluster, write the index to a table and query
+    # it many times; this bounds the one-shot path.)
+    tf = (
+        doc_terms.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     # doc length from the tf aggregate, not a second corpus explode:
-    # sum(tf) per doc == token count, and tf is both smaller and
-    # already partitioned by doc-side keys
+    # sum(tf) per doc == token count
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
 
