@@ -75,3 +75,52 @@ def mixture_weights(
     }
     top = max(raw.values()) if raw else 1.0
     return {s: (v / top if top > 0 else 0.0) for s, v in raw.items()}
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum: str,
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+) -> dict[str, float]:
+    """mT5/XLM-R-style temperature mixing: sampling probability per
+    stratum p_s ∝ n_s^alpha (alpha < 1 up-weights tail languages /
+    sources, alpha = 1 is proportional, alpha = 0 is uniform), scaled
+    to an expected output of target_frac * N rows, capped at rate 1
+    (pure downsampling). Driver-side cost is one tiny per-stratum
+    count row — the same bound as mixture_weights; membership itself
+    stays the shuffle-free hash_bucket filter.
+
+    Rates are rounded to 6 dp so the integer thresholds
+    floor(rate * den) match across engines despite pow() last-ulp
+    differences (the same portability discipline as the 6-dp scores
+    elsewhere)."""
+    counts = {
+        r[stratum]: r["n"]
+        for r in df.groupBy(stratum).agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    if not n_total:
+        return {}
+    weights = {s: float(n) ** alpha for s, n in counts.items()}
+    wsum = sum(weights.values())
+    budget = target_frac * n_total
+    return {
+        s: round(min(1.0, budget * (weights[s] / wsum) / counts[s]), 6)
+        for s in counts
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum: str,
+    id_col: str,
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+    den: int = 1_000_000,
+) -> DataFrame:
+    """stratified_sample driven by temperature_rates — the standard
+    multilingual/source-balancing resample as one deterministic,
+    shuffle-free filter."""
+    rates = temperature_rates(df, stratum, alpha=alpha, target_frac=target_frac)
+    return stratified_sample(df, stratum, id_col, rates, den=den)

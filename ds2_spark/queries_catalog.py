@@ -1004,6 +1004,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (operators/sampling.py):
+    per-source keep rates ∝ n^0.3 scaled to half the corpus (the
+    mT5/XLM-R multilingual balancing scheme), applied through the
+    deterministic md5-bucket membership — shuffle-free, RNG-free,
+    resume-stable. The oracle recomputes rates natively (pow + the
+    same 6-dp rounding) and the identical bucket, so membership is
+    verified row-exactly."""
+    from .operators.sampling import hash_bucket, temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_sample(docs, "source", "doc_id", alpha=0.3, target_frac=0.5)
+    return out.select(
+        "doc_id", "source", hash_bucket(F.col("doc_id")).alias("bucket")
+    ).orderBy("doc_id")
+
+
 _BM25_QUERIES = [
     ("q1", "table scan"),
     ("q2", "fast vector batch"),
@@ -1211,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_char_entropy": q_char_entropy,
         "q_chunk_pack": q_chunk_pack,
         "q_bm25_topk": q_bm25_topk,
+        "q_temperature_mix": q_temperature_mix,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1824,6 +1842,31 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src7' THEN 250
                      WHEN 'src12' THEN 100
                      ELSE 50 END
+    ORDER BY doc_id
+"""
+
+# same n^0.3 temperature rates (6-dp rounded), same md5 bucket, same
+# integer thresholds — membership verified row-exactly
+ORACLE_SQL["q_temperature_mix"] = """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                 sum(pow(n, 0.3)) AS wsum FROM c),
+    thr AS (
+      SELECT source,
+             CAST(floor(round(least(1.0,
+               (0.5 * total) * (pow(n, 0.3) / wsum) / n), 6) * 1000000)
+               AS BIGINT) AS thr
+      FROM c CROSS JOIN t
+    ),
+    b AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT b.doc_id, b.source, b.bucket
+    FROM b JOIN thr USING (source)
+    WHERE b.bucket < thr.thr
     ORDER BY doc_id
 """
 

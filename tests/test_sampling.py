@@ -77,3 +77,49 @@ def test_mixture_weights_hits_target_ratios(spark):
     # md5 uniformity: expect ~1000 of each (binomial, sd ~26 for s1)
     assert counts["s0"] == 1000
     assert abs(counts["s1"] - 1000) < 120
+
+
+def test_temperature_rates_and_sample(spark):
+    """alpha<1 up-weights the tail; alpha=1 is exactly proportional
+    (every rate == target_frac); membership equals a manual bucket
+    filter with the recomputed thresholds."""
+    from ds2_spark.operators.sampling import (
+        hash_bucket,
+        temperature_rates,
+        temperature_sample,
+    )
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    r = temperature_rates(df, "source", alpha=0.3, target_frac=0.5)
+    wb, ws = 800 ** 0.3, 200 ** 0.3
+    assert r["big"] == round(500 * (wb / (wb + ws)) / 800, 6)
+    assert r["small"] == round(500 * (ws / (wb + ws)) / 200, 6)
+    assert r["small"] > r["big"]  # tail up-weighted
+
+    r1 = temperature_rates(df, "source", alpha=1.0, target_frac=0.5)
+    assert r1 == {"big": 0.5, "small": 0.5}  # proportional == flat
+
+    kept = {
+        x["doc_id"]
+        for x in temperature_sample(
+            df, "source", "doc_id", alpha=0.3, target_frac=0.5
+        ).collect()
+    }
+    buckets = {
+        x["doc_id"]: x["b"]
+        for x in df.select(
+            "doc_id", hash_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    exp = {
+        i: b
+        for (i, src), b in zip(rows, [buckets[i] for i, _ in rows])
+    }
+    manual = {
+        i
+        for i, src in rows
+        if buckets[i] < int(r["big" if src == "big" else "small"] * 1_000_000)
+    }
+    assert kept == manual
