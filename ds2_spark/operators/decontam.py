@@ -98,3 +98,64 @@ def decontaminate(
         docs, benchmark, id_col=id_col, text_col=text_col, n=n, **kwargs
     )
     return docs.join(hits.select(id_col), id_col, "left_anti")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Asymmetric near-dup detection: (id_a, id_b, containment) where
+    containment = |grams(A) ∩ grams(B)| / |grams(A)| >= threshold —
+    doc A is (mostly) CONTAINED in doc B. Catches quotes, boilerplate
+    wrappers, and sub-document copies that symmetric signatures
+    (SimHash/MinHash estimate the Jaccard of the UNION) structurally
+    miss: a 100-word doc fully quoted inside a 10'000-word doc has
+    Jaccard ~0.01 but containment 1.0.
+
+    Spark shape — same discipline as the LSH family: texts never
+    pair; the (gram-key, id) explode is the only wide data, pairs
+    form per shared gram key (ids only), and hot keys (boilerplate
+    grams shared by everything) are CAPPED at max_bucket members and
+    dropped — a gram shared by thousands of docs identifies nothing.
+    The |A ∩ B| count then aggregates ids-only pairs and one join
+    brings in |grams(A)| for the ratio. Both directions are emitted
+    (containment is asymmetric); id_a == id_b is excluded.
+
+    Capping is DISCLOSED recall loss exactly like LSH max_bucket:
+    pairs sharing only ultra-common grams are not reported. Exact
+    oracle: the contract twin recomputes with the same cap.
+    """
+    keys = ngram_keys(docs, id_col, text_col, n)
+    sizes = keys.groupBy(id_col).agg(F.count("*").alias("_n_grams"))
+    bucket_ok = (
+        keys.groupBy("key")
+        .agg(F.count("*").alias("_b"))
+        .where(F.col("_b") <= max_bucket)
+        .select("key")
+    )
+    k = keys.join(bucket_ok, "key")
+    a = k.select(F.col("key"), F.col(id_col).alias("id_a"))
+    b = k.select(F.col("key"), F.col(id_col).alias("id_b"))
+    shared = (
+        a.join(b, "key")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("id_a"), "_n_grams"), "id_a"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_shared") / F.col("_n_grams"), 6).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+    )

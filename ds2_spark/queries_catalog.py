@@ -1004,6 +1004,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs
+    (operators/decontam.containment_pairs): |grams(A) ∩ grams(B)| /
+    |grams(A)| >= 0.8 — finds sub-document copies symmetric Jaccard
+    signatures miss. Ids-only pair formation per shared gram key with
+    the LSH-style hot-bucket cap; oracle recomputes with the same
+    cap."""
+    from .operators.decontam import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=5, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based corpus mixing (operators/sampling.py):
     per-source keep rates ∝ n^0.3 scaled to half the corpus (the
@@ -1229,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_pack": q_chunk_pack,
         "q_bm25_topk": q_bm25_topk,
         "q_temperature_mix": q_temperature_mix,
+        "q_containment_pairs": q_containment_pairs,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1843,6 +1859,38 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# same md5-prefix 5-gram keys, same <=200 hot-bucket cap, same
+# shared/|grams(A)| ratio at 6 dp
+ORACLE_SQL["q_containment_pairs"] = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             substr(md5(unnest([array_to_string(w[i:i+4], ' ')
+                                FOR i IN generate_series(1, greatest(len(w) - 4, 0))])),
+                    1, 16) AS key
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+    ok AS (SELECT key FROM dg GROUP BY key HAVING count(*) <= 200),
+    k AS (SELECT dg.* FROM dg JOIN ok USING (key)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+      FROM k a JOIN k b USING (key)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(sh AS DOUBLE) / s.n_grams, 6) AS containment
+    FROM shared JOIN sizes s ON s.doc_id = shared.id_a
+    WHERE round(CAST(sh AS DOUBLE) / s.n_grams, 6) >= 0.8
+    ORDER BY id_a, id_b
 """
 
 # same n^0.3 temperature rates (6-dp rounded), same md5 bucket, same

@@ -48,3 +48,46 @@ def test_repeated_gram_counts_once(spark):
     )
     rows = contamination_report(docs, bench, n=5).collect()
     assert len(rows) == 1 and rows[0]["n_hits"] == 1
+
+
+def test_containment_asymmetry(spark):
+    """A short doc fully quoted inside a long doc: containment(A in B)
+    is 1.0 while containment(B in A) is small — exactly the case
+    symmetric Jaccard signatures miss."""
+    from ds2_spark.operators.decontam import containment_pairs
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    filler = " ".join(f"f{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),                       # 6 distinct 5-grams
+            (2, filler + " " + quote),        # contains all of doc 1
+            (3, "totally different words here repeated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, n=5, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0         # doc 1 fully contained in doc 2
+    assert (2, 1) not in got          # 6/67 grams — far below threshold
+    assert all(3 not in pair for pair in got)
+
+
+def test_containment_hot_bucket_cap(spark):
+    """A gram shared by more docs than max_bucket identifies nothing:
+    with the cap at 2, three docs sharing one gram produce no pairs."""
+    from ds2_spark.operators.decontam import containment_pairs
+
+    same = "a b c d e"
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(3)], "doc_id long, text string"
+    )
+    assert containment_pairs(docs, n=5, threshold=0.5, max_bucket=2).count() == 0
+    # raise the cap and every ordered pair appears at containment 1.0
+    rows = containment_pairs(docs, n=5, threshold=0.5, max_bucket=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {
+        (a, b) for a in range(3) for b in range(3) if a != b
+    }
+    assert all(r["containment"] == 1.0 for r in rows)
