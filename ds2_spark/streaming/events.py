@@ -320,3 +320,78 @@ def run_dedup_stream_once(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def interval_join_streams(
+    probes: DataFrame,
+    quotes: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    lookback: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each probe event pairs
+    with the same key's quote events from the PRECEDING lookback
+    window (quote.ts in [probe.ts - lookback, probe.ts]). The two
+    watermarks plus the time-range predicate are what make unbounded
+    stream-stream state finite: Spark evicts buffered rows once the
+    watermark passes their join horizon, so state is O(events per
+    lookback+watermark window per key), not O(stream).
+
+    Works identically on batch DataFrames (the range predicate is the
+    same expression), which the stream==batch parity test exploits.
+    Output: key, probe ts/id, quote ts/id — callers aggregate.
+    """
+    p = probes.select(
+        F.col(key).alias("p_key"),
+        F.col(ts).alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    q = quotes.select(
+        F.col(key).alias("q_key"),
+        F.col(ts).alias("q_ts"),
+        F.col("event_id").alias("q_id"),
+    )
+    if probes.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if quotes.isStreaming:
+        q = q.withWatermark("q_ts", watermark)
+    return p.join(
+        q,
+        F.expr(
+            f"p_key = q_key AND q_ts >= p_ts - interval {lookback} "
+            "AND q_ts <= p_ts"
+        ),
+    )
+
+
+def run_interval_join_once(
+    spark: SparkSession,
+    probes_dir: str,
+    quotes_dir: str,
+    query_name: str = "ev_ijoin",
+    lookback: str = "2 hours",
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """Drive the stream-stream join over two file-source replays in
+    multiple micro-batches (matches must form ACROSS batches from
+    buffered state, not within one batch)."""
+    mk = lambda d: (  # noqa: E731
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    joined = interval_join_streams(
+        mk(probes_dir), mk(quotes_dir), lookback=lookback, watermark=watermark
+    )
+    qr = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
