@@ -1004,6 +1004,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (operators/fuzzy.py): 24-char title
+    prefixes pair within (first char, length-bucket) blocks and
+    verify with JVM levenshtein <= 3 — the record-linkage shape that
+    replaces O(n^2) all-pairs edit distance at scale. Levenshtein has
+    identical integer semantics in DuckDB, so the twin is exact."""
+    from .operators.fuzzy import blocked_fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("title")
+    )
+    return blocked_fuzzy_pairs(docs, key_col="title", max_dist=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup pairs
     (operators/decontam.containment_pairs): |grams(A) ∩ grams(B)| /
@@ -1245,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_temperature_mix": q_temperature_mix,
         "q_containment_pairs": q_containment_pairs,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1859,6 +1876,28 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# same blocking key, same <=500 block cap, same integer levenshtein
+ORACLE_SQL["q_fuzzy_pairs"] = """
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+      WHERE length(substr(text, 1, 24)) > 0
+    ),
+    k AS (
+      SELECT doc_id, title,
+             concat(substr(title, 1, 1), '|',
+                    CAST(CAST(floor(length(title) / 4) AS BIGINT) AS VARCHAR))
+               AS blk
+      FROM t
+    ),
+    ok AS (SELECT blk FROM k GROUP BY blk HAVING count(*) <= 500),
+    kk AS (SELECT k.* FROM k JOIN ok USING (blk))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS INT) AS dist
+    FROM kk a JOIN kk b USING (blk)
+    WHERE a.doc_id < b.doc_id AND levenshtein(a.title, b.title) <= 3
+    ORDER BY id_a, id_b
 """
 
 # same md5-prefix 5-gram keys, same <=200 hot-bucket cap, same
