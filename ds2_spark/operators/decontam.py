@@ -129,7 +129,11 @@ def containment_pairs(
     pairs sharing only ultra-common grams are not reported. Exact
     oracle: the contract twin recomputes with the same cap.
     """
-    keys = ngram_keys(docs, id_col, text_col, n)
+    # the gram index feeds four consumers (sizes, bucket census, both
+    # join sides); Catalyst does not dedupe common subplans, so
+    # materialize it once (lazy localCheckpoint — same pattern as the
+    # BM25 term index) instead of re-exploding the corpus per branch
+    keys = ngram_keys(docs, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = keys.groupBy(id_col).agg(F.count("*").alias("_n_grams"))
     bucket_ok = (
         keys.groupBy("key")

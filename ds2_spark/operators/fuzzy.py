@@ -47,6 +47,9 @@ def blocked_fuzzy_pairs(
             F.floor(F.length(key_col) / length_bucket).cast("string"),
         ).alias("_blk"),
     ).where(F.length("_k") > 0)
+    # three consumers (block census + both join sides): materialize
+    # the narrow keyed projection once rather than re-scanning
+    keyed = keyed.localCheckpoint(eager=False)
     ok = (
         keyed.groupBy("_blk")
         .agg(F.count("*").alias("_n"))
