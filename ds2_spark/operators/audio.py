@@ -492,3 +492,119 @@ def audio_spectral_features(
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
+AUDIO_LOUDNESS_SCHEMA = (
+    "clip_id string, decoded_ok boolean, peak_dbfs double, rms_dbfs double, "
+    "dc_offset double"
+)
+
+
+def audio_loudness(clips: DataFrame) -> DataFrame:
+    """Loudness metering per clip: peak and RMS in dBFS (0 dBFS =
+    full-scale |x| = 1.0) plus the DC offset — the three numbers a
+    normalization / re-leveling stage needs before training-audio
+    ingestion. Same pruned-scan mapInPandas shape as the other audio
+    operators; digital silence reports -120 dBFS floors rather than
+    -inf so downstream aggregates stay finite."""
+    pruned = clips.select("clip_id", "bytes", "sr_hz", "codec")
+    floor_db = -120.0
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            peak = np.full(n, floor_db)
+            rms = np.full(n, floor_db)
+            dc = np.zeros(n, dtype=np.float64)
+            for i, (b, codec) in enumerate(zip(pdf["bytes"], pdf["codec"])):
+                dec = _DECODERS.get(codec)
+                if dec is None or b is None:
+                    continue
+                try:
+                    pcm = dec(b)
+                except (ValueError, IndexError):
+                    continue
+                if len(pcm) == 0:
+                    continue
+                ok[i] = True
+                p = float(np.max(np.abs(pcm)))
+                r = float(np.sqrt(np.mean(pcm * pcm)))
+                peak[i] = 20.0 * np.log10(p) if p > 0 else floor_db
+                rms[i] = 20.0 * np.log10(r) if r > 0 else floor_db
+                dc[i] = float(np.mean(pcm))
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ok,
+                    "peak_dbfs": peak,
+                    "rms_dbfs": rms,
+                    "dc_offset": dc,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_LOUDNESS_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "clip_id string, decoded_ok boolean, sr_hz int, n_samples int, bytes binary"
+)
+
+
+def audio_resample(clips: DataFrame, target_sr: int = 16000) -> DataFrame:
+    """Linear-interpolation sample-rate conversion to target_sr,
+    re-encoded as int16 PCM bytes — the standard ingest normalization
+    before a feature/ASR stage expects one rate. Output sample k sits
+    at source position k * sr_src / sr_dst; values are np.interp's
+    piecewise-linear reconstruction (exactly reproducible, no
+    windowed-sinc dependency — swap the kernel for scipy.resample_poly
+    where quality matters more than portability; docstring contract,
+    not plumbing, changes). Clips already at target_sr pass through
+    byte-identical. bytes stay inside the partition end-to-end."""
+    pruned = clips.select("clip_id", "bytes", "sr_hz", "codec")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            ns = np.zeros(n, dtype=np.int32)
+            out_bytes: list[bytes | None] = [None] * n
+            for i, (b, sr, codec) in enumerate(
+                zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"])
+            ):
+                dec = _DECODERS.get(codec)
+                if dec is None or b is None:
+                    continue
+                try:
+                    pcm = dec(b)
+                except (ValueError, IndexError):
+                    continue
+                if len(pcm) == 0:
+                    continue
+                ok[i] = True
+                sr = max(int(sr), 1)
+                if sr == target_sr:
+                    res = pcm
+                else:
+                    m = int(round(len(pcm) * target_sr / sr))
+                    pos = np.arange(m, dtype=np.float64) * (sr / target_sr)
+                    res = np.interp(pos, np.arange(len(pcm)), pcm)
+                ns[i] = len(res)
+                # inverse of _decode_pcm16's /32767 scaling, so a
+                # clip already at target_sr round-trips byte-identical
+                out_bytes[i] = (
+                    np.clip(np.rint(res * 32767.0), -32768, 32767)
+                    .astype(np.int16)
+                    .tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ok,
+                    "sr_hz": np.full(n, target_sr, dtype=np.int32),
+                    "n_samples": ns,
+                    "bytes": out_bytes,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_RESAMPLE_SCHEMA)

@@ -335,3 +335,66 @@ def test_audio_spectral_features(spark):
     c = float(np.dot(p, freqs))
     assert abs(n["centroid_hz"] - c) < 1e-6
     assert abs(n["bandwidth_hz"] - float(np.sqrt(np.dot(p, (freqs - c) ** 2)))) < 1e-6
+
+
+def test_audio_loudness_known_sine(spark):
+    """Full-scale references: a 0.5-amplitude sine peaks at ~-6.02
+    dBFS with RMS ~3.01 dB below peak; digital silence floors at
+    -120; a constant offset shows up in dc_offset."""
+    from ds2_spark.operators.audio import audio_loudness
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64)
+    sine = 0.5 * np.sin(2 * np.pi * 100 * t / sr)
+    dc = np.full(sr, 0.25)
+    mk = lambda s: bytearray(  # noqa: E731
+        np.clip(np.rint(s * 32767), -32768, 32767).astype(np.int16).tobytes()
+    )
+    df = spark.createDataFrame(
+        [
+            ("sine", mk(sine), sr, "pcm_s16le"),
+            ("dead", mk(np.zeros(sr)), sr, "pcm_s16le"),
+            ("dc", mk(dc), sr, "pcm_s16le"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    out = {r["clip_id"]: r for r in audio_loudness(df).collect()}
+    assert abs(out["sine"]["peak_dbfs"] - 20 * np.log10(0.5)) < 0.01
+    assert abs(out["sine"]["rms_dbfs"] - (20 * np.log10(0.5) - 3.0103)) < 0.02
+    assert abs(out["sine"]["dc_offset"]) < 1e-4
+    assert out["dead"]["peak_dbfs"] == -120.0 and out["dead"]["rms_dbfs"] == -120.0
+    assert abs(out["dc"]["dc_offset"] - 0.25) < 1e-4
+
+
+def test_audio_resample_exact_and_passthrough(spark):
+    """Resampled samples equal np.interp at the exact source
+    positions; a clip already at the target rate round-trips
+    byte-identical."""
+    from ds2_spark.operators.audio import audio_resample
+
+    sr = 8000
+    target = 16000
+    ramp = np.linspace(-0.9, 0.9, sr).astype(np.float64)
+    pcm16 = np.clip(np.rint(ramp * 32767), -32768, 32767).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            ("up", bytearray(pcm16.tobytes()), sr, "pcm_s16le"),
+            ("same", bytearray(pcm16.tobytes()), target, "pcm_s16le"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    out = {r["clip_id"]: r for r in audio_resample(df, target_sr=target).collect()}
+
+    up = out["up"]
+    assert up["decoded_ok"] and up["sr_hz"] == target
+    assert up["n_samples"] == sr * 2
+    got = np.frombuffer(bytes(up["bytes"]), dtype="<i2")
+    src = pcm16.astype(np.float32) / 32767.0
+    pos = np.arange(sr * 2, dtype=np.float64) * (sr / target)
+    exp = np.clip(
+        np.rint(np.interp(pos, np.arange(sr), src) * 32767.0), -32768, 32767
+    ).astype(np.int16)
+    assert np.array_equal(got, exp)
+
+    same = out["same"]
+    assert bytes(same["bytes"]) == pcm16.tobytes()  # byte-identical
