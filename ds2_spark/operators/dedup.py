@@ -325,12 +325,15 @@ def connected_components(
     distributed CC (GraphX/Pregel semantics) expressed in DataFrame
     ops: each round every vertex takes the min of its own label and
     its neighbors' labels (one shuffle-join edges x labels + one
-    groupBy-min per round), until a round changes nothing. Rounds
-    needed = graph diameter, and near-dup graphs are overwhelmingly
-    tiny cliques (diameter 1-2) with the occasional chain — the loop
-    is driver-side but each round is fully distributed and the
-    per-round `changed` check is a cheap scan of the materialized
-    round. Each round's labels are `localCheckpoint`ed: iterative
+    groupBy-min per round), then follows its label pointer one hop
+    (pointer jumping: comp <- label(comp), a self-join of the label
+    table) — the jump makes the min's reach grow geometrically, so
+    rounds needed is O(log diameter), not diameter (a 200-vertex
+    chain converges in ~8 rounds; plain hash-min would need 199).
+    The loop is driver-side but each round is fully distributed and
+    the per-round `changed` check is a cheap new-vs-old anti-check
+    on the materialized round. Each round's labels are
+    `localCheckpoint`ed: iterative
     self-joins otherwise stack a join per round onto the logical plan
     and the optimizer/codegen cost grows exponentially with depth
     (a 20-round chain OOMs the driver long before the data does).
@@ -340,11 +343,10 @@ def connected_components(
     `.checkpoint()` for fault tolerance (localCheckpoint blocks die
     with their executor); semantics are identical.
 
-    At the 10^12-doc design point the same loop runs unchanged; for
-    adversarial long-chain graphs switch to the large-star/small-star
-    variant (same join shapes, O(log n) rounds). Raises RuntimeError
-    if max_iter rounds don't converge rather than returning a wrong
-    (still-moving) labeling.
+    At the 10^12-doc design point the same loop runs unchanged — the
+    O(log n) round bound holds for any graph shape. Raises
+    RuntimeError if max_iter rounds don't converge rather than
+    returning a wrong (still-moving) labeling.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -365,18 +367,41 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping: comp <- label(comp). Labels form pointer
+        # chains toward the minimum; following one hop per round ON
+        # TOP of the neighbor step makes the reach grow geometrically,
+        # so a length-L chain converges in O(log L) rounds instead of
+        # L (plain hash-min would blow max_iter on any chain longer
+        # than it). comp is always a vertex id, so the lookup is a
+        # self-join of the label table.
+        ptr = stepped.select(
+            F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            stepped.join(ptr, stepped.comp == ptr._pid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("_pcomp"), F.col("comp"))
                 ).alias("comp"),
-                (F.col("nmin") < F.col("comp")).alias("_moved"),
             )
         ).localCheckpoint()  # eager: truncates lineage, materializes once
-        changed = new_labels.where(F.col("_moved")).limit(1).count()
-        labels = new_labels.drop("_moved")
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")

@@ -326,3 +326,16 @@ def test_canonical_docs_keeps_one_per_cluster(spark):
     kept = sorted(r["doc_id"] for r in canonical_docs(df, pairs).collect())
     # clusters {1,2,7} -> keep 1; {4,5} -> keep 4; others untouched
     assert kept == [0, 1, 3, 4, 6, 8, 9]
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """A 220-node chain converges well inside the default round
+    budget: pointer jumping gives O(log L) rounds where plain
+    hash-min label propagation would need L (and raise)."""
+    from ds2_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(219)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {v: 0 for v in range(220)}
