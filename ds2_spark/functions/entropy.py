@@ -50,6 +50,10 @@ def char_entropy(
         )
         .groupBy(id_col, "_ch")
         .agg(F.count("*").alias("_cnt"))
+        # counts feeds two consumers (totals + the entropy sum) and
+        # Catalyst does not dedupe common subplans — materialize the
+        # alphabet-bounded table once instead of re-exploding chars
+        .localCheckpoint(eager=False)
     )
     # entropy needs the doc total inside every per-class term, so
     # compute n first and join it back onto the class counts (both

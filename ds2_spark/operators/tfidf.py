@@ -51,7 +51,14 @@ def tfidf_top_terms(
             )
         ).alias("term"),
     )
-    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf feeds both the df census and the scored join; materialize it
+    # once (lazy localCheckpoint) instead of re-exploding the corpus
+    # per consumer — same pattern as bm25_topk's term index below
+    tf = (
+        words.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(id_col).distinct().count()
     scored = tf.join(df_, "term").select(
