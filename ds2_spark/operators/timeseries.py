@@ -253,3 +253,63 @@ def rolling_zscore(
         z.alias("z"),
         (F.abs(z) > z_threshold).cast("int").alias("anomaly"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_us: int | None = None,
+) -> DataFrame:
+    """Ordered-sequence funnel analysis: for each user, the earliest
+    completion times of `steps` in order — step i+1 must be STRICTLY
+    after the user's chosen step-i time, and (with horizon_us) within
+    the horizon of step 1. Output: (user_col, t_1..t_k as epoch
+    micros, completed in 1..k). Greedy earliest-per-step is the
+    standard funnel semantics (earliest step-1, then earliest
+    qualifying step-2, ...), deterministic, and mirrored exactly by
+    the SQL oracle.
+
+    Spark shape: one filtered aggregate per step — step i joins only
+    the rows of that step's type (a small slice after predicate
+    pushdown) against the per-user frontier, then groupBy-min. All
+    joins are on user_col, so after the first shuffle the
+    partitioning is reused; k steps = k cheap keyed passes, no
+    windows, no cross products. NULL propagation is the correctness
+    guard: a user missing step i gets t_i NULL and every later
+    condition (u > NULL) is NULL, so later steps can never complete
+    out of order.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    us = epoch_micros(events, ts_col)
+    e = events.select(
+        F.col(user_col), F.col(type_col).alias("_ty"), us.alias("_u")
+    )
+    cur = (
+        e.where(F.col("_ty") == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("_u").alias("t_1"))
+    )
+    for i, st in enumerate(steps[1:], start=2):
+        nxt = e.where(F.col("_ty") == st).select(user_col, "_u")
+        prev = F.col(f"t_{i - 1}")
+        cond = F.col("_u") > prev
+        if horizon_us is not None:
+            cond = cond & (F.col("_u") <= F.col("t_1") + F.lit(horizon_us))
+        keys = [user_col] + [f"t_{j}" for j in range(1, i)]
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(*keys)
+            .agg(F.min(F.when(cond, F.col("_u"))).alias(f"t_{i}"))
+        )
+    completed = F.lit(1)
+    for j in range(2, len(steps) + 1):
+        completed = completed + F.col(f"t_{j}").isNotNull().cast("int")
+    return cur.select(
+        user_col,
+        *[f"t_{j}" for j in range(1, len(steps) + 1)],
+        completed.alias("completed"),
+    )

@@ -1008,6 +1008,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel within 24h of the first view
+    (operators/timeseries.funnel): greedy earliest-per-step ordered
+    sequence per user, k cheap keyed passes (one filtered slice +
+    groupBy-min per step, partitioning on user reused), NULL
+    propagation guarantees steps can never complete out of order.
+    Exact-integer epoch-micro times on both engines."""
+    from .operators.timeseries import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"], horizon_us=24 * 3600 * 1_000_000
+    ).orderBy("user_id")
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching (operators/fuzzy.py): 24-char title
     prefixes pair within (first char, length-bucket) blocks and
@@ -1266,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mix": q_temperature_mix,
         "q_containment_pairs": q_containment_pairs,
         "q_fuzzy_pairs": q_fuzzy_pairs,
+        "q_funnel": q_funnel,
         "q_ivf_topk": q_ivf_topk,
     }
 
@@ -1880,6 +1896,34 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# same greedy earliest-per-step chain over exact integer micros
+ORACLE_SQL["q_funnel"] = """
+    WITH e AS (
+      SELECT user_id, event_type AS ty, epoch_us(ts) AS u FROM events
+    ),
+    s1 AS (
+      SELECT user_id, min(u) AS t_1 FROM e WHERE ty = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT s1.user_id, s1.t_1,
+             min(CASE WHEN e.u > s1.t_1
+                       AND e.u <= s1.t_1 + 86400000000 THEN e.u END) AS t_2
+      FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.ty = 'click'
+      GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.t_1, s2.t_2,
+             min(CASE WHEN e.u > s2.t_2
+                       AND e.u <= s2.t_1 + 86400000000 THEN e.u END) AS t_3
+      FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.ty = 'purchase'
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id, t_1, t_2, t_3,
+           1 + CAST(t_2 IS NOT NULL AS INT) + CAST(t_3 IS NOT NULL AS INT)
+             AS completed
+    FROM s3 ORDER BY user_id
 """
 
 # same blocking key, same <=500 block cap, same integer levenshtein

@@ -233,3 +233,51 @@ def test_rolling_zscore_hand_series(spark):
     for i in range(3):
         assert out[100 + i]["z"] == 0.0 and out[100 + i]["anomaly"] == 0
     assert out[200]["n_window"] == 0 and out[201]["n_window"] == 0
+
+
+def test_funnel_hand_series(spark):
+    """Funnel semantics on constructed users: full completion, wrong
+    order, missing middle step, horizon cutoff, greedy earliest."""
+    from ds2_spark.operators.timeseries import funnel
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # u1: clean view(0) -> click(5) -> purchase(9)
+        (1, m(0), 1, "view", 0.0, "{}"),
+        (2, m(5), 1, "click", 0.0, "{}"),
+        (3, m(9), 1, "purchase", 0.0, "{}"),
+        # u2: click BEFORE view -> stuck at step 1
+        (4, m(10), 2, "click", 0.0, "{}"),
+        (5, m(20), 2, "view", 0.0, "{}"),
+        # u3: view + purchase but no click -> purchase must NOT count
+        (6, m(0), 3, "view", 0.0, "{}"),
+        (7, m(5), 3, "purchase", 0.0, "{}"),
+        # u4: click outside the horizon
+        (8, m(0), 4, "view", 0.0, "{}"),
+        (9, m(90), 4, "click", 0.0, "{}"),
+        # u5: two views; funnel anchors on the EARLIEST view, and the
+        # click between the views still counts
+        (10, m(0), 5, "view", 0.0, "{}"),
+        (11, m(3), 5, "click", 0.0, "{}"),
+        (12, m(6), 5, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel(
+            ev, ["view", "click", "purchase"], horizon_us=60 * 60 * 1_000_000
+        ).collect()
+    }
+    us = lambda k: int(m(k).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)  # noqa: E731
+    assert (out[1]["t_1"], out[1]["t_2"], out[1]["t_3"], out[1]["completed"]) == (
+        us(0), us(5), us(9), 3,
+    )
+    assert out[2]["completed"] == 1 and out[2]["t_2"] is None
+    assert out[3]["completed"] == 1 and out[3]["t_3"] is None
+    assert out[4]["completed"] == 1  # click at +90min > 60min horizon
+    assert (out[5]["t_1"], out[5]["t_2"], out[5]["completed"]) == (us(0), us(3), 2)
