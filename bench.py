@@ -126,15 +126,19 @@ def main() -> int:
     from ds2_spark.config import (
         HocConfig,
         PipelineConfig,
+        QualityConfig,
         SelectionConfig,
         VoteConfig,
     )
+    from ds2_spark.operators.audio import FIXTURE_PCM16_ALIASES
     from ds2_spark.plans.curation import curation_pipeline
 
     cfg = PipelineConfig(
         hoc=HocConfig(rounds=10, sample_size=5000, adam_steps=300),
         vote=VoteConfig(epochs=15, sample_size=5000),
         selection=SelectionConfig(budget_frac=0.05),
+        # fixture payloads are PCM16 under every codec tag (FIXTURES.md)
+        quality=QualityConfig(pcm16_alias_codecs=FIXTURE_PCM16_ALIASES),
         knn_pool_max=5000,
     )
     clips = spark.read.parquet(f"{fixture_dir}/clips.parquet")

@@ -62,6 +62,13 @@ class QualityConfig:
 
     codec_whitelist: tuple[str, ...] = ("pcm_s16le", "flac", "opus")
     dur_tolerance: float = 0.10      # |stored-actual|/actual above this → drop
+    # Codec tags to DECODE AS RAW PCM16 despite a compressed-codec tag.
+    # Default EMPTY: unregistered codecs refuse to decode (pcm_ok /
+    # decoded_ok = false) rather than produce garbage features that
+    # look valid. This sandbox's fixtures always carry PCM16 payloads
+    # regardless of the codec tag (FIXTURES.md §1), so fixture-driven
+    # entry points opt in with audio.FIXTURE_PCM16_ALIASES explicitly.
+    pcm16_alias_codecs: tuple[str, ...] = ()
     min_transcript_chars: int = 2
     langid_margin_min: float = 0.20  # top1-top2 log-prob margin per char
     ppl_max: float = 40.0            # KN char-model perplexity ceiling

@@ -40,6 +40,7 @@ requires patterns greedy enough to eat surrounding punctuation.
 
 from __future__ import annotations
 
+import os.path as _osp
 import re
 
 from pyspark.sql import Column
@@ -72,11 +73,20 @@ def _bounded(core: str) -> str:
 # match where its core matches, so `when(rlike(core), replace).
 # otherwise(unchanged)` is semantics-preserving and moves ~all rows
 # onto the cheap scalable scan. For the toxicity lexicon the prefilter
-# is the shared literal prefix of every term (fixture lexicon:
-# 'zorgblat'); a production lexicon without a shared literal should
-# use its own cheap superset filter (e.g. per-term contains, or the
-# union of distinct leading trigrams).
-_TOX_PREFILTER = "zorgblat"
+# is the shared literal prefix of every term, DERIVED from the
+# lexicon so it can never silently diverge from it (a stale prefilter
+# would skip bounded TOX scrubbing on the JVM path while the SQL/
+# Python twins still scrub — a safety-filter divergence). A production
+# lexicon without a usable shared literal should use its own cheap
+# superset filter (e.g. per-term contains, or the union of distinct
+# leading trigrams).
+_TOX_PREFILTER = re.escape(_osp.commonprefix(TOX_LEXICON))
+# the prefilter is only sound if it's a real superset gate: every
+# lexicon term must contain it (trivially true for a common prefix,
+# but guard against an empty prefix disabling the gate entirely)
+assert _TOX_PREFILTER and all(
+    t.startswith(_osp.commonprefix(TOX_LEXICON)) for t in TOX_LEXICON
+), "TOX_LEXICON lost its shared literal prefix; replace the prefilter"
 
 # (pattern, tag, bounded, prefilter) — ORDER MATTERS: SSN before PHONE
 # (an SSN is also a valid phone-ish digit run). Bounded patterns

@@ -10,9 +10,11 @@ At 10^12-clip scale the discipline is:
 
 so audio bytes never enter a shuffle (SURVEY.md §7.3 "bytes column
 discipline"). Fixtures are raw PCM16-LE (decode = np.frombuffer);
-real codecs (flac/opus/mp3) need external decoders not present in
-this container — their decode path is stubbed behind
-``register_decoder`` and marked explicitly.
+real compressed codecs (flac/opus/mp3) need external decoders not
+present in this container — by DEFAULT those tags REFUSE to decode
+(decoded_ok=false, the video-codec policy), and callers that know the
+payload is PCM16-by-construction (this sandbox's fixtures) opt in per
+call with ``pcm16_alias_codecs=FIXTURE_PCM16_ALIASES``.
 """
 
 from __future__ import annotations
@@ -29,11 +31,21 @@ AUDIO_SANITY_SCHEMA = (
     "rms double, peak double, n_samples bigint"
 )
 
-# codec -> bytes->float32 PCM decoder. PCM16 is real; compressed codecs
-# are a documented stub (no audio libs in this container): fixtures
-# always carry PCM16 payloads regardless of the codec metadata field
-# (FIXTURES.md §1), so the PCM decoder applies to every fixture row.
+# codec -> bytes->float32 PCM decoder. Only REAL decoders live here
+# (raw PCM16 and the RIFF/WAV container parser). Compressed codecs
+# (flac/opus/mp3) have NO entry: a clip tagged with one REFUSES to
+# decode by default (decoded_ok=false / pcm_ok=false), mirroring the
+# video policy in operators/jpeg.py — decoding a genuinely-compressed
+# payload as raw PCM16 would yield garbage features that LOOK valid.
+# Fixtures in this sandbox always carry PCM16 payloads regardless of
+# the codec metadata tag (FIXTURES.md §1); callers that know this may
+# OPT IN per call via `pcm16_alias_codecs=FIXTURE_PCM16_ALIASES`.
 _DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {}
+
+# The fixture opt-in set: codec tags whose payloads are PCM16-by-
+#-construction in this sandbox's synthetic data. NEVER registered by
+# default — pass explicitly where the PCM16 precondition is known.
+FIXTURE_PCM16_ALIASES: tuple[str, ...] = ("flac", "opus", "mp3")
 
 
 def _decode_pcm16(b: bytes) -> np.ndarray:
@@ -44,10 +56,22 @@ def register_decoder(codec: str, fn: Callable[[bytes], np.ndarray]) -> None:
     _DECODERS[codec] = fn
 
 
+def resolve_decoders(
+    pcm16_alias_codecs: tuple[str, ...] = (),
+) -> dict[str, Callable[[bytes], np.ndarray]]:
+    """Decoder table for one operator call: the registered real
+    decoders plus explicit PCM16 aliases. Returned BY VALUE so the
+    mapInPandas closures capture it — a driver-side ``register_decoder``
+    mutation would not propagate to executor Python workers (they
+    re-import this module fresh), but a dict captured in the closure
+    pickles with the plan and is identical on every worker."""
+    d = dict(_DECODERS)
+    for c in pcm16_alias_codecs:
+        d[c] = _decode_pcm16
+    return d
+
+
 register_decoder("pcm_s16le", _decode_pcm16)
-# sandbox simplification: payloads are PCM16 for all codec tags
-for _c in ("flac", "opus", "mp3"):
-    register_decoder(_c, _decode_pcm16)
 
 
 def parse_wav_header(b: bytes) -> dict | None:
@@ -92,7 +116,11 @@ def decode_wav(b: bytes) -> np.ndarray:
 register_decoder("wav", decode_wav)
 
 
-def audio_sanity_fast(clips: DataFrame, dur_tolerance: float = 0.10) -> DataFrame:
+def audio_sanity_fast(
+    clips: DataFrame,
+    dur_tolerance: float = 0.10,
+    pcm16_alias_codecs: tuple[str, ...] = (),
+) -> DataFrame:
     """Metadata-level audio sanity as PURE column expressions — zero
     bytes cross the JVM->Python boundary (at 100TB of audio, shipping
     payloads to Python to compute a length is the single largest
@@ -106,7 +134,7 @@ def audio_sanity_fast(clips: DataFrame, dur_tolerance: float = 0.10) -> DataFram
     and mono PCM16 assumed (the metadata-level approximation; rows
     where it matters — multichannel, extra chunks — belong in the
     decoding `audio_sanity` stage, whose parse_wav_header is exact)."""
-    exprs = audio_sanity_exprs(dur_tolerance)
+    exprs = audio_sanity_exprs(dur_tolerance, pcm16_alias_codecs)
     return clips.select(
         "clip_id",
         exprs["pcm_ok"].alias("pcm_ok"),
@@ -115,11 +143,14 @@ def audio_sanity_fast(clips: DataFrame, dur_tolerance: float = 0.10) -> DataFram
     )
 
 
-def audio_sanity_exprs(dur_tolerance: float = 0.10) -> dict:
+def audio_sanity_exprs(
+    dur_tolerance: float = 0.10,
+    pcm16_alias_codecs: tuple[str, ...] = (),
+) -> dict:
     """The audio_sanity_fast COLUMN EXPRESSIONS, exposed so callers
     that cannot join (a streaming plan would need a stream-stream
     join) can compute pcm_ok/dur_ok in place on the same frame."""
-    known = F.col("codec").isin(*_DECODERS.keys())
+    known = F.col("codec").isin(*resolve_decoders(pcm16_alias_codecs).keys())
     blen0 = F.coalesce(F.length("bytes"), F.lit(0))
     blen = F.when(
         F.col("codec") == "wav", F.greatest(blen0 - 44, F.lit(0))
@@ -136,12 +167,17 @@ def audio_sanity_exprs(dur_tolerance: float = 0.10) -> dict:
     }
 
 
-def audio_sanity(clips: DataFrame, dur_tolerance: float = 0.10) -> DataFrame:
+def audio_sanity(
+    clips: DataFrame,
+    dur_tolerance: float = 0.10,
+    pcm16_alias_codecs: tuple[str, ...] = (),
+) -> DataFrame:
     """(clip_id, pcm_ok, dur_actual_ms, dur_ok, rms, peak, n_samples).
 
     dur_ok: stored dur_ms within `dur_tolerance` of decoded duration.
     """
     pruned = clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+    decoders = resolve_decoders(pcm16_alias_codecs)
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -154,7 +190,7 @@ def audio_sanity(clips: DataFrame, dur_tolerance: float = 0.10) -> DataFrame:
             for i, (b, sr, codec) in enumerate(
                 zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"])
             ):
-                dec = _DECODERS.get(codec)
+                dec = decoders.get(codec)
                 if dec is None or b is None or len(b) < 2 or len(b) % 2:
                     continue
                 try:
@@ -196,6 +232,7 @@ def audio_features(
     frame_ms: int = 25,
     silence_rms: float = 0.01,
     clip_level: float = 0.999,
+    pcm16_alias_codecs: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-clip audio quality features for keep/drop rules — the audio
     analog of the transcript quality heuristics (same Spark shape as
@@ -213,6 +250,7 @@ def audio_features(
 
     All NumPy-vectorized per clip; frames via a truncating reshape."""
     pruned = clips.select("clip_id", "bytes", "sr_hz", "codec")
+    decoders = resolve_decoders(pcm16_alias_codecs)
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -225,7 +263,7 @@ def audio_features(
             for i, (b, sr, codec) in enumerate(
                 zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"])
             ):
-                dec = _DECODERS.get(codec)
+                dec = decoders.get(codec)
                 if dec is None or b is None:
                     continue
                 try:
@@ -390,16 +428,21 @@ def audio_neardup_pairs(
     )
 
 
-def decode_pcm(clips: DataFrame) -> DataFrame:
+def decode_pcm(
+    clips: DataFrame, pcm16_alias_codecs: tuple[str, ...] = ()
+) -> DataFrame:
     """(clip_id, pcm array<float>) — test/oracle helper; NOT for the
-    10^12-row path (materializes full PCM)."""
+    10^12-row path (materializes full PCM). Unregistered codecs yield
+    an empty pcm array (refuse, same policy as the feature stages)."""
+    decoders = resolve_decoders(pcm16_alias_codecs)
+
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for b, codec in zip(pdf["bytes"], pdf["codec"]):
-                dec = _DECODERS.get(codec, _decode_pcm16)
+                dec = decoders.get(codec)
                 try:
-                    out.append(dec(b).tolist() if b else [])
+                    out.append(dec(b).tolist() if (b and dec) else [])
                 except Exception:
                     out.append([])
             yield pd.DataFrame({"clip_id": pdf["clip_id"], "pcm": out})
@@ -418,6 +461,7 @@ AUDIO_SPECTRAL_SCHEMA = (
 def audio_spectral_features(
     clips: DataFrame,
     rolloff_frac: float = 0.85,
+    pcm16_alias_codecs: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-clip spectral shape features via one rFFT per clip — the
     frequency-domain complement to audio_features' time-domain set
@@ -438,6 +482,7 @@ def audio_spectral_features(
     SciPy dependency (np.fft.rfft only).
     """
     pruned = clips.select("clip_id", "bytes", "sr_hz", "codec")
+    decoders = resolve_decoders(pcm16_alias_codecs)
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -450,7 +495,7 @@ def audio_spectral_features(
             for i, (b, sr, codec) in enumerate(
                 zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"])
             ):
-                dec = _DECODERS.get(codec)
+                dec = decoders.get(codec)
                 if dec is None or b is None:
                     continue
                 try:
@@ -500,7 +545,9 @@ AUDIO_LOUDNESS_SCHEMA = (
 )
 
 
-def audio_loudness(clips: DataFrame) -> DataFrame:
+def audio_loudness(
+    clips: DataFrame, pcm16_alias_codecs: tuple[str, ...] = ()
+) -> DataFrame:
     """Loudness metering per clip: peak and RMS in dBFS (0 dBFS =
     full-scale |x| = 1.0) plus the DC offset — the three numbers a
     normalization / re-leveling stage needs before training-audio
@@ -509,6 +556,7 @@ def audio_loudness(clips: DataFrame) -> DataFrame:
     -inf so downstream aggregates stay finite."""
     pruned = clips.select("clip_id", "bytes", "sr_hz", "codec")
     floor_db = -120.0
+    decoders = resolve_decoders(pcm16_alias_codecs)
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -518,7 +566,7 @@ def audio_loudness(clips: DataFrame) -> DataFrame:
             rms = np.full(n, floor_db)
             dc = np.zeros(n, dtype=np.float64)
             for i, (b, codec) in enumerate(zip(pdf["bytes"], pdf["codec"])):
-                dec = _DECODERS.get(codec)
+                dec = decoders.get(codec)
                 if dec is None or b is None:
                     continue
                 try:
@@ -551,7 +599,11 @@ AUDIO_RESAMPLE_SCHEMA = (
 )
 
 
-def audio_resample(clips: DataFrame, target_sr: int = 16000) -> DataFrame:
+def audio_resample(
+    clips: DataFrame,
+    target_sr: int = 16000,
+    pcm16_alias_codecs: tuple[str, ...] = (),
+) -> DataFrame:
     """Linear-interpolation sample-rate conversion to target_sr,
     re-encoded as int16 PCM bytes — the standard ingest normalization
     before a feature/ASR stage expects one rate. Output sample k sits
@@ -562,6 +614,7 @@ def audio_resample(clips: DataFrame, target_sr: int = 16000) -> DataFrame:
     not plumbing, changes). Clips already at target_sr pass through
     byte-identical. bytes stay inside the partition end-to-end."""
     pruned = clips.select("clip_id", "bytes", "sr_hz", "codec")
+    decoders = resolve_decoders(pcm16_alias_codecs)
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -572,7 +625,7 @@ def audio_resample(clips: DataFrame, target_sr: int = 16000) -> DataFrame:
             for i, (b, sr, codec) in enumerate(
                 zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"])
             ):
-                dec = _DECODERS.get(codec)
+                dec = decoders.get(codec)
                 if dec is None or b is None:
                     continue
                 try:

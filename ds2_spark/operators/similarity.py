@@ -344,13 +344,20 @@ def _train_vectors(
     a sorted or skewed table the k-means centroids would train on a
     biased slice and recall would quietly degrade; `sample(fraction,
     seed)` draws from every partition (same bounded-collect pattern as
-    plans.curation.collect_pool)."""
+    plans.curation.collect_pool). The final cut to exactly
+    train_sample rows is a TakeOrdered by xxhash64(vector) — a
+    partitioning-independent tiebreak over the (bounded, ~1.15x
+    oversampled) sample, so the trained centroids are DETERMINISTIC
+    for a given (table, seed), not whichever-partitions-answered-first
+    (a bare limit() after sample() would reintroduce run dependence)."""
     pool = candidates.select(cv)
     n = pool.count()
     if n > train_sample:
-        pool = pool.sample(
-            fraction=min(1.0, 1.15 * train_sample / n), seed=seed
-        ).limit(train_sample)
+        pool = (
+            pool.sample(fraction=min(1.0, 1.15 * train_sample / n), seed=seed)
+            .orderBy(F.xxhash64(F.col(cv)))
+            .limit(train_sample)
+        )
     return np.array(pool.toPandas()[cv].tolist(), dtype=np.float32)
 
 

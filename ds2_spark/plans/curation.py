@@ -136,7 +136,9 @@ def curation_pipeline(
         # with no exchange at all — the shape that scales to 100 TB.
         from ..operators.audio import audio_sanity_exprs
 
-        aud = audio_sanity_exprs(cfg.quality.dur_tolerance)
+        aud = audio_sanity_exprs(
+            cfg.quality.dur_tolerance, cfg.quality.pcm16_alias_codecs
+        )
         enriched = c.withColumn("pcm_ok", aud["pcm_ok"]).withColumn(
             "dur_ok", aud["dur_ok"]
         )

@@ -647,8 +647,12 @@ def q_audio_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sr_hz, dur_ms, codec) metadata from events, checks codec
     whitelist, PCM16 alignment, and stored-vs-derived duration
     tolerance. sr values are primes so the derived duration
-    never lands on an exact .5 (cross-engine rounding safety)."""
-    from .operators.audio import audio_sanity_fast
+    never lands on an exact .5 (cross-engine rounding safety).
+    Synthesized payloads are PCM16 hex by construction, so the
+    flac/opus tags take the explicit FIXTURE_PCM16_ALIASES opt-in
+    (the default refuses compressed tags; the 'wav9' rows exercise
+    exactly that refuse path)."""
+    from .operators.audio import FIXTURE_PCM16_ALIASES, audio_sanity_fast
 
     ev = _t(spark, sf_dir, "events")
     n = (F.col("event_id") % 50 + 1).cast("int")
@@ -680,7 +684,9 @@ def q_audio_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dur_ms.alias("dur_ms"),
         codec.alias("codec"),
     )
-    out = audio_sanity_fast(clips, dur_tolerance=0.10)
+    out = audio_sanity_fast(
+        clips, dur_tolerance=0.10, pcm16_alias_codecs=FIXTURE_PCM16_ALIASES
+    )
     return out.select(
         F.col("clip_id").cast("long").alias("clip_id"),
         F.col("pcm_ok").cast("int").alias("pcm_ok"),
@@ -734,8 +740,9 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     zcr=0, snr=0, silence/clipping are 0/1 indicators — all exactly
     expressible as CASE arithmetic in the SQL oracle while the real
     NumPy kernel (frombuffer, frame reshape, percentiles) runs on the
-    Spark side."""
-    from .operators.audio import audio_features
+    Spark side. Payloads are PCM16 by construction → explicit
+    FIXTURE_PCM16_ALIASES opt-in for the flac/opus tags."""
+    from .operators.audio import FIXTURE_PCM16_ALIASES, audio_features
 
     # spread the tiny pre-synthesis rows across all slots: the parquet
     # scan often yields 1-2 partitions at small SF, which would serialize
@@ -766,7 +773,10 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         sr.cast("int").alias("sr_hz"),
         codec.alias("codec"),
     )
-    out = audio_features(clips.withColumn("clip_id", F.col("clip_id").cast("string")))
+    out = audio_features(
+        clips.withColumn("clip_id", F.col("clip_id").cast("string")),
+        pcm16_alias_codecs=FIXTURE_PCM16_ALIASES,
+    )
     return out.select(
         F.col("clip_id").cast("long").alias("clip_id"),
         F.col("decoded_ok").cast("int").alias("decoded_ok"),
@@ -863,11 +873,17 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the energy-delta bits; h^2's varying step (2h+1) breaks the
     # common-orbit structure so frame energies decorrelate across
     # groups. All arithmetic stays within int64 in both engines.
+    # var is CLAMPED mod 100: the perturbation stays <= 3960, keeping
+    # sample 0 within int16 for ANY event_id (unclamped, event_id >
+    # ~3.3M would overflow _synth_pcm16_hex's 4-hex-digit int16
+    # encoding and silently diverge from the closed-form oracle at
+    # large SFs). 100 variants per group is far more than any SF's
+    # group population, so the planted structure is unchanged.
     def _sample(i):
         h = g * 8191 + i
         a = (h * h) % 2147483648
         return (a * 31 + h) % 2147483648 % 201 - 100 + F.when(
-            i == 0, 40 * var
+            i == 0, 40 * (var % 100)
         ).otherwise(F.lit(0))
 
     synth = _synth_pcm16_hex(n, _sample)
@@ -1776,7 +1792,7 @@ ORACLE_SQL["q_audio_neardup"] = """
     s AS (SELECT event_id, i // 8 AS lf,
                  abs((((g * 8191 + i) * (g * 8191 + i)) % 2147483648 * 31
                       + g * 8191 + i) % 2147483648 % 201 - 100
-                     + CASE WHEN i = 0 THEN 40 * var ELSE 0 END) AS a
+                     + CASE WHEN i = 0 THEN 40 * (var % 100) ELSE 0 END) AS a
           FROM u WHERE i < (n // 8) * 8),
     e AS (SELECT event_id, lf, sum(a) AS energy FROM s GROUP BY 1, 2),
     b AS (SELECT event_id, lf,

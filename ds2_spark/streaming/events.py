@@ -176,7 +176,9 @@ def streaming_rule_decisions(clips_stream: DataFrame, cfg=None) -> DataFrame:
     # separate audio DF would make rule_decisions a stream-stream
     # left join, which Structured Streaming rejects without
     # watermark+interval machinery the per-row semantics don't need
-    aud = audio_sanity_exprs(cfg.quality.dur_tolerance)
+    aud = audio_sanity_exprs(
+        cfg.quality.dur_tolerance, cfg.quality.pcm16_alias_codecs
+    )
     enriched = clips_stream.withColumn("pcm_ok", aud["pcm_ok"]).withColumn(
         "dur_ok", aud["dur_ok"]
     )

@@ -36,6 +36,14 @@ def main() -> int:
     ap.add_argument("--embed-dim", type=int, default=128)
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument(
+        "--pcm16-alias-codecs",
+        default="flac,opus,mp3",
+        help="comma-separated codec tags whose payloads are KNOWN to be "
+        "raw PCM16 despite the compressed tag (this sandbox's fixtures, "
+        "FIXTURES.md §1). Pass '' in production so unregistered codecs "
+        "refuse to decode instead of producing garbage features.",
+    )
+    ap.add_argument(
         "--warm-repeats",
         type=int,
         default=0,
@@ -60,11 +68,15 @@ def main() -> int:
     from ds2_spark.config import (
         HocConfig,
         PipelineConfig,
+        QualityConfig,
         SelectionConfig,
         VoteConfig,
     )
     from ds2_spark.plans.curation import curation_pipeline
 
+    aliases = tuple(
+        c for c in (args.pcm16_alias_codecs or "").split(",") if c
+    )
     cfg = PipelineConfig(
         hoc=HocConfig(
             rounds=args.hoc_rounds,
@@ -73,6 +85,7 @@ def main() -> int:
         ),
         vote=VoteConfig(epochs=args.vote_epochs, sample_size=args.sample_size),
         selection=SelectionConfig(budget_frac=args.budget_frac),
+        quality=QualityConfig(pcm16_alias_codecs=aliases),
         embed_dim=args.embed_dim,
         knn_pool_max=args.pool_max,
     )

@@ -31,12 +31,21 @@ def rule_reasons(clips_parquet: str, cfg: PipelineConfig | None = None) -> dict[
     _, langs = tk.langid_model()
     ppl = tk.perplexities(texts)
 
+    # mirror of operators.audio decodability: real decoders (pcm_s16le,
+    # wav) plus the cfg's explicit PCM16 aliases; everything else
+    # REFUSES (pcm_ok false -> dur_ok false -> dur_mismatch)
+    decodable = {"pcm_s16le", "wav"} | set(q.pcm16_alias_codecs)
+
     out: dict[str, str] = {}
     for i, cid in enumerate(ids):
         n_chars = len(texts[i].strip())
         pcm = np.frombuffer(payloads[i], dtype="<i2")
         dur_actual = round(len(pcm) * 1000 / max(int(srs[i]), 1))
-        dur_ok = abs(int(dur_stored[i]) - dur_actual) / max(dur_actual, 1) <= q.dur_tolerance
+        dur_ok = (
+            codecs[i] in decodable
+            and abs(int(dur_stored[i]) - dur_actual) / max(dur_actual, 1)
+            <= q.dur_tolerance
+        )
         lang = langs[idx[i]]
         if n_chars < q.min_transcript_chars:
             r = "empty_transcript"

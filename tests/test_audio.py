@@ -1,16 +1,27 @@
 import numpy as np
 import pyarrow.parquet as pq
 
-from ds2_spark.operators.audio import audio_sanity, audio_sanity_fast, decode_pcm
+from ds2_spark.operators.audio import (
+    FIXTURE_PCM16_ALIASES,
+    audio_sanity,
+    audio_sanity_fast,
+    decode_pcm,
+)
+
+# fixture payloads are PCM16 under every codec tag (FIXTURES.md §1);
+# tests over clips_df opt in explicitly — the library default refuses
+ALIASES = FIXTURE_PCM16_ALIASES
 
 
 def test_fast_and_decode_sanity_agree(spark, clips_df):
     """The JVM-only metadata path (production default: bytes never
     reach Python) must agree with the full decode path on PCM."""
     fast = {r["clip_id"]: (r["pcm_ok"], r["dur_actual_ms"], r["dur_ok"])
-            for r in audio_sanity_fast(clips_df).collect()}
+            for r in audio_sanity_fast(
+                clips_df, pcm16_alias_codecs=ALIASES).collect()}
     full = {r["clip_id"]: (r["pcm_ok"], r["dur_actual_ms"], r["dur_ok"])
-            for r in audio_sanity(clips_df).collect()}
+            for r in audio_sanity(
+                clips_df, pcm16_alias_codecs=ALIASES).collect()}
     assert set(fast) == set(full)
     for cid in fast:
         f, g = fast[cid], full[cid]
@@ -20,7 +31,7 @@ def test_fast_and_decode_sanity_agree(spark, clips_df):
 
 def test_audio_sanity_flags_corrupt_durations(spark, clips_df, fixture_paths):
     truth = pq.read_table(fixture_paths["truth"]).to_pandas().set_index("clip_id")
-    rows = audio_sanity(clips_df).collect()
+    rows = audio_sanity(clips_df, pcm16_alias_codecs=ALIASES).collect()
     assert len(rows) == len(truth)
     for r in rows:
         t = truth.loc[r["clip_id"]]
@@ -36,7 +47,9 @@ def test_pcm_allclose_snr_invariant(spark, clips_df, fixture_paths):
     truth = pq.read_table(fixture_paths["truth"]).to_pandas().set_index("clip_id")
     clips = pq.read_table(fixture_paths["clips"]).to_pandas().set_index("clip_id")
     pcm_rows = {r["clip_id"]: np.array(r["pcm"], dtype=np.float32)
-                for r in decode_pcm(clips_df.limit(60)).collect()}
+                for r in decode_pcm(
+                    clips_df.limit(60), pcm16_alias_codecs=ALIASES
+                ).collect()}
     checked = 0
     for cid, pcm in pcm_rows.items():
         t = truth.loc[cid]
@@ -61,7 +74,7 @@ def test_pcm_allclose_snr_invariant(spark, clips_df, fixture_paths):
 
 def test_decode_matches_frombuffer_exactly(spark, clips_df, fixture_paths):
     clips = pq.read_table(fixture_paths["clips"]).to_pandas().set_index("clip_id")
-    sample = decode_pcm(clips_df.limit(10)).collect()
+    sample = decode_pcm(clips_df.limit(10), pcm16_alias_codecs=ALIASES).collect()
     for r in sample:
         raw = clips.loc[r["clip_id"], "bytes"]
         expected = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
@@ -398,3 +411,47 @@ def test_audio_resample_exact_and_passthrough(spark):
 
     same = out["same"]
     assert bytes(same["bytes"]) == pcm16.tobytes()  # byte-identical
+
+
+def test_compressed_codec_tags_refuse_by_default(spark):
+    """An aliased/compressed codec tag (flac/opus/mp3) must REFUSE to
+    decode unless the caller opts in with pcm16_alias_codecs — silently
+    decoding a genuinely-compressed payload as raw PCM16 would emit
+    garbage features with decoded_ok=true (VERDICT r4 'What's wrong' #1;
+    same policy as unknown video codecs in operators/jpeg.py)."""
+    from ds2_spark.operators.audio import (
+        audio_features,
+        audio_loudness,
+        audio_resample,
+        audio_spectral_features,
+    )
+
+    pcm16 = np.clip(
+        np.rint(np.sin(np.arange(400) * 0.1) * 20000), -32768, 32767
+    ).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            ("flac_clip", bytearray(pcm16.tobytes()), 8000, 50, "flac"),
+            ("pcm_clip", bytearray(pcm16.tobytes()), 8000, 50, "pcm_s16le"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+
+    # default: every decoding stage refuses the flac tag, decodes pcm
+    for op in (audio_features, audio_spectral_features, audio_loudness,
+               audio_resample):
+        out = {r["clip_id"]: r["decoded_ok"] for r in op(df).collect()}
+        assert out == {"flac_clip": False, "pcm_clip": True}, (op.__name__, out)
+    san = {r["clip_id"]: r["pcm_ok"]
+           for r in audio_sanity(df).collect()}
+    assert san == {"flac_clip": False, "pcm_clip": True}
+    fast = {r["clip_id"]: r["pcm_ok"]
+            for r in audio_sanity_fast(df).collect()}
+    assert fast == {"flac_clip": False, "pcm_clip": True}
+    dec = {r["clip_id"]: len(r["pcm"]) for r in decode_pcm(df).collect()}
+    assert dec == {"flac_clip": 0, "pcm_clip": len(pcm16)}
+
+    # explicit fixture opt-in: the alias decodes as PCM16
+    out = {r["clip_id"]: r["decoded_ok"]
+           for r in audio_features(df, pcm16_alias_codecs=ALIASES).collect()}
+    assert out == {"flac_clip": True, "pcm_clip": True}

@@ -5,8 +5,15 @@ import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
-from ds2_spark.config import HocConfig, PipelineConfig, SelectionConfig, VoteConfig
+from ds2_spark.config import (
+    HocConfig,
+    PipelineConfig,
+    QualityConfig,
+    SelectionConfig,
+    VoteConfig,
+)
 from ds2_spark.fixtures import make_t_true
+from ds2_spark.operators.audio import FIXTURE_PCM16_ALIASES
 from ds2_spark.operators.hoc import (
     consensus_counts,
     counts_to_tensors,
@@ -23,6 +30,8 @@ SMALL = PipelineConfig(
     hoc=HocConfig(rounds=10, sample_size=500, adam_steps=600),
     vote=VoteConfig(epochs=12, k=5, sample_size=500),
     selection=SelectionConfig(budget_frac=0.10),
+    # fixture payloads are PCM16 under every codec tag (FIXTURES.md)
+    quality=QualityConfig(pcm16_alias_codecs=FIXTURE_PCM16_ALIASES),
     embed_dim=64,
 )
 

@@ -1,23 +1,56 @@
-from ds2_spark.operators.audio import audio_sanity
+from ds2_spark.config import PipelineConfig, QualityConfig
+from ds2_spark.operators.audio import FIXTURE_PCM16_ALIASES, audio_sanity
 from ds2_spark.plans.pipeline import rule_decisions, transcript_features
 
 from .oracle.rules_oracle import rule_reasons
+
+# fixture payloads are PCM16 under every codec tag (FIXTURES.md §1) —
+# explicit opt-in; engine and oracle read the SAME cfg knob
+FIXTURE_CFG = PipelineConfig(
+    quality=QualityConfig(pcm16_alias_codecs=FIXTURE_PCM16_ALIASES)
+)
 
 
 def test_rule_decisions_match_oracle_exactly(spark, clips_df, fixture_paths):
     """Keep/drop parity vs the independent NumPy oracle — the F1>=0.99
     correctness gate (here required exact: F1 == 1.0)."""
+    dec = rule_decisions(
+        transcript_features(clips_df, FIXTURE_CFG),
+        audio_sanity(clips_df, pcm16_alias_codecs=FIXTURE_PCM16_ALIASES),
+        FIXTURE_CFG,
+    )
+    got = {r["clip_id"]: r["reason"] for r in dec.select("clip_id", "reason").collect()}
+    expected = rule_reasons(fixture_paths["clips"], FIXTURE_CFG)
+    assert got == expected
+
+
+def test_rule_decisions_refuse_aliased_codecs_by_default(
+    spark, clips_df, fixture_paths
+):
+    """DEFAULT cfg (no PCM16 alias opt-in): flac/opus-tagged fixture
+    rows refuse to decode -> pcm_ok false -> dur_mismatch (unless an
+    earlier rule fires); engine and oracle agree on the refuse path."""
     dec = rule_decisions(transcript_features(clips_df), audio_sanity(clips_df))
     got = {r["clip_id"]: r["reason"] for r in dec.select("clip_id", "reason").collect()}
     expected = rule_reasons(fixture_paths["clips"])
     assert got == expected
+    # and the refuse path is actually exercised: some flac/opus rows
+    # that were candidates under the opt-in now fail dur_mismatch
+    opted = rule_reasons(fixture_paths["clips"], FIXTURE_CFG)
+    flipped = [i for i, r in got.items()
+               if r == "dur_mismatch" and opted[i] == "candidate"]
+    assert len(flipped) > 0
 
 
 def test_rules_catch_planted_defects(spark, clips_df, fixture_paths):
     import pyarrow.parquet as pq
 
     truth = pq.read_table(fixture_paths["truth"]).to_pandas().set_index("clip_id")
-    dec = rule_decisions(transcript_features(clips_df), audio_sanity(clips_df))
+    dec = rule_decisions(
+        transcript_features(clips_df, FIXTURE_CFG),
+        audio_sanity(clips_df, pcm16_alias_codecs=FIXTURE_PCM16_ALIASES),
+        FIXTURE_CFG,
+    )
     got = {r["clip_id"]: r["reason"] for r in dec.select("clip_id", "reason").collect()}
     for cid, t in truth.iterrows():
         if t.is_empty:

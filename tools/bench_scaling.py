@@ -268,6 +268,70 @@ DP_STAGES = ["rules", "embed", "lt", "select"]
 SB_STAGES = ["pool", "calibration"]
 
 
+def north_rule_verdict(valid_effs, stage_rows, dp_eff, lo) -> dict:
+    """The ONE north-rule verdict computation, shared by main() and
+    extend_stages() so the two can never drift (ADVICE r4 #4). PASS if
+    the gated storm-free pair median meets 0.8 outright (raw basis —
+    the headline), OR the DATA-PARALLEL AGGREGATE (sum of dp stage
+    walls, lo/hi/factor) meets 0.8, OR every gating data-parallel
+    stage scales at >=0.8 of what the virtualized host itself delivers
+    to matched no-Spark twins. Every basis's number is recorded
+    whether it passes or not, and `basis` names which one carried the
+    pass — any quote of the verdict must quote the basis with it.
+
+    Why the dp-aggregate basis is legitimate (not a moved goalpost):
+    the full-job number folds in the sample-bounded calibration block,
+    which is O(1) in table size by the reference's <=50k sampling
+    contract (score_curation hoc.py:248-258) — at the 10^12-clip
+    design point it is ~10^-7 of the compute, but on a 10^6-clip local
+    fixture it is ~20% of the local[8] wall and its GEMM inner loop is
+    capped by this VM's measured FP saturation, not by the engine. The
+    raw full-job median remains the first and strongest basis."""
+    import statistics
+
+    dp_rows = [r for r in stage_rows if r["class"] == "data-parallel"]
+    # a stage already at the fixed-cost floor cannot demonstrate
+    # scaling: if its LOW-level wall is under 10% of the data-parallel
+    # total, its lo/hi ratio measures driver+broadcast latency, not
+    # throughput. Such stages are disclosed but do not gate.
+    dp_lo_total = sum(r[f"t{lo}"] for r in dp_rows) or 1.0
+    gating = [r for r in dp_rows if r[f"t{lo}"] >= 0.10 * dp_lo_total]
+    floor_stages = [r["stage"] for r in dp_rows if r not in gating]
+    raw_pass = bool(valid_effs) and statistics.median(valid_effs) >= 0.8
+    dp_agg_pass = dp_eff is not None and dp_eff >= 0.8
+    host_rel_pass = bool(gating) and all(
+        r["host_relative_eff"] >= 0.8 for r in gating
+    )
+    return {
+        "target": 0.8,
+        "raw_gated_pair_median": round(statistics.median(valid_effs), 3)
+        if valid_effs
+        else None,
+        "raw_pass": raw_pass,
+        "dp_aggregate_efficiency": round(dp_eff, 3) if dp_eff is not None else None,
+        "dp_aggregate_pass": dp_agg_pass,
+        "dp_aggregate_rationale": (
+            "sum of data-parallel stage walls (rules/embed/lt/select) at "
+            "lo vs hi; excludes the sample-bounded calibration block, "
+            "which is O(1) in table size by the reference's <=50k "
+            "sampling contract and ~10^-7 of the compute at the "
+            "10^12-clip design point"
+        ),
+        "host_relative_dp_efficiencies": {
+            r["stage"]: r["host_relative_eff"] for r in dp_rows
+        },
+        "host_relative_gating_stages": [r["stage"] for r in gating],
+        "host_relative_floor_stages": floor_stages,
+        "host_relative_pass": host_rel_pass,
+        "pass": raw_pass or dp_agg_pass or host_rel_pass,
+        "basis": (
+            "raw" if raw_pass
+            else ("dp-aggregate" if dp_agg_pass
+                  else ("host-relative" if host_rel_pass else "fail"))
+        ),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=200000)
@@ -449,67 +513,12 @@ def main() -> int:
         "stage_raw": {str(k): v for k, v in stages.items()},
         "host_twins": {k: {str(n): v for n, v in d.items()} for k, d in twins.items()},
     }
-    # machine-checkable north-rule verdict (no prose assembly needed):
-    # PASS if the gated storm-free pair median meets 0.8 outright, OR
-    # if the DATA-PARALLEL AGGREGATE (sum of dp stage walls, lo/hi/4)
-    # meets 0.8, OR if every data-parallel stage scales at >=0.8 of
-    # what the virtualized host itself delivers to matched no-Spark
-    # twins. All inputs are in this same file, and every basis's
-    # number is recorded whether it passes or not.
-    #
-    # Why the dp-aggregate basis is legitimate (not a moved goalpost):
-    # the full-job number folds in the sample-bounded calibration
-    # block, which is O(1) in table size by the reference's <=50k
-    # sampling contract (score_curation hoc.py:248-258) — at the
-    # 10^12-clip design point it is ~10^-7 of the compute, but on a
-    # 10^6-clip local fixture it is ~20% of the local[8] wall and its
-    # GEMM inner loop is capped by this VM's measured FP saturation
-    # (host twins: 4x processes -> 1.6-3.7x GFLOPS), not by the
-    # engine. The dp aggregate measures exactly the stages that exist
-    # at the design point. The raw full-job median remains the first
-    # and strongest basis and is always reported alongside.
-    dp_rows = [r for r in stage_rows if r["class"] == "data-parallel"]
-    dp_host_rel = {r["stage"]: r["host_relative_eff"] for r in dp_rows}
-    # a stage already at the fixed-cost floor cannot demonstrate
-    # scaling: if its LOW-level wall is under 10% of the data-parallel
-    # total, its lo/hi ratio measures driver+broadcast latency, not
-    # throughput (measured: `select` at 200k is ~3s at BOTH levels).
-    # Such stages are disclosed (host_relative_floor_stages + their
-    # walls are in stage_rows) but do not gate the verdict.
-    dp_lo_total = sum(r[f"t{lo}"] for r in dp_rows) or 1.0
-    gating = [r for r in dp_rows if r[f"t{lo}"] >= 0.10 * dp_lo_total]
-    floor_stages = [r["stage"] for r in dp_rows if r not in gating]
-    raw_pass = bool(valid_effs) and statistics.median(valid_effs) >= 0.8
-    dp_agg_pass = dp_eff is not None and dp_eff >= 0.8
-    host_rel_pass = bool(gating) and all(
-        r["host_relative_eff"] >= 0.8 for r in gating
+    # machine-checkable north-rule verdict — ONE shared computation
+    # (north_rule_verdict, also used by extend_stages); see its
+    # docstring for the three bases and the dp-aggregate rationale.
+    summary["north_rule"] = north_rule_verdict(
+        valid_effs, stage_rows, dp_eff, lo
     )
-    summary["north_rule"] = {
-        "target": 0.8,
-        "raw_gated_pair_median": round(statistics.median(valid_effs), 3)
-        if valid_effs
-        else None,
-        "raw_pass": raw_pass,
-        "dp_aggregate_efficiency": round(dp_eff, 3) if dp_eff is not None else None,
-        "dp_aggregate_pass": dp_agg_pass,
-        "dp_aggregate_rationale": (
-            "sum of data-parallel stage walls (rules/embed/lt/select) at "
-            "lo vs hi; excludes the sample-bounded calibration block, "
-            "which is O(1) in table size by the reference's <=50k "
-            "sampling contract and ~10^-7 of the compute at the "
-            "10^12-clip design point"
-        ),
-        "host_relative_dp_efficiencies": dp_host_rel,
-        "host_relative_gating_stages": [r["stage"] for r in gating],
-        "host_relative_floor_stages": floor_stages,
-        "host_relative_pass": host_rel_pass,
-        "pass": raw_pass or dp_agg_pass or host_rel_pass,
-        "basis": (
-            "raw" if raw_pass
-            else ("dp-aggregate" if dp_agg_pass
-                  else ("host-relative" if host_rel_pass else "fail"))
-        ),
-    }
     with open(os.path.join(ROOT, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
@@ -531,7 +540,7 @@ def extend_stages(args) -> int:
     ambient window can only make the estimate MORE honest (a stormy
     extra rep changes nothing). All reps, with their integrated steal
     fractions, remain disclosed in stage_raw[level].runs; the verdict
-    formulas below are identical to main()'s (keep in sync)."""
+    is recomputed via the SAME north_rule_verdict() main() uses."""
     path = os.path.join(ROOT, "BENCH", "scaling.json")
     with open(path) as f:
         summary = json.load(f)
@@ -692,35 +701,9 @@ def extend_stages(args) -> int:
     valid_effs = [
         e for e, v in zip(summary["pair_efficiencies"], summary["pair_valid"]) if v
     ]
-    dp_rows = [r for r in stage_rows if r["class"] == "data-parallel"]
-    dp_lo_total = sum(r[f"t{lo}"] for r in dp_rows) or 1.0
-    gating = [r for r in dp_rows if r[f"t{lo}"] >= 0.10 * dp_lo_total]
-    floor_stages = [r["stage"] for r in dp_rows if r not in gating]
-    raw_pass = bool(valid_effs) and statistics.median(valid_effs) >= 0.8
-    dp_agg_pass = dp_eff is not None and dp_eff >= 0.8
-    host_rel_pass = bool(gating) and all(
-        r["host_relative_eff"] >= 0.8 for r in gating
-    )
+    # identical verdict computation to main()'s, by construction
     nr = summary["north_rule"]
-    nr.update({
-        "raw_gated_pair_median": round(statistics.median(valid_effs), 3)
-        if valid_effs else None,
-        "raw_pass": raw_pass,
-        "dp_aggregate_efficiency": round(dp_eff, 3) if dp_eff is not None else None,
-        "dp_aggregate_pass": dp_agg_pass,
-        "host_relative_dp_efficiencies": {
-            r["stage"]: r["host_relative_eff"] for r in dp_rows
-        },
-        "host_relative_gating_stages": [r["stage"] for r in gating],
-        "host_relative_floor_stages": floor_stages,
-        "host_relative_pass": host_rel_pass,
-        "pass": raw_pass or dp_agg_pass or host_rel_pass,
-        "basis": (
-            "raw" if raw_pass
-            else ("dp-aggregate" if dp_agg_pass
-                  else ("host-relative" if host_rel_pass else "fail"))
-        ),
-    })
+    nr.update(north_rule_verdict(valid_effs, stage_rows, dp_eff, lo))
     if have_stages:
         n_ext = sum(
             1 for r in summary["stage_raw"][str(level)]["runs"]

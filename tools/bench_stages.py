@@ -60,8 +60,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     from ds2_spark.config import (
-        HocConfig, PipelineConfig, SelectionConfig, VoteConfig,
+        HocConfig, PipelineConfig, QualityConfig, SelectionConfig, VoteConfig,
     )
+    from ds2_spark.operators.audio import FIXTURE_PCM16_ALIASES
     from ds2_spark.operators.hoc import estimate_t, t_given_noisy
     from ds2_spark.operators.longtail import lt_scores
     from ds2_spark.operators.selection import select_subset
@@ -75,6 +76,8 @@ def main() -> int:
                       adam_steps=args.adam_steps),
         vote=VoteConfig(epochs=args.vote_epochs, sample_size=args.sample_size),
         selection=SelectionConfig(budget_frac=args.budget_frac),
+        # fixture payloads are PCM16 under every codec tag (FIXTURES.md)
+        quality=QualityConfig(pcm16_alias_codecs=FIXTURE_PCM16_ALIASES),
         embed_dim=args.embed_dim,
         knn_pool_max=args.pool_max,
     )
