@@ -313,3 +313,91 @@ def funnel(
         *[f"t_{j}" for j in range(1, len(steps) + 1)],
         completed.alias("completed"),
     )
+
+
+def funnel_arrays(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_us: int | None = None,
+) -> DataFrame:
+    """Sort-once funnel: identical semantics and output schema to
+    `funnel` (greedy earliest-per-step, strict order, optional horizon
+    from step 1), different plan — ONE shuffle total instead of k.
+
+    Shape: filter to the k step types (pushed-down scan), ONE
+    groupBy(user) collecting a time-sorted array of (epoch_us,
+    step_idx), then a single JVM `aggregate()` walk over the array
+    that fills the t_1..t_k slots — an event of step j claims slot j
+    iff slot j is empty, slot j-1 is filled with a strictly earlier
+    time, and it lands within the horizon. Walking in time order
+    makes the first claim the minimum, i.e. exactly `funnel`'s
+    semantics. Everything after the shuffle is whole-stage-codegen
+    column arithmetic (array_sort + transform inside aggregate) — no
+    window, no per-step join, no Python.
+
+    Trade-off vs the k-pass `funnel` (measured at sf0.1, k=3 and a
+    synthetic k=8 — see PLANS.md "funnel strategies"): one wide
+    shuffle of every funnel-relevant event vs k narrow shuffles of
+    per-step slices. The k-pass form shuffles ~the same rows in total
+    (each row once, in its step's pass) plus (k-1) re-shuffles of the
+    per-user frontier; this form wins as k grows and is immune to
+    frontier re-shuffles, but materializes each user's full event
+    array in one task — a pathological hot user (millions of
+    funnel-type events) belongs in a pre-cap (same caveat as any
+    collect_list). NULL propagation is structural: slot j can only
+    fill after slot j-1."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    k = len(steps)
+    us = epoch_micros(events, ts_col)
+    idx = F.array_position(
+        F.array(*[F.lit(s) for s in steps]), F.col(type_col)
+    ).cast("int")
+    e = (
+        events.where(F.col(type_col).isin(*steps))
+        .select(
+            F.col(user_col),
+            F.struct(us.alias("u"), idx.alias("idx")).alias("_ev"),
+        )
+    )
+    per_user = e.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("_ev")).alias("_evs")
+    )
+    init = F.array(*[F.lit(None).cast("bigint") for _ in range(k)])
+
+    def _claim(acc, ev):
+        j = ev["idx"]  # 1-based step index of this event
+
+        def slot(v, i):
+            # i is 0-based slot; slot j-1 belongs to step j
+            cond = (i == j - 1) & v.isNull()
+            prev_ok = F.when(
+                j == 1, F.lit(True)
+            ).otherwise(
+                F.element_at(acc, j - 1).isNotNull()
+                & (ev["u"] > F.element_at(acc, j - 1))
+            )
+            cond = cond & prev_ok
+            if horizon_us is not None:
+                in_horizon = F.when(j == 1, F.lit(True)).otherwise(
+                    ev["u"] <= F.element_at(acc, 1) + F.lit(horizon_us)
+                )
+                cond = cond & in_horizon
+            return F.when(cond, ev["u"]).otherwise(v)
+
+        return F.transform(acc, slot)
+
+    out = per_user.select(
+        user_col, F.aggregate("_evs", init, _claim).alias("_t")
+    ).where(F.element_at("_t", 1).isNotNull())
+    completed = F.lit(1)
+    for j in range(2, k + 1):
+        completed = completed + F.element_at("_t", j).isNotNull().cast("int")
+    return out.select(
+        user_col,
+        *[F.element_at("_t", j).alias(f"t_{j}") for j in range(1, k + 1)],
+        completed.alias("completed"),
+    )

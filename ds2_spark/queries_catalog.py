@@ -2505,13 +2505,37 @@ def _flagship_oracle_sql(sf_dir: str | None = None) -> str:
         f"({int(i)}, '{langs[idx[j]]}', {float(margin[j])!r}, {float(ppl[j])!r})"
         for j, i in enumerate(ids)
     )
+    # SF-binding guard (VERDICT r4 item 4): the literal VALUES table
+    # below is only valid for the documents slice it was generated
+    # from. If the attached `documents` view is a DIFFERENT slice
+    # (another SF), fail LOUDLY via DuckDB error() instead of
+    # hash-mismatching mysteriously — checked on row count and total
+    # text length, both cheap and SF-discriminating.
+    n_docs = len(ids)
+    text_len_sum = sum(len(t) for t in texts)
     return rf"""
         WITH m(doc_id, lang_pred, margin_raw, ppl_raw) AS (VALUES
           {rows}
         ),
+        _guard AS (
+          SELECT CASE
+            WHEN (SELECT count(*) FROM documents) = {n_docs}
+             AND (SELECT sum(length(coalesce(text, ''))) FROM documents)
+                 = {text_len_sum}
+            THEN 1
+            ELSE error('flagship oracle literals were generated for a '
+                       'documents slice with {n_docs} rows / '
+                       '{text_len_sum} total chars ({sf_dir}); the '
+                       'attached documents table differs — set '
+                       'DS2_ORACLE_SF_DIR to the SF under test')
+          END AS ok
+        ),
         t AS (
+          -- the WHERE forces _guard.ok's CASE to evaluate (an
+          -- unreferenced projected column would be pruned away and
+          -- the error() would never fire)
           SELECT doc_id, text, trim(coalesce(text, '')) AS tr
-          FROM documents
+          FROM documents CROSS JOIN _guard WHERE _guard.ok = 1
         )
         SELECT t.doc_id,
                length(tr) AS n_chars,

@@ -281,3 +281,42 @@ def test_funnel_hand_series(spark):
     assert out[3]["completed"] == 1 and out[3]["t_3"] is None
     assert out[4]["completed"] == 1  # click at +90min > 60min horizon
     assert (out[5]["t_1"], out[5]["t_2"], out[5]["completed"]) == (us(0), us(3), 2)
+
+
+def test_funnel_arrays_matches_kpass(spark):
+    """funnel_arrays (sort-once, one shuffle) must reproduce funnel's
+    (k keyed passes) output EXACTLY — same greedy earliest-per-step,
+    strict ordering, horizon, and missing-step NULL semantics — on
+    both the hand-constructed edge cases and a seeded random series,
+    with and without a horizon."""
+    import numpy as np
+
+    from ds2_spark.operators.timeseries import funnel, funnel_arrays
+
+    rng = np.random.default_rng(7)
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    for eid in range(600):
+        u = int(rng.integers(1, 40))
+        ty = types[int(rng.integers(0, len(types)))]
+        ts = t0 + dt.timedelta(seconds=int(rng.integers(0, 72 * 3600)))
+        rows.append((eid, ts, u, ty, 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    for steps, hor in (
+        (["view", "click", "purchase"], 24 * 3600 * 1_000_000),
+        (["signup", "view", "click", "purchase", "error"], None),
+        (["view"], 1_000_000),
+    ):
+        a = sorted(
+            tuple(r) for r in funnel(ev, steps, horizon_us=hor).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in funnel_arrays(ev, steps, horizon_us=hor).collect()
+        )
+        assert a == b, (steps, hor)

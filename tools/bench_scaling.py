@@ -547,13 +547,15 @@ def extend_stages(args) -> int:
     lo, hi = summary["cpus_low"], summary["cpus_high"]
     factor = hi / lo
     level = args.extend_level if args.extend_level is not None else lo
-    # the stage layer is only a prerequisite for stage/twin extension;
-    # full-job pair extension works on a --skip-stages artifact too
-    if (args.extend_stages or args.remeasure_twins) and str(level) not in summary.get(
-        "stage_raw", {}
-    ):
-        print(f"no stage_raw[{level}] in artifact; nothing to extend")
-        return 1
+    # a --skip-stages artifact has no stage layer at all; BOOTSTRAP an
+    # empty level so --extend-stages can populate layers 2/3 after the
+    # fact (VERDICT r4 item 2) — the merge below only computes
+    # stage_rows/dp_eff once BOTH levels have at least one run, so a
+    # half-bootstrapped artifact stays raw-basis-only, never corrupt
+    if args.extend_stages and str(level) not in summary.get("stage_raw", {}):
+        summary.setdefault("stage_raw", {})[str(level)] = {
+            "stages": {}, "runs": []
+        }
 
     subprocess.run([sys.executable, os.path.join(ROOT, "tools", "make_pyfiles.py")], check=True)
     fixture = ensure_fixture(summary["clips"])

@@ -42,6 +42,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # bind the flagship oracle's literal VALUES generation to the SF
+    # under test (it defaults to sf0.01, the driver's gate SF); the
+    # oracle SQL itself carries a loud row-count/char-sum guard in
+    # case the binding and the attached tables ever diverge
+    os.environ.setdefault("DS2_ORACLE_SF_DIR", sf_dir)
+
     import __spark_entry__ as entrymod
     from ds2_spark.session import get_spark
 
