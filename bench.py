@@ -47,7 +47,9 @@ HEADLINE = [
     "q_rolling_fingerprint",
     "q_audio_features",
     "q_audio_fingerprint",
+    "q_audio_vad",
     "q_cube",
+    "q_funnel",
     "q_asof_join",
     "q_sessionize",
     "q_stratified_sample",

@@ -661,3 +661,144 @@ def audio_resample(
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
+AUDIO_VAD_SCHEMA = (
+    "clip_id string, seg_id int, start_frame int, end_frame int, "
+    "n_frames int, voiced_frames int, energy_sum bigint"
+)
+
+
+def audio_vad_segments(
+    clips: DataFrame,
+    frame_samples: int = 160,
+    energy_threshold: int = 160 * 50,
+    max_gap_frames: int = 0,
+    min_frames: int = 1,
+) -> DataFrame:
+    """Energy-based voice-activity segmentation — the speech/silence
+    splitter a quality-filter pipeline runs before per-utterance
+    scoring (trim leading/trailing silence, drop dead air, emit one
+    row per speech segment for downstream chunking).
+
+      frame t energy   E_t = sum(|pcm16_i|) over frame t  (int64 exact)
+      voiced           E_t >= energy_threshold
+      segment          maximal voiced run, where silence gaps of
+                       <= max_gap_frames frames are BRIDGED (a plosive
+                       pause doesn't split an utterance); merged spans
+                       shorter than min_frames frames drop (clicks)
+
+    INTEGER-EXACT like `audio_fingerprint` above (abs-sums of int16,
+    integer compares), so a SQL engine can recompute identical
+    segments from a closed-form synthesis — the contract query's
+    DuckDB oracle replays the same gaps-and-islands over the same
+    frame energies and hash-matches.
+
+    Output: one row per kept segment; `n_frames` is the merged span
+    (end_frame - start_frame + 1, bridged silence included),
+    `voiced_frames` counts only frames over threshold, `energy_sum`
+    sums E_t over the whole span. Clips with NULL/short payloads or
+    no voiced frames emit no rows. seg_id is 0-based in time order
+    per clip.
+
+    Spark shape: the same bytes-column discipline as every audio
+    stage (pruned scan -> mapInPandas -> small keyed output; bytes
+    never shuffle). The kernel is batch-vectorized: one frombuffer
+    over the concatenated batch, one reshape frame reduce, and
+    run/merge/filter as flat NumPy array passes (reduceat over run
+    boundaries) — no per-row Python in the per-sample or per-frame
+    work. Parallelism = input partitions: at scale the upstream scan
+    is already many-partitioned; small synthesized inputs must
+    repartition first (NOTES.md #22).
+    """
+    if frame_samples < 1 or min_frames < 1 or max_gap_frames < 0:
+        raise ValueError("frame_samples/min_frames >= 1, max_gap_frames >= 0")
+    pruned = clips.select("clip_id", "bytes")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fs = frame_samples
+        for pdf in batches:
+            nrows = len(pdf)
+            raw = list(pdf["bytes"])
+            trunc = [
+                b""
+                if b is None
+                else bytes(b[: (len(b) // (2 * fs)) * 2 * fs])
+                for b in raw
+            ]
+            nframes = np.fromiter(
+                (len(b) // (2 * fs) for b in trunc), dtype=np.int64, count=nrows
+            )
+            pcm = np.abs(
+                np.frombuffer(b"".join(trunc), dtype="<i2").astype(np.int64)
+            )
+            energy = (
+                pcm.reshape(-1, fs).sum(axis=1)
+                if len(pcm)
+                else np.zeros(0, dtype=np.int64)
+            )
+            total = int(nframes.sum())
+            cols: dict[str, list] = {
+                "clip_id": [], "seg_id": [], "start_frame": [],
+                "end_frame": [], "n_frames": [], "voiced_frames": [],
+                "energy_sum": [],
+            }
+            if total:
+                owner = np.repeat(np.arange(nrows), nframes)
+                voiced = energy >= energy_threshold
+                # voiced-run boundaries, never crossing a clip edge
+                prev_same = np.zeros(total, dtype=bool)
+                prev_same[1:] = owner[1:] == owner[:-1]
+                prev_v = np.zeros(total, dtype=bool)
+                prev_v[1:] = voiced[:-1]
+                starts = np.flatnonzero(voiced & ~(prev_v & prev_same))
+                next_same = np.zeros(total, dtype=bool)
+                next_same[:-1] = prev_same[1:]
+                next_v = np.zeros(total, dtype=bool)
+                next_v[:-1] = voiced[1:]
+                ends = np.flatnonzero(voiced & ~(next_v & next_same))
+                if len(starts):
+                    # bridge: island i merges into i-1 iff same clip and
+                    # the silence gap between them is <= max_gap_frames
+                    brk = np.ones(len(starts), dtype=np.int64)
+                    brk[1:] = ~(
+                        (owner[starts[1:]] == owner[ends[:-1]])
+                        & (starts[1:] - ends[:-1] - 1 <= max_gap_frames)
+                    )
+                    bidx = np.flatnonzero(brk)  # first island per group
+                    gstart = starts[bidx]
+                    glast = ends[
+                        np.concatenate((bidx[1:] - 1, [len(ends) - 1]))
+                    ]
+                    span = glast - gstart + 1
+                    vf = np.add.reduceat(ends - starts + 1, bidx)
+                    # span energy: prefix-sum range query over E
+                    csum = np.concatenate(
+                        ([0], np.cumsum(energy, dtype=np.int64))
+                    )
+                    esum = csum[glast + 1] - csum[gstart]
+                    keep = span >= min_frames
+                    gown = owner[gstart]
+                    # frame index local to the clip
+                    fstarts = np.concatenate(([0], np.cumsum(nframes)))[:-1]
+                    # 0-based per-clip seg ids over KEPT groups (groups
+                    # are time-ordered within a clip by construction)
+                    kown = gown[keep]
+                    seg_local = _concat_aranges(
+                        np.bincount(kown, minlength=nrows)
+                    )
+                    cid = pdf["clip_id"].to_numpy()
+                    cols["clip_id"] = cid[kown]
+                    cols["seg_id"] = seg_local.astype(np.int32)
+                    cols["start_frame"] = (
+                        (gstart - fstarts[gown])[keep].astype(np.int32)
+                    )
+                    cols["end_frame"] = (
+                        (glast - fstarts[gown])[keep].astype(np.int32)
+                    )
+                    cols["n_frames"] = span[keep].astype(np.int32)
+                    cols["voiced_frames"] = vf[keep].astype(np.int32)
+                    cols["energy_sum"] = esum[keep]
+            yield pd.DataFrame(cols, columns=list(cols))
+
+    return pruned.mapInPandas(_op, schema=AUDIO_VAD_SCHEMA)

@@ -903,6 +903,68 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation via the production
+    `audio_vad_segments` operator (frame abs-sum energies -> integer
+    threshold -> voiced islands with gap bridging and min-length
+    filtering — see its docstring). Synthesis plants closed-form
+    speech/silence structure: within frame t every sample alternates
+    +/-amp_t with amp_t = 90 when ((event_id*13 + t*t) % 11) < 5 else
+    2, so E_t = 8*amp_t EXACTLY (720 voiced / 16 silence, threshold
+    400 between) and the DuckDB oracle replays the identical
+    gaps-and-islands (row_number islands -> lag-gap bridging ->
+    min-length filter) over the same per-frame formula — the segment
+    MERGE logic itself is cross-checked, not just the energies. The
+    t*t term gives varied voiced-run/gap lengths so bridging
+    (max_gap=1) and the min_frames=2 drop both fire on real cases.
+    Odd tail samples exercise whole-frame truncation; every 13th
+    payload is NULL (no-rows path)."""
+    from .operators.audio import audio_vad_segments
+
+    fs = 8
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    nf = (e % 29 + 12).cast("int")  # 12..40 whole frames
+
+    # Frame t's samples alternate +amp_t,-amp_t (fs/2 pairs), and
+    # amp_t takes only two values — so each frame's PCM16-LE hex is
+    # one of two CONSTANTS, computed here in Python instead of per
+    # sample in interpreted HOF (8x fewer expression evaluations than
+    # the generic _synth_pcm16_hex; same bytes, same oracle formula
+    # E_t = 8*amp_t).
+    def _frame_hex(amp: int) -> str:
+        pos, neg = amp, (65536 - amp) % 65536
+        le = lambda u: f"{u:04x}"[2:] + f"{u:04x}"[:2]
+        return (le(pos) + le(neg)) * (fs // 2)
+
+    frame = lambda t: F.when(
+        (e * 13 + t * t) % 11 < 5, F.lit(_frame_hex(90))
+    ).otherwise(F.lit(_frame_hex(2)))
+    hexstr = F.concat(
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), nf - 1), frame), ""
+        ),
+        # tail samples (< 1 frame, value irrelevant): exercise the
+        # operator's whole-frame truncation path
+        F.repeat(F.lit("0200"), (e % 5).cast("int")),
+    )
+    payload = F.when(e % 13 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(hexstr, F.lit("hex"))
+    )
+    clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
+    out = audio_vad_segments(
+        clips, frame_samples=fs, energy_threshold=400,
+        max_gap_frames=1, min_frames=2,
+    )
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        "seg_id", "start_frame", "end_frame", "n_frames",
+        "voiced_frames", "energy_sum",
+    ).orderBy("clip_id", "seg_id")
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over orders (all four (status, priority)
     rollup levels in one pass) with GROUPING() disambiguation flags
@@ -1281,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": q_audio_features,
         "q_audio_fingerprint": q_audio_fingerprint,
         "q_audio_neardup": q_audio_neardup,
+        "q_audio_vad": q_audio_vad,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -1821,6 +1884,54 @@ ORACLE_SQL["q_audio_neardup"] = """
     FROM cand
     WHERE bit_count(xor(fp_a, fp_b)) <= 2
     ORDER BY id_a, id_b
+"""
+
+# closed-form twin of q_audio_vad: recomputes frame energies from the
+# synthesis formula (E_t = 8*amp_t exactly — alternating-sign constant
+# amplitude per frame), then replays the SAME segmentation semantics
+# as an independent gaps-and-islands: row_number islands over voiced
+# frames -> lag-gap bridging (gap <= 1 merges) -> min-length filter
+# (span >= 2) -> per-clip seg ids + span energy sums. Cross-checks the
+# merge/filter logic itself, not just the energy arithmetic.
+ORACLE_SQL["q_audio_vad"] = """
+    WITH t AS (SELECT event_id AS e, event_id % 29 + 12 AS nf
+               FROM events WHERE event_id % 13 <> 0),
+    fr AS (SELECT e, unnest(range(0, nf)) AS t FROM t),
+    en AS (SELECT e, t,
+                  8 * (CASE WHEN (e * 13 + t * t) % 11 < 5
+                            THEN 90 ELSE 2 END) AS energy
+           FROM fr),
+    v AS (SELECT e, t FROM en WHERE energy >= 400),
+    isl AS (SELECT e, t,
+                   t - row_number() OVER (PARTITION BY e ORDER BY t) AS k
+            FROM v),
+    s0 AS (SELECT e, min(t) AS s, max(t) AS z, count(*) AS vf
+           FROM isl GROUP BY e, k),
+    s1 AS (SELECT *,
+                  CASE WHEN s - lag(z) OVER (PARTITION BY e ORDER BY s)
+                            - 1 <= 1
+                       THEN 0 ELSE 1 END AS brk
+           FROM s0),
+    s2 AS (SELECT *, sum(brk) OVER (PARTITION BY e ORDER BY s) AS grp
+           FROM s1),
+    seg AS (SELECT e, min(s) AS start_frame, max(z) AS end_frame,
+                   CAST(sum(vf) AS INT) AS voiced_frames
+            FROM s2 GROUP BY e, grp),
+    kept AS (SELECT *, end_frame - start_frame + 1 AS n_frames,
+                    CAST(row_number() OVER (
+                      PARTITION BY e ORDER BY start_frame) - 1 AS INT)
+                      AS seg_id
+             FROM seg WHERE end_frame - start_frame + 1 >= 2)
+    SELECT CAST(k.e AS BIGINT) AS clip_id, k.seg_id,
+           CAST(k.start_frame AS INT) AS start_frame,
+           CAST(k.end_frame AS INT) AS end_frame,
+           CAST(k.n_frames AS INT) AS n_frames,
+           k.voiced_frames,
+           CAST(sum(en.energy) AS BIGINT) AS energy_sum
+    FROM kept k JOIN en
+      ON en.e = k.e AND en.t BETWEEN k.start_frame AND k.end_frame
+    GROUP BY 1, 2, 3, 4, 5, 6
+    ORDER BY clip_id, seg_id
 """
 
 ORACLE_SQL["q_cube"] = """

@@ -455,3 +455,122 @@ def test_compressed_codec_tags_refuse_by_default(spark):
     out = {r["clip_id"]: r["decoded_ok"]
            for r in audio_features(df, pcm16_alias_codecs=ALIASES).collect()}
     assert out == {"flac_clip": True, "pcm_clip": True}
+
+
+def _naive_vad(
+    b: bytes | None,
+    fs: int,
+    thr: int,
+    max_gap: int,
+    min_frames: int,
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Per-clip reference for audio_vad_segments: plain Python loops,
+    no shared code with the vectorized kernel."""
+    if b is None:
+        return []
+    nf = len(b) // (2 * fs)
+    e = [
+        int(np.abs(np.frombuffer(
+            b[t * 2 * fs:(t + 1) * 2 * fs], dtype="<i2"
+        ).astype(np.int64)).sum())
+        for t in range(nf)
+    ]
+    voiced = [x >= thr for x in e]
+    # maximal voiced runs
+    runs, t = [], 0
+    while t < nf:
+        if voiced[t]:
+            s = t
+            while t + 1 < nf and voiced[t + 1]:
+                t += 1
+            runs.append((s, t))
+        t += 1
+    # bridge gaps <= max_gap
+    merged: list[list[int]] = []
+    for s, en in runs:
+        if merged and s - merged[-1][1] - 1 <= max_gap:
+            merged[-1][1] = en
+        else:
+            merged.append([s, en])
+    out = []
+    for s, en in merged:
+        if en - s + 1 < min_frames:
+            continue
+        vf = sum(1 for t in range(s, en + 1) if voiced[t])
+        out.append((
+            len(out), s, en, en - s + 1, vf, sum(e[s:en + 1])
+        ))
+    return out
+
+
+def test_audio_vad_hand_cases(spark):
+    from ds2_spark.operators.audio import audio_vad_segments
+
+    fs = 4
+    loud = np.full(fs, 1000, dtype=np.int16).tobytes()
+    quiet = np.full(fs, 1, dtype=np.int16).tobytes()
+    # clip A: V S V  with max_gap=1 -> one bridged segment frames 0-2
+    # clip B: V S S V with max_gap=1 -> two segments (gap of 2 > 1)
+    # clip C: all silence -> no rows;  clip D: NULL -> no rows
+    # clip E: single voiced frame, min_frames=2 -> dropped
+    rows = [
+        ("A", bytearray(loud + quiet + loud)),
+        ("B", bytearray(loud + quiet + quiet + loud)),
+        ("C", bytearray(quiet * 5)),
+        ("D", None),
+        ("E", bytearray(quiet + loud + quiet)),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = {
+        (r["clip_id"], r["seg_id"]): (
+            r["start_frame"], r["end_frame"], r["n_frames"],
+            r["voiced_frames"], r["energy_sum"],
+        )
+        for r in audio_vad_segments(
+            df, frame_samples=fs, energy_threshold=fs * 500,
+            max_gap_frames=1, min_frames=2,
+        ).collect()
+    }
+    assert out[("A", 0)] == (0, 2, 3, 2, 2 * 4000 + 4)
+    assert ("B", 0) not in out  # both B islands are 1 frame < min 2
+    assert not any(k[0] in ("C", "D", "E") for k in out)
+    assert len(out) == 1
+
+
+def test_audio_vad_matches_naive_twin(spark):
+    """Vectorized batch kernel == per-clip loop reference on seeded
+    random PCM across threshold/gap/min-length settings, including
+    clips that end voiced, start voiced, NULLs, odd tail bytes, and
+    batch-boundary adjacency (single partition => one Arrow batch
+    covers many clips; clip edges must isolate runs)."""
+    from ds2_spark.operators.audio import audio_vad_segments
+
+    rng = np.random.default_rng(13)
+    fs = 8
+    rows = []
+    for cid in range(120):
+        if cid % 17 == 0:
+            rows.append((f"c{cid:03d}", None))
+            continue
+        n = int(rng.integers(0, 30)) * fs + int(rng.integers(0, fs))
+        amp = rng.choice([2, 2000], size=max(n, 1), p=[0.55, 0.45])
+        pcm = (rng.integers(-1, 2, size=max(n, 1)) * amp).astype(np.int16)
+        rows.append((f"c{cid:03d}", bytearray(pcm[:n].tobytes())))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary"
+    ).coalesce(1)
+    for thr, gap, mn in ((fs * 500, 0, 1), (fs * 500, 2, 3), (1, 1, 1)):
+        got = sorted(
+            tuple(r) for r in audio_vad_segments(
+                df, frame_samples=fs, energy_threshold=thr,
+                max_gap_frames=gap, min_frames=mn,
+            ).collect()
+        )
+        want = sorted(
+            (cid, sid, s, en, nf, vf, es)
+            for cid, b in rows
+            for sid, s, en, nf, vf, es in _naive_vad(
+                None if b is None else bytes(b), fs, thr, gap, mn
+            )
+        )
+        assert got == want, (thr, gap, mn, got[:3], want[:3])
