@@ -10,8 +10,10 @@ At 10^12-clip scale the discipline is:
 
 so audio bytes never enter a shuffle (SURVEY.md §7.3 "bytes column
 discipline"). Fixtures are raw PCM16-LE (decode = np.frombuffer);
-real compressed codecs (flac/opus/mp3) need external decoders not
-present in this container — by DEFAULT those tags REFUSE to decode
+G.711 mu-law/A-law decode FOR REAL (256-entry integer expansion
+tables built from the published ITU formulas — see the G.711 section
+below); flac/opus/mp3 need external decoders not present in this
+container — by DEFAULT those tags REFUSE to decode
 (decoded_ok=false, the video-codec policy), and callers that know the
 payload is PCM16-by-construction (this sandbox's fixtures) opt in per
 call with ``pcm16_alias_codecs=FIXTURE_PCM16_ALIASES``.
@@ -116,6 +118,212 @@ def decode_wav(b: bytes) -> np.ndarray:
 register_decoder("wav", decode_wav)
 
 
+# ---------------------------------------------------------------- G.711
+# ITU-T G.711 mu-law / A-law: REAL compressed telephony codecs with
+# exact integer decode semantics (8-bit logarithmic companding, 1
+# byte/sample). Decode = a 256-entry int16 lookup table derived from
+# the published expansion formulas, so (unlike flac/opus/mp3, which
+# stay refused) these tags decode for real. The tables are built from
+# the standard's segment/mantissa arithmetic — anchor values
+# (mu-law 0x00 -> -32124, 0xFF -> 0; A-law 0x55 -> -8, 0xAA -> 32256)
+# are pinned in tests straight from the published G.711 tables.
+
+
+def _g711_ulaw_table() -> np.ndarray:
+    """ulaw code -> 16-bit linear. Transmitted mu-law bytes are
+    bit-inverted; magnitude = (((mantissa<<3) + 0x84) << exponent)
+    with the 0x84 bias removed after expansion."""
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """alaw code -> 16-bit linear. Transmitted A-law bytes are
+    XOR-masked with 0x55 (even-bit inversion); segment 0 is linear,
+    segments 1..7 double the step per segment."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    i = (a & 0x0F) << 4
+    i = np.where(
+        seg == 0, i + 8,
+        np.where(seg == 1, i + 0x108,
+                 (i + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, i, -i).astype(np.int16)
+
+
+ULAW2LIN: np.ndarray = _g711_ulaw_table()
+ALAW2LIN: np.ndarray = _g711_alaw_table()
+
+
+def decode_ulaw_int(b: bytes) -> np.ndarray:
+    """mu-law bytes -> int32 linear samples (exact integer domain)."""
+    return ULAW2LIN[np.frombuffer(b, dtype=np.uint8)].astype(np.int32)
+
+
+def decode_alaw_int(b: bytes) -> np.ndarray:
+    """A-law bytes -> int32 linear samples (exact integer domain)."""
+    return ALAW2LIN[np.frombuffer(b, dtype=np.uint8)].astype(np.int32)
+
+
+def _decode_ulaw(b: bytes) -> np.ndarray:
+    return decode_ulaw_int(b).astype(np.float32) / 32767.0
+
+
+def _decode_alaw(b: bytes) -> np.ndarray:
+    return decode_alaw_int(b).astype(np.float32) / 32767.0
+
+
+register_decoder("pcm_ulaw", _decode_ulaw)
+register_decoder("pcm_alaw", _decode_alaw)
+
+# bytes per encoded sample, for length/alignment/duration checks.
+# Codecs not listed are 2 (PCM16 fixed width). G.711 is 1 byte/sample
+# — odd payload lengths are VALID there and must not be refused.
+# adpcm_ima is nibble-packed (2 samples/byte after a 4-byte header);
+# width 1 here means "no alignment constraint" — the decoder itself
+# validates the header.
+CODEC_SAMPLE_BYTES: dict[str, int] = {
+    "pcm_ulaw": 1, "pcm_alaw": 1, "adpcm_ima": 1,
+}
+
+# Codecs whose payload length says NOTHING about sample count
+# (container/variable-rate compression): the metadata-level fast
+# sanity path must NOT claim them, and byte-length alignment rules do
+# not apply — the decoder itself validates. When such a tag is
+# ALIASED to PCM16 (fixtures), the alias wins and the fixed-width
+# rules apply as before.
+VARIABLE_RATE_CODECS: frozenset[str] = frozenset({"flac"})
+
+
+def codec_sample_width(
+    codec: str, pcm16_alias_codecs: tuple[str, ...] = ()
+) -> int:
+    """Effective bytes-per-sample for length/alignment pre-checks:
+    aliased tags are PCM16 (2); variable-rate codecs get 1 (meaning
+    'no length constraint — ask the decoder'); else the table."""
+    if codec in pcm16_alias_codecs:
+        return 2
+    if codec in VARIABLE_RATE_CODECS:
+        return 1
+    return CODEC_SAMPLE_BYTES.get(codec, 2)
+
+
+# ------------------------------------------------------------ IMA ADPCM
+# IMA/DVI ADPCM (the WAV format-0x11 codec family): 4 bits/sample
+# adaptive differential PCM. REAL stateful decompression — each nibble
+# updates a (predictor, step-index) state pair via the published IMA
+# step/index tables, so unlike the fixed-width codecs above the decode
+# is a sequential recurrence per clip. The scale trick: the recurrence
+# is sequential in TIME but independent ACROSS CLIPS, so the batch
+# decoder iterates samples once while updating a whole Arrow batch of
+# clips as NumPy vectors (the same across-rows vectorization as
+# functions/textkernels.py).
+#
+# Payload framing (raw stream, the IMA block-header convention):
+#   bytes 0..1  initial predictor, int16 LE
+#   byte  2     initial step index (0..88)
+#   byte  3     reserved (0)
+#   bytes 4..   nibble stream, LOW nibble first, 2 samples/byte
+#
+# Tables are the published IMA ADPCM standard tables.
+
+IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8],
+    dtype=np.int32,
+)
+IMA_STEP_TABLE = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+     37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+     157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+     544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+     1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+     4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+     12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+     29794, 32767],
+    dtype=np.int32,
+)
+
+
+def adpcm_decode_batch(
+    payloads: "list[bytes | None]",
+) -> "list[np.ndarray | None]":
+    """Decode a BATCH of IMA ADPCM payloads, vectorized across clips:
+    one pass over sample index t updates [n_clips]-wide predictor /
+    step-index vectors (the per-clip recurrence cannot be vectorized
+    in time, but clips are independent, so the inner op width is the
+    batch size, not 1). Returns int32 linear samples per clip; None
+    for invalid payloads (missing/short header, step index > 88)."""
+    m = len(payloads)
+    lens = np.zeros(m, dtype=np.int64)
+    ok = np.zeros(m, dtype=bool)
+    pred = np.zeros(m, dtype=np.int32)
+    idx = np.zeros(m, dtype=np.int32)
+    for i, b in enumerate(payloads):
+        if b is None or len(b) < 4 or b[2] > 88:
+            continue
+        ok[i] = True
+        lens[i] = (len(b) - 4) * 2
+        pred[i] = int.from_bytes(b[0:2], "little", signed=True)
+        idx[i] = b[2]
+    max_bytes = int(lens.max() // 2) if m else 0
+    data = np.zeros((m, max_bytes), dtype=np.uint8)
+    for i, b in enumerate(payloads):
+        if ok[i]:
+            nb = len(b) - 4
+            data[i, :nb] = np.frombuffer(b, dtype=np.uint8, offset=4)
+    nibs = np.zeros((m, max_bytes * 2), dtype=np.int32)
+    nibs[:, 0::2] = data & 0x0F
+    nibs[:, 1::2] = data >> 4
+    out = np.zeros((m, max_bytes * 2), dtype=np.int32)
+    for t in range(max_bytes * 2):
+        nib = nibs[:, t]
+        step = IMA_STEP_TABLE[idx]
+        diff = (
+            (step >> 3)
+            + np.where(nib & 4, step, 0)
+            + np.where(nib & 2, step >> 1, 0)
+            + np.where(nib & 1, step >> 2, 0)
+        )
+        pred = np.where(nib & 8, pred - diff, pred + diff)
+        pred = np.clip(pred, -32768, 32767)
+        idx = np.clip(idx + IMA_INDEX_TABLE[nib], 0, 88)
+        out[:, t] = pred
+    return [
+        out[i, : lens[i]].copy() if ok[i] else None for i in range(m)
+    ]
+
+
+def decode_ima_adpcm_int(b: bytes) -> np.ndarray:
+    """Single-clip IMA ADPCM -> int32 linear samples (raises on an
+    invalid header). Thin wrapper over the batch decoder so the
+    registry surface and the batch operator CANNOT diverge."""
+    (pcm,) = adpcm_decode_batch([b])
+    if pcm is None:
+        raise ValueError("invalid IMA ADPCM payload")
+    return pcm
+
+
+def _decode_adpcm(b: bytes) -> np.ndarray:
+    return decode_ima_adpcm_int(b).astype(np.float32) / 32767.0
+
+
+register_decoder("adpcm_ima", _decode_adpcm)
+
+
+# Native FLAC (subset — see operators/flac.py): REAL lossless
+# decompression for the whitelist's named codec. Registered by
+# default; a PCM16-by-construction fixture payload tagged 'flac'
+# fails the stream-marker check and refuses (decoded_ok=false), and
+# the explicit fixture alias still overrides this entry (aliases are
+# applied LAST in resolve_decoders), so both existing behaviors are
+# unchanged — only genuinely-FLAC payloads now decode.
+from .flac import decode_flac, decode_flac_int  # noqa: E402
+
+register_decoder("flac", decode_flac)
+
+
 def audio_sanity_fast(
     clips: DataFrame,
     dur_tolerance: float = 0.10,
@@ -150,14 +358,38 @@ def audio_sanity_exprs(
     """The audio_sanity_fast COLUMN EXPRESSIONS, exposed so callers
     that cannot join (a streaming plan would need a stream-stream
     join) can compute pcm_ok/dur_ok in place on the same frame."""
-    known = F.col("codec").isin(*resolve_decoders(pcm16_alias_codecs).keys())
+    # variable-rate codecs (real FLAC) are NOT metadata-checkable —
+    # payload length says nothing about sample count, so the fast
+    # path refuses them and the decoding audio_sanity stage owns them
+    # (unless the tag is aliased to PCM16, where fixed-width rules
+    # hold as before)
+    meta_checkable = [
+        c for c in resolve_decoders(pcm16_alias_codecs)
+        if c not in VARIABLE_RATE_CODECS or c in pcm16_alias_codecs
+    ]
+    known = F.col("codec").isin(*meta_checkable)
     blen0 = F.coalesce(F.length("bytes"), F.lit(0))
     blen = F.when(
         F.col("codec") == "wav", F.greatest(blen0 - 44, F.lit(0))
     ).otherwise(blen0)
-    pcm_ok = known & (blen >= 2) & (blen % 2 == 0)
+    # per-codec sample count from the payload length: G.711 is 1
+    # byte/sample (any length >= 1 valid), IMA ADPCM is 2 samples/byte
+    # after a 4-byte header, everything else is fixed-width PCM16
+    # (2 bytes/sample, even length required)
+    g711 = F.col("codec").isin("pcm_ulaw", "pcm_alaw")
+    adpcm = F.col("codec") == "adpcm_ima"
+    nsamp = (
+        F.when(adpcm, F.greatest(blen - 4, F.lit(0)) * 2)
+        .when(g711, blen)
+        .otherwise(F.floor(blen / 2))
+    )
+    pcm_ok = known & (
+        F.when(adpcm, blen >= 4)
+        .when(g711, blen >= 1)
+        .otherwise((blen >= 2) & (blen % 2 == 0))
+    )
     dur_actual = F.round(
-        blen / 2 * 1000.0 / F.greatest(F.col("sr_hz"), F.lit(1))
+        nsamp * 1000.0 / F.greatest(F.col("sr_hz"), F.lit(1))
     ).cast("int")
     rel = F.abs(F.col("dur_ms") - dur_actual) / F.greatest(dur_actual, F.lit(1))
     return {
@@ -191,7 +423,8 @@ def audio_sanity(
                 zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"])
             ):
                 dec = decoders.get(codec)
-                if dec is None or b is None or len(b) < 2 or len(b) % 2:
+                w = codec_sample_width(codec, pcm16_alias_codecs)
+                if dec is None or b is None or len(b) < w or len(b) % w:
                     continue
                 try:
                     pcm = dec(b)
@@ -219,6 +452,89 @@ def audio_sanity(
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_SANITY_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "clip_id string, decoded_ok boolean, n_samples bigint, "
+    "abs_energy bigint, max_abs int"
+)
+
+# codec -> bytes -> int32 linear samples, for codecs whose decode is
+# EXACT integer arithmetic (PCM16 passthrough, G.711 table lookup).
+# This is the oracle-checkable decode surface: a SQL twin can
+# recompute these integers closed-form, which no float path allows.
+_INT_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "pcm_s16le": lambda b: np.frombuffer(
+        b, dtype="<i2", count=len(b) // 2
+    ).astype(np.int32),
+    "pcm_ulaw": decode_ulaw_int,
+    "pcm_alaw": decode_alaw_int,
+    "adpcm_ima": decode_ima_adpcm_int,
+    "flac": decode_flac_int,
+}
+
+
+def audio_codec_energy(clips: DataFrame) -> DataFrame:
+    """Integer-exact per-clip energy over the DECODED linear samples
+    for integer-native codecs (PCM16, G.711 mu-law/A-law):
+    (clip_id, decoded_ok, n_samples, abs_energy=sum|x|, max_abs).
+
+    Same bytes-discipline shape as audio_sanity: pruned scan ->
+    mapInPandas -> small keyed output; the binary column never enters
+    a shuffle. Unknown / compressed codec tags and NULL payloads
+    refuse (decoded_ok=false, zero metrics) rather than guessing —
+    decoding a compressed payload as raw samples yields garbage that
+    LOOKS valid. Decode itself is one LUT gather / frombuffer per
+    clip; sums accumulate in int64 (max |x| 32767 -> overflow needs
+    ~2.8e14 samples per clip, far past any real payload)."""
+    pruned = clips.select("clip_id", "bytes", "codec")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            nsamp = np.zeros(n, dtype=np.int64)
+            energy = np.zeros(n, dtype=np.int64)
+            mx = np.zeros(n, dtype=np.int32)
+            codecs = pdf["codec"].tolist()
+            payloads = pdf["bytes"].tolist()
+            # stateful codec: decode the whole batch in one
+            # across-clips vectorized pass (see adpcm_decode_batch)
+            aidx = [i for i, c in enumerate(codecs) if c == "adpcm_ima"]
+            adpcm = (
+                dict(zip(aidx, adpcm_decode_batch([payloads[i] for i in aidx])))
+                if aidx else {}
+            )
+            for i, (b, codec) in enumerate(zip(payloads, codecs)):
+                if i in adpcm:
+                    pcm = adpcm[i]
+                    if pcm is None:
+                        continue
+                else:
+                    dec = _INT_DECODERS.get(codec)
+                    w = codec_sample_width(codec)
+                    if dec is None or b is None or len(b) < w or len(b) % w:
+                        continue
+                    try:
+                        pcm = dec(b)
+                    except ValueError:
+                        continue
+                ok[i] = True
+                nsamp[i] = len(pcm)
+                a = np.abs(pcm, dtype=np.int64)
+                energy[i] = int(a.sum())
+                mx[i] = int(a.max()) if len(a) else 0
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ok,
+                    "n_samples": nsamp,
+                    "abs_energy": energy,
+                    "max_abs": mx,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_ENERGY_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = (

@@ -965,6 +965,122 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id", "seg_id")
 
 
+def q_g711_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec decode: ITU G.711 mu-law / A-law payloads
+    (1 byte/sample logarithmic companding) decoded through the
+    production expansion tables inside `audio_codec_energy`
+    (operators/audio.py — pruned scan -> mapInPandas LUT gather ->
+    small integer output; bytes never shuffle). Bytes are synthesized
+    closed-form (byte_j = (event_id*37 + j*101 + j*j % 251) % 256) so
+    the DuckDB oracle re-expands every byte with the published G.711
+    segment/mantissa ARITHMETIC (no table literal — a genuinely
+    independent derivation of the same standard) and aggregates the
+    identical integer energies. Every 13th clip is tagged 'flac'
+    (refuses: decode tables for genuinely-compressed codecs don't
+    exist here — decoded_ok=false, never garbage), every 17th payload
+    is NULL. Odd/even lengths both occur: G.711's 1-byte samples have
+    no alignment constraint (the PCM16 even-length rule must NOT
+    apply)."""
+    from .operators.audio import audio_codec_energy
+
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    n = (e % 11 + 30).cast("int")
+    byte = lambda j: (e * 37 + j * 101 + (j * j) % 251) % 256
+    hexstr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.lpad(F.hex(byte(j).cast("bigint")), 2, "0"),
+        ),
+        "",
+    )
+    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(hexstr, F.lit("hex"))
+    )
+    codec = (
+        F.when(e % 13 == 0, F.lit("flac"))
+        .when(e % 2 == 0, F.lit("pcm_ulaw"))
+        .otherwise(F.lit("pcm_alaw"))
+    )
+    clips = ev.select(
+        e.cast("string").alias("clip_id"),
+        payload.alias("bytes"),
+        codec.alias("codec"),
+    )
+    out = audio_codec_energy(clips)
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("decoded_ok").cast("int").alias("decoded_ok"),
+        "n_samples",
+        "abs_energy",
+        "max_abs",
+    ).orderBy("clip_id")
+
+
+def q_adpcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful decompression: IMA/DVI ADPCM (4-bit adaptive
+    differential PCM, the WAV format-0x11 family) decoded through
+    `audio_codec_energy`'s across-clips vectorized batch decoder
+    (operators/audio.py adpcm_decode_batch — the recurrence is
+    sequential in time but the inner op width is the whole Arrow
+    batch). Nibbles, initial predictor, and initial step index are
+    synthesized closed-form per event, and the DuckDB oracle REPLAYS
+    the full decode recurrence with a RECURSIVE CTE over the published
+    IMA step/index tables — every predictor clamp, step adaptation,
+    and sign bit is cross-checked sample by sample through the
+    abs-energy/max accumulators, a genuinely independent execution of
+    the same standard (SQL fixpoint vs NumPy vector loop). Every 17th
+    payload is NULL and every 19th is truncated below the 4-byte
+    header (both refuse: decoded_ok=false, zero metrics)."""
+    from .operators.audio import audio_codec_energy
+
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    d = (e % 13 + 8).cast("int")  # data bytes -> 16..40 samples
+    pred0 = (e * 37) % 1024 - 512
+    idx0 = e % 89
+    nib = lambda t: (e + t * 5 + t * t) % 16
+    byte = lambda k: nib(2 * k) + nib(2 * k + 1) * 16
+
+    def _le16(v):
+        u = F.when(v < 0, v + 65536).otherwise(v)
+        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    hdr = F.concat(
+        _le16(pred0), F.lpad(F.hex(idx0.cast("bigint")), 2, "0"), F.lit("00")
+    )
+    datahex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda k: F.lpad(F.hex(byte(k).cast("bigint")), 2, "0"),
+        ),
+        "",
+    )
+    payload = (
+        F.when(e % 17 == 0, F.lit(None).cast("binary"))
+        .when(e % 19 == 0, F.to_binary(F.lit("0000"), F.lit("hex")))
+        .otherwise(F.to_binary(F.concat(hdr, datahex), F.lit("hex")))
+    )
+    clips = ev.select(
+        e.cast("string").alias("clip_id"),
+        payload.alias("bytes"),
+        F.lit("adpcm_ima").alias("codec"),
+    )
+    out = audio_codec_energy(clips)
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("decoded_ok").cast("int").alias("decoded_ok"),
+        "n_samples",
+        "abs_energy",
+        "max_abs",
+    ).orderBy("clip_id")
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over orders (all four (status, priority)
     rollup levels in one pass) with GROUPING() disambiguation flags
@@ -1344,6 +1460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_fingerprint": q_audio_fingerprint,
         "q_audio_neardup": q_audio_neardup,
         "q_audio_vad": q_audio_vad,
+        "q_g711_energy": q_g711_energy,
+        "q_adpcm_energy": q_adpcm_energy,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -2023,6 +2141,133 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# G.711 twin: re-expands every synthesized byte with the published
+# segment/mantissa ARITHMETIC (mu-law: invert, bias 0x84, shift by
+# segment; A-law: xor 0x55, segment-0 linear / doubling segments) —
+# no decode-table literal is shared with the engine, so the two
+# derivations of the standard check each other. Integer-exact
+# end-to-end.
+ORACLE_SQL["q_g711_energy"] = """
+    WITH synth AS (
+      SELECT event_id,
+             CAST(event_id % 11 + 30 AS INT) AS n,
+             CASE WHEN event_id % 13 = 0 THEN 'flac'
+                  WHEN event_id % 2 = 0 THEN 'pcm_ulaw'
+                  ELSE 'pcm_alaw' END AS codec,
+             (event_id % 17 = 0) AS is_null
+      FROM events),
+    samples AS (
+      SELECT s.event_id, s.codec,
+             (s.event_id * 37 + t.j * 101 + (t.j * t.j) % 251) % 256 AS b
+      FROM synth s, UNNEST(generate_series(0, s.n - 1)) AS t(j)
+      WHERE NOT s.is_null AND s.codec IN ('pcm_ulaw', 'pcm_alaw')),
+    lin AS (
+      SELECT event_id,
+             CASE WHEN codec = 'pcm_ulaw' THEN
+               CASE WHEN (255 - b) >= 128
+                    THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                                << (((255 - b) // 16) % 8))
+                    ELSE ((((255 - b) % 16) * 8 + 132)
+                          << (((255 - b) // 16) % 8)) - 132
+               END
+             ELSE
+               CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+               CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                    THEN (xor(b, 85) % 16) * 16 + 8
+                    WHEN ((xor(b, 85) // 16) % 8) = 1
+                    THEN (xor(b, 85) % 16) * 16 + 264
+                    ELSE ((xor(b, 85) % 16) * 16 + 264)
+                         << (((xor(b, 85) // 16) % 8) - 1)
+               END
+             END AS val
+      FROM samples),
+    agg AS (
+      SELECT event_id, CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(SUM(ABS(val)) AS BIGINT) AS abs_energy,
+             CAST(MAX(ABS(val)) AS INT) AS max_abs
+      FROM lin GROUP BY event_id)
+    SELECT s.event_id AS clip_id,
+           CAST(s.codec IN ('pcm_ulaw', 'pcm_alaw') AND NOT s.is_null
+                AS INT) AS decoded_ok,
+           COALESCE(a.n_samples, 0) AS n_samples,
+           COALESCE(a.abs_energy, 0) AS abs_energy,
+           COALESCE(a.max_abs, 0) AS max_abs
+    FROM synth s LEFT JOIN agg a USING (event_id)
+    ORDER BY clip_id
+"""
+
+# ADPCM twin: replays the ENTIRE stateful decode recurrence as a
+# DuckDB RECURSIVE CTE — per iteration: nibble from the closed-form
+# synthesis, diff from the bit decomposition, predictor update +
+# clamp, step-index adaptation + clamp, energy accumulators. The IMA
+# step/index tables are irreducible published constants (emitted as
+# VALUES literals, like the LSH plane literals); the EXECUTION of the
+# recurrence is fully independent (SQL fixpoint iteration vs the
+# engine's across-clips NumPy vector loop).
+from .operators.audio import IMA_INDEX_TABLE as _IMA_IDX  # noqa: E402
+from .operators.audio import IMA_STEP_TABLE as _IMA_STEP  # noqa: E402
+
+_STEP_VALUES = ", ".join(f"({i},{int(s)})" for i, s in enumerate(_IMA_STEP))
+_IDX_VALUES = ", ".join(f"({n},{int(a)})" for n, a in enumerate(_IMA_IDX))
+
+ORACLE_SQL["q_adpcm_energy"] = f"""
+    WITH RECURSIVE base AS (
+      SELECT event_id,
+             CAST((event_id % 13 + 8) * 2 AS INT) AS n,
+             CAST((event_id * 37) % 1024 - 512 AS INT) AS pred0,
+             CAST(event_id % 89 AS INT) AS idx0,
+             (event_id % 17 = 0) OR (event_id % 19 = 0) AS refused
+      FROM events),
+    steptab(si, step) AS (VALUES {_STEP_VALUES}),
+    idxtab(nb, adj) AS (VALUES {_IDX_VALUES}),
+    dec AS (
+      SELECT event_id, -1 AS t, pred0 AS pred, idx0 AS idx,
+             CAST(0 AS BIGINT) AS acc, CAST(0 AS BIGINT) AS mx
+      FROM base WHERE NOT refused
+      UNION ALL
+      SELECT event_id, t,
+             LEAST(GREATEST(signed, -32768), 32767),
+             LEAST(GREATEST(idx + adj, 0), 88),
+             acc + ABS(LEAST(GREATEST(signed, -32768), 32767)),
+             GREATEST(mx, ABS(LEAST(GREATEST(signed, -32768), 32767)))
+      FROM (
+        SELECT w.event_id, w.t, w.idx, w.acc, w.mx, i.adj,
+               CASE WHEN w.nib >= 8 THEN w.pred - w.diff
+                    ELSE w.pred + w.diff END AS signed
+        FROM (
+          SELECT v.*,
+                 (v.step // 8)
+                 + CASE WHEN (v.nib % 8) >= 4 THEN v.step ELSE 0 END
+                 + CASE WHEN (v.nib % 4) >= 2 THEN v.step // 2 ELSE 0 END
+                 + CASE WHEN (v.nib % 2) = 1 THEN v.step // 4 ELSE 0 END
+                 AS diff
+          FROM (
+            SELECT d.event_id, d.t + 1 AS t, d.idx, d.pred, d.acc, d.mx,
+                   ((b.event_id + (d.t + 1) * 5
+                     + (d.t + 1) * (d.t + 1)) % 16) AS nib,
+                   s.step
+            FROM dec d
+            JOIN base b USING (event_id)
+            JOIN steptab s ON s.si = d.idx
+            WHERE d.t + 1 < b.n
+          ) v
+        ) w
+        JOIN idxtab i ON i.nb = w.nib
+      ) x),
+    final AS (
+      SELECT event_id, CAST(MAX(t) + 1 AS BIGINT) AS n_samples,
+             CAST(MAX(acc) AS BIGINT) AS abs_energy,
+             CAST(MAX(mx) AS INT) AS max_abs
+      FROM dec WHERE t >= 0 GROUP BY event_id)
+    SELECT b.event_id AS clip_id,
+           CAST(NOT b.refused AS INT) AS decoded_ok,
+           COALESCE(f.n_samples, 0) AS n_samples,
+           COALESCE(f.abs_energy, 0) AS abs_energy,
+           COALESCE(f.max_abs, 0) AS max_abs
+    FROM base b LEFT JOIN final f USING (event_id)
+    ORDER BY clip_id
 """
 
 # same greedy earliest-per-step chain over exact integer micros

@@ -574,3 +574,224 @@ def test_audio_vad_matches_naive_twin(spark):
             )
         )
         assert got == want, (thr, gap, mn, got[:3], want[:3])
+
+
+def test_g711_tables_match_published_anchors():
+    """Anchor values straight from the published ITU G.711 expansion
+    tables — NOT derived from our own formulas, so a sign/segment bug
+    in the table builder cannot self-confirm. mu-law: code 0x00 is the
+    largest negative (-32124), 0xFF is (positive) zero, 0x7F is the
+    redundant negative zero, 0x80 the largest positive. A-law: 0x55 is
+    -8 (the smallest-magnitude negative), 0xD5 is +8, 0x2A -> -32256,
+    0xAA -> +32256 (the extremes)."""
+    from ds2_spark.operators.audio import ALAW2LIN, ULAW2LIN
+
+    assert ULAW2LIN[0x00] == -32124
+    assert ULAW2LIN[0xFF] == 0
+    assert ULAW2LIN[0x7F] == 0
+    assert ULAW2LIN[0x80] == 32124
+    assert ULAW2LIN[0x01] == -31100  # second entry of the published table
+    assert ALAW2LIN[0x55] == -8
+    assert ALAW2LIN[0xD5] == 8
+    assert ALAW2LIN[0x2A] == -32256
+    assert ALAW2LIN[0xAA] == 32256
+    assert ALAW2LIN[0x00] == -5504  # first entry of the published table
+
+    # structural invariants of both companding laws: flipping the sign
+    # bit of the TRANSMITTED byte negates the sample (mu-law sign bit
+    # survives inversion in bit 7; A-law sign bit is untouched by the
+    # 0x55 mask), and magnitudes are monotone within a segment
+    c = np.arange(128)
+    assert (ULAW2LIN[c] == -ULAW2LIN[c ^ 0x80]).all()
+    assert (ALAW2LIN[c] == -ALAW2LIN[c ^ 0x80]).all()
+    # positive mu-law codes 0x80..0xFE decode strictly decreasing
+    # (code magnitude is inverted on the wire)
+    pos = ULAW2LIN[np.arange(0x80, 0xFF)]
+    assert (np.diff(pos) < 0).all() and (pos > 0).all()
+
+
+def test_g711_decode_and_sanity_one_byte_per_sample(spark):
+    """G.711 payloads are 1 byte/sample: odd lengths are VALID, the
+    duration math uses width 1, and decode goes through the real
+    expansion tables (checked against a direct LUT gather)."""
+    from ds2_spark.operators.audio import (
+        ALAW2LIN,
+        ULAW2LIN,
+        audio_codec_energy,
+    )
+
+    rng = np.random.default_rng(7)
+    ub = rng.integers(0, 256, size=401, dtype=np.uint8)  # odd length
+    ab = rng.integers(0, 256, size=250, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("u", bytearray(ub.tobytes()), 8000, 50, "pcm_ulaw"),
+            ("a", bytearray(ab.tobytes()), 8000, 31, "pcm_alaw"),
+            ("bad", bytearray(ub.tobytes()), 8000, 50, "mp3"),
+            ("odd_pcm", bytearray(ub.tobytes()), 8000, 25, "pcm_s16le"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    san = {r["clip_id"]: r for r in audio_sanity(df).collect()}
+    assert san["u"]["pcm_ok"] and san["u"]["n_samples"] == 401
+    assert san["u"]["dur_actual_ms"] == round(401 * 1000 / 8000)
+    assert san["a"]["pcm_ok"] and san["a"]["n_samples"] == 250
+    assert not san["bad"]["pcm_ok"]
+    assert not san["odd_pcm"]["pcm_ok"]  # odd bytes still refuse PCM16
+    fast = {r["clip_id"]: r for r in audio_sanity_fast(df).collect()}
+    for k in ("u", "a", "bad", "odd_pcm"):
+        assert fast[k]["pcm_ok"] == san[k]["pcm_ok"], k
+        if san[k]["pcm_ok"]:
+            assert fast[k]["dur_actual_ms"] == san[k]["dur_actual_ms"], k
+
+    en = {r["clip_id"]: r for r in audio_codec_energy(df).collect()}
+    exp_u = np.abs(ULAW2LIN[ub].astype(np.int64))
+    exp_a = np.abs(ALAW2LIN[ab].astype(np.int64))
+    assert en["u"]["decoded_ok"] and en["u"]["abs_energy"] == exp_u.sum()
+    assert en["u"]["max_abs"] == exp_u.max()
+    assert en["a"]["decoded_ok"] and en["a"]["abs_energy"] == exp_a.sum()
+    assert not en["bad"]["decoded_ok"] and en["bad"]["abs_energy"] == 0
+    assert not en["odd_pcm"]["decoded_ok"]
+
+    # float decode surface: same table, scaled into [-1, 1]
+    dec = {r["clip_id"]: np.array(r["pcm"], dtype=np.float32)
+           for r in decode_pcm(df).collect()}
+    np.testing.assert_allclose(
+        dec["u"], ULAW2LIN[ub].astype(np.float32) / 32767.0, rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        dec["a"], ALAW2LIN[ab].astype(np.float32) / 32767.0, rtol=0, atol=0
+    )
+
+
+def _adpcm_ref_scalar(b):
+    """Independent single-clip IMA ADPCM reference, written directly
+    from the published spec pseudocode (scalar loop, no shared code
+    with the vectorized batch decoder)."""
+    from ds2_spark.operators.audio import IMA_INDEX_TABLE, IMA_STEP_TABLE
+
+    if b is None or len(b) < 4 or b[2] > 88:
+        return None
+    pred = int.from_bytes(b[0:2], "little", signed=True)
+    idx = b[2]
+    out = []
+    for byte in b[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = int(IMA_STEP_TABLE[idx])
+            diff = step >> 3
+            if nib & 4:
+                diff += step
+            if nib & 2:
+                diff += step >> 1
+            if nib & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(IMA_INDEX_TABLE[nib])))
+            out.append(pred)
+    return np.array(out, dtype=np.int32)
+
+
+def test_adpcm_hand_computed_spec_cases():
+    """First steps worked by hand from the IMA tables (pred0=0,
+    idx0=0 -> step 7): nibble 2 -> diff = 7>>1 = 3, pred 3, index
+    stays 0; nibble 7 -> diff = 7+3+1 = 11; nibble 15 from index 8
+    (step 16) -> diff = 2+16+8+4 = 30, sign bit subtracts."""
+    from ds2_spark.operators.audio import adpcm_decode_batch
+
+    hdr = (0).to_bytes(2, "little", signed=True) + bytes([0, 0])
+    # byte 0x72 = low nibble 2, high nibble 7; byte 0x0F = low 15
+    (pcm,) = adpcm_decode_batch([hdr + bytes([0x72, 0x0F])])
+    # t0: nib 2: diff 3 -> pred 3, idx 0 + (-1) -> 0
+    # t1: nib 7: step 7, diff 0+7+3+1 = 11 -> pred 14, idx 0+8 = 8
+    # t2: nib 15: step 16, diff 2+16+8+4 = 30 -> pred 14-30 = -16,
+    #     idx 8+8 = 16
+    # t3: nib 0: step IMA_STEP_TABLE[16] = 34, diff 34>>3 = 4 ->
+    #     pred -12, idx 16-1 = 15
+    assert pcm.tolist() == [3, 14, -16, -12]
+
+    # initial predictor and index are honored; invalid index refuses
+    hdr2 = (-100).to_bytes(2, "little", signed=True) + bytes([88, 0])
+    (p2, p3) = adpcm_decode_batch(
+        [hdr2 + bytes([0x00]), bytes([0, 0, 89, 0, 0x00])]
+    )
+    # nib 0 at step 32767: diff = 4095 -> -100+4095 = 3995; then
+    # nib 0 again at idx 87 (step 29794): diff 3724 -> 7719
+    assert p2.tolist() == [3995, 7719]
+    assert p3 is None
+
+
+def test_adpcm_batch_matches_scalar_reference():
+    """Across-clips vectorized decode == independent scalar spec
+    reference on random payloads of mixed lengths (including the
+    padded-lane interaction: a short clip must not be perturbed by
+    longer neighbors in the same batch)."""
+    from ds2_spark.operators.audio import adpcm_decode_batch
+
+    rng = np.random.default_rng(11)
+    payloads = []
+    for i in range(60):
+        nb = int(rng.integers(0, 40))
+        pred0 = int(rng.integers(-32768, 32768))
+        idx0 = int(rng.integers(0, 89))
+        payloads.append(
+            pred0.to_bytes(2, "little", signed=True)
+            + bytes([idx0, 0])
+            + rng.integers(0, 256, size=nb, dtype=np.uint8).tobytes()
+        )
+    payloads += [None, b"\x00\x00", b""]
+    got = adpcm_decode_batch(payloads)
+    for b, g in zip(payloads, got):
+        ref = _adpcm_ref_scalar(b)
+        if ref is None:
+            assert g is None
+        else:
+            assert g.tolist() == ref.tolist()
+
+
+def test_adpcm_registry_and_sanity(spark):
+    """adpcm_ima decodes through every generic stage (registry float
+    surface, sanity n_samples/duration from the nibble framing) and
+    audio_codec_energy's batch path == scalar reference energies."""
+    from ds2_spark.operators.audio import audio_codec_energy
+
+    rng = np.random.default_rng(3)
+    mk = lambda nb, pred0, idx0: (
+        pred0.to_bytes(2, "little", signed=True) + bytes([idx0, 0])
+        + rng.integers(0, 256, size=nb, dtype=np.uint8).tobytes()
+    )
+    b1, b2 = mk(100, 0, 0), mk(37, -5000, 40)
+    df = spark.createDataFrame(
+        [
+            ("a1", bytearray(b1), 8000, 25, "adpcm_ima"),
+            ("a2", bytearray(b2), 8000, 9, "adpcm_ima"),
+            ("short", bytearray(b"\x00\x00"), 8000, 0, "adpcm_ima"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    san = {r["clip_id"]: r for r in audio_sanity(df).collect()}
+    assert san["a1"]["pcm_ok"] and san["a1"]["n_samples"] == 200
+    assert san["a1"]["dur_actual_ms"] == round(200 * 1000 / 8000)
+    assert san["a2"]["n_samples"] == 74
+    assert not san["short"]["pcm_ok"]
+    fast = {r["clip_id"]: r for r in audio_sanity_fast(df).collect()}
+    for k in ("a1", "a2", "short"):
+        assert fast[k]["pcm_ok"] == san[k]["pcm_ok"], k
+        if san[k]["pcm_ok"]:
+            assert fast[k]["dur_actual_ms"] == san[k]["dur_actual_ms"], k
+
+    en = {r["clip_id"]: r for r in audio_codec_energy(df).collect()}
+    for cid, b in (("a1", b1), ("a2", b2)):
+        ref = np.abs(_adpcm_ref_scalar(b).astype(np.int64))
+        assert en[cid]["decoded_ok"]
+        assert en[cid]["abs_energy"] == ref.sum()
+        assert en[cid]["max_abs"] == ref.max()
+        assert en[cid]["n_samples"] == len(ref)
+    assert not en["short"]["decoded_ok"]
+
+    dec = {r["clip_id"]: np.array(r["pcm"], dtype=np.float32)
+           for r in decode_pcm(df).collect()}
+    np.testing.assert_array_equal(
+        dec["a1"], _adpcm_ref_scalar(b1).astype(np.float32) / 32767.0
+    )
+    assert dec["short"].size == 0
