@@ -48,6 +48,8 @@ HEADLINE = [
     "q_audio_features",
     "q_audio_fingerprint",
     "q_audio_vad",
+    "q_g711_energy",
+    "q_adpcm_energy",
     "q_cube",
     "q_funnel",
     "q_asof_join",

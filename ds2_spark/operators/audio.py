@@ -93,6 +93,7 @@ def parse_wav_header(b: bytes) -> dict | None:
                 "audio_format": int.from_bytes(b[body : body + 2], "little"),
                 "channels": int.from_bytes(b[body + 2 : body + 4], "little"),
                 "sr_hz": int.from_bytes(b[body + 4 : body + 8], "little"),
+                "block_align": int.from_bytes(b[body + 12 : body + 14], "little"),
                 "bits": int.from_bytes(b[body + 14 : body + 16], "little"),
             }
         elif cid == b"data":
@@ -104,15 +105,61 @@ def parse_wav_header(b: bytes) -> dict | None:
 
 
 def decode_wav(b: bytes) -> np.ndarray:
-    """RIFF WAV (PCM16) -> float32 mono (channels averaged)."""
+    """RIFF WAV -> float32 mono (channels averaged). Real formats:
+    1 = PCM16, 6 = A-law, 7 = mu-law (the telephony WAV tags — G.711
+    expansion tables below), 0x11 = IMA ADPCM (mono; block-structured,
+    decoded by the same recurrence kernel). Anything else refuses
+    loudly."""
     h = parse_wav_header(b)
-    if h is None or h["audio_format"] != 1 or h["bits"] != 16:
-        raise ValueError("only PCM16 WAV supported")
+    if h is None:
+        raise ValueError("not a RIFF/WAVE stream")
     ch = max(h["channels"], 1)
-    n = h["data_len"] // (2 * ch) * ch  # whole frames only
-    pcm = np.frombuffer(b, dtype="<i2", count=n, offset=h["data_off"])
+    if h["audio_format"] == 1 and h["bits"] == 16:
+        n = h["data_len"] // (2 * ch) * ch  # whole frames only
+        pcm = np.frombuffer(b, dtype="<i2", count=n, offset=h["data_off"])
+    elif h["audio_format"] in (6, 7) and h["bits"] == 8:
+        n = h["data_len"] // ch * ch
+        codes = np.frombuffer(b, dtype=np.uint8, count=n, offset=h["data_off"])
+        pcm = (ALAW2LIN if h["audio_format"] == 6 else ULAW2LIN)[codes]
+    elif h["audio_format"] == 0x11 and h["bits"] == 4:
+        if ch != 1:
+            raise ValueError("IMA ADPCM WAV: only mono supported")
+        pcm = _decode_wav_ima_blocks(
+            b[h["data_off"] : h["data_off"] + h["data_len"]],
+            h.get("block_align") or 0,
+        )
+    else:
+        raise ValueError("only PCM16 / A-law / mu-law / IMA-ADPCM WAV "
+                         "supported")
     mono = pcm.reshape(-1, ch).mean(axis=1) if ch > 1 else pcm.astype(np.float32)
     return (mono / 32767.0).astype(np.float32)
+
+
+def _decode_wav_ima_blocks(data: bytes, block_align: int) -> np.ndarray:
+    """WAV format-0x11 mono payload: a sequence of `block_align`-sized
+    blocks, each (int16 predictor, uint8 step index, reserved) +
+    nibbles — the raw framing adpcm_decode_batch already decodes,
+    EXCEPT that per the Microsoft spec the block header's predictor is
+    itself emitted as the block's first sample. Blocks are independent
+    (that is the format's seek mechanism), so they decode as one
+    across-blocks vectorized batch."""
+    if block_align < 4:
+        raise ValueError("IMA ADPCM WAV: block_align < 4")
+    blocks = [
+        data[i : i + block_align] for i in range(0, len(data), block_align)
+    ]
+    if blocks and len(blocks[-1]) < 4:
+        blocks.pop()  # trailing sub-header fragment
+    if not blocks:
+        raise ValueError("IMA ADPCM WAV: no blocks")
+    decoded = adpcm_decode_batch(blocks)
+    out = []
+    for blk, pcm in zip(blocks, decoded):
+        if pcm is None:
+            raise ValueError("IMA ADPCM WAV: invalid block header")
+        pred0 = int.from_bytes(blk[0:2], "little", signed=True)
+        out.append(np.concatenate([[np.int32(pred0)], pcm]))
+    return np.concatenate(out)
 
 
 register_decoder("wav", decode_wav)

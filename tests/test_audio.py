@@ -795,3 +795,158 @@ def test_adpcm_registry_and_sanity(spark):
         dec["a1"], _adpcm_ref_scalar(b1).astype(np.float32) / 32767.0
     )
     assert dec["short"].size == 0
+
+
+def test_g711_roundtrip_snr_invariant():
+    """North-rule SNR invariant for the companded codecs: encoding
+    speech-scale PCM16 to G.711 (optimal quantization against the
+    decode table — an encoder-free inverse) and expanding back keeps
+    SNR >= 30 dB (G.711's design point is ~38 dB SQNR)."""
+    from ds2_spark.operators.audio import ALAW2LIN, ULAW2LIN
+
+    t = np.arange(4000, dtype=np.float64)
+    x = np.rint(
+        12000 * np.sin(2 * np.pi * 440 * t / 8000)
+        + 4000 * np.sin(2 * np.pi * 1333 * t / 8000 + 0.7)
+    ).astype(np.int16)
+    for table in (ULAW2LIN, ALAW2LIN):
+        # optimal quantizer: nearest decode-table entry per sample
+        order = np.argsort(table.astype(np.int32))
+        levels = table.astype(np.int32)[order]
+        pos = np.clip(np.searchsorted(levels, x), 1, 255)
+        lower = levels[pos - 1]
+        upper = levels[np.minimum(pos, 255)]
+        codes = order[np.where(np.abs(x - lower) <= np.abs(upper - x),
+                               pos - 1, np.minimum(pos, 255))]
+        decoded = table.astype(np.float64)[codes]
+        err = decoded - x
+        snr = 10 * np.log10((x.astype(np.float64) ** 2).sum() / (err ** 2).sum())
+        assert snr >= 30.0, snr
+
+
+def test_adpcm_roundtrip_snr():
+    """Canonical IMA encoder (test-side scalar loop from the spec's
+    quantizer) -> batch decoder roundtrip on a smooth speech-scale
+    signal tracks the input at >= 25 dB SNR (IMA's design envelope
+    for band-limited signals)."""
+    from ds2_spark.operators.audio import (
+        IMA_INDEX_TABLE,
+        IMA_STEP_TABLE,
+        adpcm_decode_batch,
+    )
+
+    t = np.arange(2000, dtype=np.float64)
+    x = np.rint(9000 * np.sin(2 * np.pi * 300 * t / 8000)).astype(np.int64)
+
+    pred, idx = int(x[0]), 20
+    nibbles = []
+    for s in x:
+        step = int(IMA_STEP_TABLE[idx])
+        delta = int(s) - pred
+        nib = 0
+        if delta < 0:
+            nib = 8
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        # replay the decoder update to keep encoder state in lockstep
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(IMA_INDEX_TABLE[nib])))
+        nibbles.append(nib)
+
+    data = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    payload = int(x[0]).to_bytes(2, "little", signed=True) + bytes([20, 0]) + data
+    (decoded,) = adpcm_decode_batch([payload])
+    err = decoded.astype(np.float64) - x
+    snr = 10 * np.log10((x.astype(np.float64) ** 2).sum() / (err ** 2).sum())
+    assert snr >= 25.0, snr
+
+
+def test_wav_g711_formats():
+    """RIFF/WAV with format tags 6 (A-law) and 7 (mu-law) decode
+    through the real expansion tables; an unknown format tag refuses."""
+    from ds2_spark.operators.audio import ALAW2LIN, ULAW2LIN, decode_wav
+
+    def wav(fmt, bits, data, ch=1, sr=8000):
+        block = ch * bits // 8
+        hdr = (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + fmt.to_bytes(2, "little") + ch.to_bytes(2, "little")
+            + sr.to_bytes(4, "little")
+            + (sr * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little")
+        )
+        return hdr + data
+
+    codes = np.arange(256, dtype=np.uint8).tobytes()
+    np.testing.assert_allclose(
+        decode_wav(wav(7, 8, codes)),
+        ULAW2LIN[np.arange(256)].astype(np.float32) / 32767.0,
+        rtol=0, atol=0,
+    )
+    np.testing.assert_allclose(
+        decode_wav(wav(6, 8, codes)),
+        ALAW2LIN[np.arange(256)].astype(np.float32) / 32767.0,
+        rtol=0, atol=0,
+    )
+    # stereo mu-law: channels average
+    st = decode_wav(wav(7, 8, bytes([0x00, 0xFF, 0x80, 0x7F]), ch=2))
+    exp = np.array(
+        [(ULAW2LIN[0x00] + ULAW2LIN[0xFF]) / 2,
+         (ULAW2LIN[0x80] + ULAW2LIN[0x7F]) / 2], np.float32) / 32767.0
+    np.testing.assert_allclose(st, exp, rtol=0, atol=1e-7)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_wav(wav(3, 32, b"\x00" * 8))  # IEEE float: unsupported
+
+
+def test_wav_ima_adpcm_blocks():
+    """WAV format 0x11 (IMA ADPCM, mono): block headers emit their
+    predictor as the block's first sample, blocks decode independently
+    and concatenate; a trailing sub-header fragment is ignored."""
+    from ds2_spark.operators.audio import decode_wav
+
+    def wav(fmt, bits, data, block_align, ch=1, sr=8000):
+        hdr = (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + fmt.to_bytes(2, "little") + ch.to_bytes(2, "little")
+            + sr.to_bytes(4, "little")
+            + (sr * block_align).to_bytes(4, "little")
+            + block_align.to_bytes(2, "little") + bits.to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little")
+        )
+        return hdr + data
+
+    rng = np.random.default_rng(9)
+    blocks = []
+    exp = []
+    for pred0, idx0 in ((0, 0), (-5000, 40), (1234, 88)):
+        body = rng.integers(0, 256, size=8, dtype=np.uint8).tobytes()
+        blk = pred0.to_bytes(2, "little", signed=True) + bytes([idx0, 0]) + body
+        blocks.append(blk)
+        exp.append(pred0)
+        exp.extend(_adpcm_ref_scalar(blk).tolist())
+    data = b"".join(blocks) + b"\x00\x00"  # trailing fragment < 4 bytes
+    got = decode_wav(wav(0x11, 4, data, block_align=12))
+    np.testing.assert_allclose(
+        got, np.array(exp, np.float32) / 32767.0, rtol=0, atol=0
+    )
