@@ -50,6 +50,7 @@ HEADLINE = [
     "q_audio_vad",
     "q_g711_energy",
     "q_adpcm_energy",
+    "q_flac_energy",
     "q_cube",
     "q_funnel",
     "q_asof_join",

@@ -1081,6 +1081,160 @@ def q_adpcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def _flac_variant_params(v: int) -> dict:
+    """Deterministic per-variant FLAC content parameters. The DuckDB
+    oracle re-derives every decoded sample from THESE formulas (see
+    ORACLE_SQL['q_flac_energy']); the Spark side packs them into real
+    FLAC bitstreams and decodes them back — so the whole decoder
+    (frame headers, CRCs, subframe coding, Rice residuals) sits
+    between the two derivations."""
+    blocksize = 8 + (v * 3) % 17
+    nframes = 1 + v % 4
+    return {
+        "kind": v % 3,  # 0 CONSTANT, 1 VERBATIM, 2 FIXED order 1
+        "blocksize": blocksize,
+        "nframes": nframes,
+        # kind 0: frame f is the constant ((v*2471 + f*977) % 4001)-2000
+        # kind 1: sample (f,i) is ((v*37 + (f*blocksize+i)*101) % 4001)-2000
+        # kind 2: x_{f,i} = w0_f + i*c_f with
+        #         w0_f = ((v*53 + f*29) % 2001) - 1000
+        #         c_f  = ((v*7  + f*11) % 41)   - 20
+    }
+
+
+def _flac_variant_samples(v: int) -> list[list[int]]:
+    p = _flac_variant_params(v)
+    bs, nf, kind = p["blocksize"], p["nframes"], p["kind"]
+    frames = []
+    for f in range(nf):
+        if kind == 0:
+            val = ((v * 2471 + f * 977) % 4001) - 2000
+            frames.append([val] * bs)
+        elif kind == 1:
+            frames.append(
+                [((v * 37 + (f * bs + i) * 101) % 4001) - 2000
+                 for i in range(bs)]
+            )
+        else:
+            w0 = ((v * 53 + f * 29) % 2001) - 1000
+            c = ((v * 7 + f * 11) % 41) - 20
+            frames.append([w0 + i * c for i in range(bs)])
+    return frames
+
+
+def _flac_payload_hex(v: int) -> str:
+    """Pack variant v's frames into a REAL mono 16-bit FLAC stream
+    (STREAMINFO + one frame per entry, CRC-8/16 computed): CONSTANT
+    subframes for kind 0, VERBATIM for kind 1, FIXED order 1 with a
+    constant Rice-coded residual for kind 2."""
+    from .operators.flac import _crc8, _crc16
+
+    p = _flac_variant_params(v)
+    bs, nf, kind = p["blocksize"], p["nframes"], p["kind"]
+
+    class W:
+        def __init__(self):
+            self.bits: list[int] = []
+
+        def w(self, val, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((val >> i) & 1)
+
+        def ws(self, val, n):
+            self.w(val & ((1 << n) - 1), n)
+
+        def rice(self, val, param):
+            u = 2 * val if val >= 0 else -2 * val - 1
+            self.bits.extend([0] * (u >> param) + [1])
+            self.w(u & ((1 << param) - 1), param)
+
+        def tobytes(self):
+            while len(self.bits) % 8:
+                self.bits.append(0)
+            return bytes(
+                int("".join(map(str, self.bits[i : i + 8])), 2)
+                for i in range(0, len(self.bits), 8)
+            )
+
+    si = W()
+    si.w(16, 16); si.w(16, 16); si.w(0, 24); si.w(0, 24)
+    si.w(8000, 20); si.w(0, 3); si.w(15, 5); si.w(bs * nf, 36)
+    stream = b"fLaC" + bytes([0x80]) + (len(si.tobytes()) + 16).to_bytes(
+        3, "big") + si.tobytes() + bytes(16)
+    for f, samples in enumerate(_flac_variant_samples(v)):
+        h = W()
+        h.w(0x3FFE, 14); h.w(0, 1); h.w(0, 1)
+        h.w(6, 4); h.w(0, 4); h.w(0, 4); h.w(0, 3); h.w(0, 1)
+        h.w(f, 8)          # coded frame number (nf <= 4 < 0x80)
+        h.w(bs - 1, 8)     # 8-bit blocksize-1
+        head = h.tobytes()
+        head += bytes([_crc8(head)])
+        body = W()
+        if kind == 0:
+            body.w(0, 1); body.w(0, 6); body.w(0, 1)
+            body.ws(samples[0], 16)
+        elif kind == 1:
+            body.w(0, 1); body.w(1, 6); body.w(0, 1)
+            for s in samples:
+                body.ws(s, 16)
+        else:
+            c = samples[1] - samples[0]
+            body.w(0, 1); body.w(8 + 1, 6); body.w(0, 1)
+            body.ws(samples[0], 16)
+            body.w(0, 2); body.w(0, 4); body.w(6, 4)
+            for _ in range(bs - 1):
+                body.rice(c, 6)
+        raw = head + body.tobytes()
+        stream += raw + _crc16(raw).to_bytes(2, "big")
+    return stream.hex()
+
+
+def q_flac_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless decompression end-to-end through Spark: 20
+    deterministic variants of genuine FLAC bitstreams (CONSTANT,
+    VERBATIM, and FIXED-order-1 subframes with Rice residuals; frame
+    CRC-8/16 all real) are packed driver-side from closed-form sample
+    formulas, decoded by the production FLAC subset decoder inside
+    `audio_codec_energy`, and the DuckDB oracle RE-DERIVES every
+    decoded sample from the same formulas (the packer emits bits, the
+    oracle emits arithmetic — the entire decoder sits between them).
+    Every 17th payload is NULL; every 13th is CRC-corrupted (last
+    byte flipped) and must REFUSE (decoded_ok=false) — a decoder that
+    skipped CRC verification would return energies there and
+    hash-mismatch."""
+    from .operators.audio import audio_codec_energy
+
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    good = F.lit(None).cast("string")
+    corrupt = F.lit(None).cast("string")
+    for v in range(19, -1, -1):
+        hx = _flac_payload_hex(v)
+        bad = hx[:-2] + format(int(hx[-2:], 16) ^ 0xFF, "02x")
+        good = F.when(e % 20 == v, F.lit(hx)).otherwise(good)
+        corrupt = F.when(e % 20 == v, F.lit(bad)).otherwise(corrupt)
+    payload = (
+        F.when(e % 17 == 0, F.lit(None).cast("binary"))
+        .when(e % 13 == 0, F.to_binary(corrupt, F.lit("hex")))
+        .otherwise(F.to_binary(good, F.lit("hex")))
+    )
+    clips = ev.select(
+        e.cast("string").alias("clip_id"),
+        payload.alias("bytes"),
+        F.lit("flac").alias("codec"),
+    )
+    out = audio_codec_energy(clips)
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("decoded_ok").cast("int").alias("decoded_ok"),
+        "n_samples",
+        "abs_energy",
+        "max_abs",
+    ).orderBy("clip_id")
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over orders (all four (status, priority)
     rollup levels in one pass) with GROUPING() disambiguation flags
@@ -1462,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_vad": q_audio_vad,
         "q_g711_energy": q_g711_energy,
         "q_adpcm_energy": q_adpcm_energy,
+        "q_flac_energy": q_flac_energy,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -2267,6 +2422,48 @@ ORACLE_SQL["q_adpcm_energy"] = f"""
            COALESCE(f.abs_energy, 0) AS abs_energy,
            COALESCE(f.max_abs, 0) AS max_abs
     FROM base b LEFT JOIN final f USING (event_id)
+    ORDER BY clip_id
+"""
+
+# FLAC twin: the engine decodes REAL packed bitstreams; the oracle
+# never sees a bit — it re-derives every decoded sample from the
+# closed-form content formulas (constant / indexed / arithmetic-
+# progression frames) and aggregates. The entire decoder (frame sync,
+# CRC-8/16, subframe headers, Rice residuals) sits between the two.
+_FLAC_PARAMS = ", ".join(
+    "({v},{kind},{blocksize},{nframes})".format(v=v, **_flac_variant_params(v))
+    for v in range(20)
+)
+
+ORACLE_SQL["q_flac_energy"] = f"""
+    WITH params(variant, kind, blocksize, nframes) AS (VALUES {_FLAC_PARAMS}),
+    samples AS (
+      SELECT p.variant,
+             CASE p.kind
+               WHEN 0 THEN ((p.variant * 2471 + f.f * 977) % 4001) - 2000
+               WHEN 1 THEN ((p.variant * 37
+                             + (f.f * p.blocksize + i.i) * 101) % 4001) - 2000
+               ELSE (((p.variant * 53 + f.f * 29) % 2001) - 1000)
+                    + i.i * (((p.variant * 7 + f.f * 11) % 41) - 20)
+             END AS x
+      FROM params p,
+           UNNEST(generate_series(0, p.nframes - 1)) AS f(f),
+           UNNEST(generate_series(0, p.blocksize - 1)) AS i(i)),
+    venergy AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(ABS(x)) AS BIGINT) AS e,
+             CAST(MAX(ABS(x)) AS INT) AS m
+      FROM samples GROUP BY variant),
+    base AS (
+      SELECT event_id, CAST(event_id % 20 AS INT) AS variant,
+             (event_id % 17 = 0) OR (event_id % 13 = 0) AS refused
+      FROM events)
+    SELECT b.event_id AS clip_id,
+           CAST(NOT b.refused AS INT) AS decoded_ok,
+           CASE WHEN b.refused THEN 0 ELSE v.n END AS n_samples,
+           CASE WHEN b.refused THEN 0 ELSE v.e END AS abs_energy,
+           CASE WHEN b.refused THEN 0 ELSE v.m END AS max_abs
+    FROM base b JOIN venergy v USING (variant)
     ORDER BY clip_id
 """
 
