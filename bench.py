@@ -51,6 +51,7 @@ HEADLINE = [
     "q_g711_energy",
     "q_adpcm_energy",
     "q_flac_energy",
+    "q_g711_transcode",
     "q_cube",
     "q_funnel",
     "q_asof_join",

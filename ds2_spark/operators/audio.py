@@ -204,6 +204,38 @@ ULAW2LIN: np.ndarray = _g711_ulaw_table()
 ALAW2LIN: np.ndarray = _g711_alaw_table()
 
 
+def encode_ulaw_int(x: np.ndarray) -> np.ndarray:
+    """Linear 16-bit samples -> mu-law codes (the standard segmented
+    encoder: clip to 32635, add the 0x84 bias, segment = MSB position,
+    4-bit mantissa, transmitted byte bit-inverted). Exact inverse of
+    the expansion table: encode(ULAW2LIN[c]) == c for every code
+    except the redundant negative zero 0x7F (which encodes as 0xFF) —
+    pinned in tests."""
+    x = np.asarray(x, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.zeros_like(mag)
+    for k in range(1, 8):
+        exp = np.where(mag >= (1 << (k + 7)), k, exp)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def encode_alaw_int(x: np.ndarray) -> np.ndarray:
+    """Linear 16-bit samples -> A-law codes (segment 0 linear with
+    step 16, segments 1..7 doubling; transmitted byte XOR 0x55).
+    Exact inverse of the expansion table on ALL 256 codes — pinned in
+    tests."""
+    x = np.asarray(x, dtype=np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    seg = np.zeros_like(mag)
+    for k in range(1, 8):
+        seg = np.where(mag >= (256 << (k - 1)), k, seg)
+    mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    return ((sign | (seg << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
 def decode_ulaw_int(b: bytes) -> np.ndarray:
     """mu-law bytes -> int32 linear samples (exact integer domain)."""
     return ULAW2LIN[np.frombuffer(b, dtype=np.uint8)].astype(np.int32)
@@ -582,6 +614,80 @@ def audio_codec_energy(clips: DataFrame) -> DataFrame:
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_ENERGY_SCHEMA)
+
+
+# target codec -> int32 linear samples -> bytes. Only integer-exact
+# targets (transcoding INTO a lossy-float codec would need a rate
+# model; these three cover corpus normalization either direction:
+# compress to 1 byte/sample telephony G.711, or expand to PCM16).
+_INT_ENCODERS: dict[str, Callable[[np.ndarray], bytes]] = {
+    "pcm_s16le": lambda x: np.clip(x, -32768, 32767)
+    .astype("<i2").tobytes(),
+    "pcm_ulaw": lambda x: encode_ulaw_int(x).tobytes(),
+    "pcm_alaw": lambda x: encode_alaw_int(x).tobytes(),
+}
+
+AUDIO_TRANSCODE_SCHEMA = (
+    "clip_id string, bytes binary, codec string, n_samples bigint"
+)
+
+
+def audio_transcode(clips: DataFrame, to_codec: str) -> DataFrame:
+    """Re-encode every decodable clip to `to_codec` (pcm_s16le /
+    pcm_ulaw / pcm_alaw): decode through the integer-exact registry,
+    encode with the standard segmented G.711 encoders (or PCM16
+    clip-and-pack). Corpus normalization for mixed-codec tables —
+    bytes stay within the partition (narrow plan: pruned scan ->
+    mapInPandas -> sink; no shuffle ever sees a payload). Undecodable
+    rows pass through with NULL bytes and codec unchanged, so a
+    downstream writer can route refusals to a quarantine path."""
+    if to_codec not in _INT_ENCODERS:
+        raise ValueError(f"no integer encoder for codec {to_codec!r}")
+    pruned = clips.select("clip_id", "bytes", "codec")
+    enc = _INT_ENCODERS[to_codec]
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codecs = pdf["codec"].tolist()
+            payloads = pdf["bytes"].tolist()
+            aidx = [i for i, c in enumerate(codecs) if c == "adpcm_ima"]
+            adpcm = (
+                dict(zip(aidx, adpcm_decode_batch([payloads[i] for i in aidx])))
+                if aidx else {}
+            )
+            out_bytes: list[bytes | None] = []
+            out_codec: list[str] = []
+            nsamp = np.zeros(len(pdf), dtype=np.int64)
+            for i, (b, codec) in enumerate(zip(payloads, codecs)):
+                pcm = None
+                if i in adpcm:
+                    pcm = adpcm[i]
+                else:
+                    dec = _INT_DECODERS.get(codec)
+                    w = codec_sample_width(codec)
+                    if dec is not None and b is not None and len(b) >= w \
+                            and len(b) % w == 0:
+                        try:
+                            pcm = dec(b)
+                        except ValueError:
+                            pcm = None
+                if pcm is None:
+                    out_bytes.append(None)
+                    out_codec.append(codec)
+                else:
+                    out_bytes.append(enc(pcm))
+                    out_codec.append(to_codec)
+                    nsamp[i] = len(pcm)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "bytes": out_bytes,
+                    "codec": out_codec,
+                    "n_samples": nsamp,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_TRANSCODE_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = (

@@ -1081,6 +1081,55 @@ def q_adpcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_g711_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization the OTHER direction: PCM16 clips
+    transcoded INTO G.711 (even ids -> mu-law, odd -> A-law) by the
+    standard segmented ENCODERS inside `audio_transcode`, then decoded
+    back by `audio_codec_energy`. The synthesis sweeps the full 16-bit
+    range INCLUDING values above the mu-law clip point (32635), so
+    segment selection, mantissa truncation, bias, bit inversion / XOR
+    masking, and clipping are all live. The DuckDB oracle replays
+    encode (threshold ladder + integer shifts) and decode (expansion
+    arithmetic) per sample — the operator's byte stream sits between.
+    Every 11th payload is NULL: transcode passes it through with NULL
+    bytes and the ORIGINAL codec tag (quarantine routing), and the
+    decode stage refuses it."""
+    from .operators.audio import audio_codec_energy, audio_transcode
+
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    n = (e % 9 + 20).cast("int")
+    synth = _synth_pcm16_hex(n, lambda i: (e * 31 + i * 1717) % 65401 - 32700)
+    payload = F.when(e % 11 == 0, F.lit(None).cast("binary")).otherwise(synth)
+    clips = ev.select(
+        e.cast("string").alias("clip_id"),
+        payload.alias("bytes"),
+        F.lit("pcm_s16le").alias("codec"),
+        (e % 2).alias("par"),
+    )
+    tc = audio_transcode(
+        clips.where(F.col("par") == 0).drop("par"), "pcm_ulaw"
+    ).unionByName(
+        audio_transcode(clips.where(F.col("par") == 1).drop("par"), "pcm_alaw")
+    )
+    en = audio_codec_energy(tc)
+    return (
+        tc.select("clip_id", "codec")
+        .join(en, "clip_id")
+        .select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            "codec",
+            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            "n_samples",
+            "abs_energy",
+            "max_abs",
+        )
+        .orderBy("clip_id")
+    )
+
+
 def _flac_variant_params(v: int) -> dict:
     """Deterministic per-variant FLAC content parameters. The DuckDB
     oracle re-derives every decoded sample from THESE formulas (see
@@ -1617,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_g711_energy": q_g711_energy,
         "q_adpcm_energy": q_adpcm_energy,
         "q_flac_energy": q_flac_energy,
+        "q_g711_transcode": q_g711_transcode,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -2422,6 +2472,88 @@ ORACLE_SQL["q_adpcm_energy"] = f"""
            COALESCE(f.abs_energy, 0) AS abs_energy,
            COALESCE(f.max_abs, 0) AS max_abs
     FROM base b LEFT JOIN final f USING (event_id)
+    ORDER BY clip_id
+"""
+
+# Transcode twin: replays the standard segmented G.711 ENCODERS
+# (threshold ladder, mantissa shifts, bias, bit inversion / XOR 0x55)
+# and the expansion decode per sample; the operator's actual byte
+# stream sits between the two derivations.
+ORACLE_SQL["q_g711_transcode"] = """
+    WITH synth AS (
+      SELECT event_id, CAST(event_id % 9 + 20 AS INT) AS n,
+             (event_id % 11 = 0) AS refused,
+             (event_id % 2 = 0) AS is_u
+      FROM events),
+    x AS (
+      SELECT s.event_id, s.is_u,
+             (s.event_id * 31 + t.j * 1717) % 65401 - 32700 AS xv
+      FROM synth s, UNNEST(generate_series(0, s.n - 1)) AS t(j)
+      WHERE NOT s.refused),
+    lad AS (
+      SELECT event_id, is_u, xv,
+             CASE WHEN is_u THEN LEAST(ABS(xv), 32635) + 132
+                  ELSE LEAST(ABS(xv), 32767) END AS mag,
+             CASE WHEN (CASE WHEN is_u THEN LEAST(ABS(xv), 32635) + 132
+                             ELSE LEAST(ABS(xv), 32767) END) >= 16384 THEN 7
+                  WHEN (CASE WHEN is_u THEN LEAST(ABS(xv), 32635) + 132
+                             ELSE LEAST(ABS(xv), 32767) END) >= 8192 THEN 6
+                  WHEN (CASE WHEN is_u THEN LEAST(ABS(xv), 32635) + 132
+                             ELSE LEAST(ABS(xv), 32767) END) >= 4096 THEN 5
+                  WHEN (CASE WHEN is_u THEN LEAST(ABS(xv), 32635) + 132
+                             ELSE LEAST(ABS(xv), 32767) END) >= 2048 THEN 4
+                  WHEN (CASE WHEN is_u THEN LEAST(ABS(xv), 32635) + 132
+                             ELSE LEAST(ABS(xv), 32767) END) >= 1024 THEN 3
+                  WHEN (CASE WHEN is_u THEN LEAST(ABS(xv), 32635) + 132
+                             ELSE LEAST(ABS(xv), 32767) END) >= 512 THEN 2
+                  WHEN (CASE WHEN is_u THEN LEAST(ABS(xv), 32635) + 132
+                             ELSE LEAST(ABS(xv), 32767) END) >= 256 THEN 1
+                  ELSE 0 END AS sg
+      FROM x),
+    code AS (
+      SELECT event_id, is_u,
+             CASE WHEN is_u THEN
+               255 - (CASE WHEN xv < 0 THEN 128 ELSE 0 END + sg * 16
+                      + ((mag // (1 << (sg + 3))) % 16))
+             ELSE
+               xor(CASE WHEN xv >= 0 THEN 128 ELSE 0 END + sg * 16
+                   + (CASE WHEN sg = 0 THEN mag // 16
+                           ELSE (mag // (1 << (sg + 3))) % 16 END), 85)
+             END AS b
+      FROM lad),
+    lin AS (
+      SELECT event_id,
+             CASE WHEN is_u THEN
+               CASE WHEN (255 - b) >= 128
+                    THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                                << (((255 - b) // 16) % 8))
+                    ELSE ((((255 - b) % 16) * 8 + 132)
+                          << (((255 - b) // 16) % 8)) - 132
+               END
+             ELSE
+               CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+               CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                    THEN (xor(b, 85) % 16) * 16 + 8
+                    WHEN ((xor(b, 85) // 16) % 8) = 1
+                    THEN (xor(b, 85) % 16) * 16 + 264
+                    ELSE ((xor(b, 85) % 16) * 16 + 264)
+                         << (((xor(b, 85) // 16) % 8) - 1)
+               END
+             END AS val
+      FROM code),
+    agg AS (
+      SELECT event_id, CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(SUM(ABS(val)) AS BIGINT) AS abs_energy,
+             CAST(MAX(ABS(val)) AS INT) AS max_abs
+      FROM lin GROUP BY event_id)
+    SELECT s.event_id AS clip_id,
+           CASE WHEN s.refused THEN 'pcm_s16le'
+                WHEN s.is_u THEN 'pcm_ulaw' ELSE 'pcm_alaw' END AS codec,
+           CAST(NOT s.refused AS INT) AS decoded_ok,
+           COALESCE(a.n_samples, 0) AS n_samples,
+           COALESCE(a.abs_energy, 0) AS abs_energy,
+           COALESCE(a.max_abs, 0) AS max_abs
+    FROM synth s LEFT JOIN agg a USING (event_id)
     ORDER BY clip_id
 """
 

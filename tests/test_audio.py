@@ -950,3 +950,87 @@ def test_wav_ima_adpcm_blocks():
     np.testing.assert_allclose(
         got, np.array(exp, np.float32) / 32767.0, rtol=0, atol=0
     )
+
+
+def test_g711_encoders_invert_decode_tables():
+    """The standard segmented encoders are exact inverses of the
+    expansion tables: every A-law code roundtrips decode->encode;
+    every mu-law code except the redundant negative zero 0x7F (which
+    re-encodes as the canonical 0xFF) does too. Quantization error of
+    encode->decode is bounded by the segment step."""
+    from ds2_spark.operators.audio import (
+        ALAW2LIN,
+        ULAW2LIN,
+        encode_alaw_int,
+        encode_ulaw_int,
+    )
+
+    c = np.arange(256)
+    assert (encode_alaw_int(ALAW2LIN[c]) == c).all()
+    u = encode_ulaw_int(ULAW2LIN[c])
+    assert (u[c != 0x7F] == c[c != 0x7F]).all()
+    assert u[0x7F] == 0xFF
+
+    x = np.arange(-33000, 33001, 7)
+    for enc, table in ((encode_ulaw_int, ULAW2LIN), (encode_alaw_int, ALAW2LIN)):
+        rt = table[enc(x)].astype(np.int64)
+        clipped = np.clip(x, -32635 if table is ULAW2LIN else -32767,
+                          32635 if table is ULAW2LIN else 32767)
+        err = np.abs(rt - clipped)
+        assert err.max() <= 1024, err.max()          # coarsest segment step
+        fine = np.abs(x) <= 240
+        assert err[fine].max() <= 16, err[fine].max()  # fine segments
+
+
+def test_audio_transcode(spark):
+    """Transcode normalizes a mixed-codec corpus: G.711/ADPCM clips
+    re-encode to PCM16 exactly (expansion values are representable),
+    PCM16 re-encodes to mu-law with the standard quantization, and
+    refusals (NULL bytes, unknown codec) pass through with NULL bytes
+    and their ORIGINAL codec tag for quarantine routing."""
+    from ds2_spark.operators.audio import (
+        ALAW2LIN,
+        ULAW2LIN,
+        audio_transcode,
+        encode_ulaw_int,
+    )
+
+    rng = np.random.default_rng(21)
+    ub = rng.integers(0, 256, size=101, dtype=np.uint8)
+    pcm = rng.integers(-32768, 32768, size=80, dtype=np.int16)
+    df = spark.createDataFrame(
+        [
+            ("u", bytearray(ub.tobytes()), 8000, 13, "pcm_ulaw"),
+            ("p", bytearray(pcm.tobytes()), 8000, 10, "pcm_s16le"),
+            ("nul", None, 8000, 0, "pcm_s16le"),
+            ("bad", bytearray(b"xxxx"), 8000, 0, "mp3"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    # to PCM16: G.711 expansion values are exactly representable
+    out = {r["clip_id"]: r for r in audio_transcode(df, "pcm_s16le").collect()}
+    got = np.frombuffer(bytes(out["u"]["bytes"]), dtype="<i2")
+    np.testing.assert_array_equal(got, ULAW2LIN[ub])
+    assert out["u"]["codec"] == "pcm_s16le" and out["u"]["n_samples"] == 101
+    np.testing.assert_array_equal(
+        np.frombuffer(bytes(out["p"]["bytes"]), dtype="<i2"), pcm
+    )
+    assert out["nul"]["bytes"] is None and out["nul"]["codec"] == "pcm_s16le"
+    assert out["bad"]["bytes"] is None and out["bad"]["codec"] == "mp3"
+    assert out["bad"]["n_samples"] == 0
+
+    # to mu-law: codes match the standard encoder applied to the
+    # decoded linear values
+    out = {r["clip_id"]: r for r in audio_transcode(df, "pcm_ulaw").collect()}
+    np.testing.assert_array_equal(
+        np.frombuffer(bytes(out["p"]["bytes"]), dtype=np.uint8),
+        encode_ulaw_int(pcm.astype(np.int64)),
+    )
+    np.testing.assert_array_equal(
+        np.frombuffer(bytes(out["u"]["bytes"]), dtype=np.uint8),
+        encode_ulaw_int(ULAW2LIN[ub].astype(np.int64)),
+    )
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        audio_transcode(df, "opus")
