@@ -188,6 +188,39 @@ def streaming_rule_decisions(clips_stream: DataFrame, cfg=None) -> DataFrame:
     )
 
 
+def run_codec_energy_stream_once(
+    spark: SparkSession, clips_dir: str, query_name: str = "codec_energy"
+) -> DataFrame:
+    """Incremental-ingest twin of the bytes-decoding audio stage:
+    `audio_codec_energy` (PCM16 / G.711 / IMA-ADPCM / FLAC real
+    decode) over a micro-batched clips file stream. The operator is a
+    stateless mapInPandas over a pruned projection, so the identical
+    Arrow-batched decode plan runs under Structured Streaming
+    unchanged — new audio landing in the table decodes as it arrives,
+    with refusal semantics (unknown codec, NULL/corrupt payload ->
+    decoded_ok=false) byte-for-byte equal to the batch run, pinned in
+    tests over a mixed-codec corpus."""
+    from ..operators.audio import audio_codec_energy
+
+    stream = (
+        spark.readStream.schema(CLIPS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(clips_dir)
+    )
+    out = audio_codec_energy(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_rules_stream_once(
     spark: SparkSession, clips_dir: str, query_name: str = "clip_rules", cfg=None
 ) -> DataFrame:

@@ -369,3 +369,56 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     exp = {(r["p_id"], r["q_id"]) for r in batch.collect()}
     assert len(exp) > 20  # the fixture actually produces matches
     assert got == exp
+
+
+def test_streaming_codec_decode_matches_batch(spark, tmp_path):
+    """The bytes-decoding stage (audio_codec_energy: real PCM16 /
+    G.711 / IMA-ADPCM / FLAC decode) over a micro-batched clips
+    STREAM equals the batch run on the same files — including refusal
+    rows (NULL payload, unknown codec, CRC-corrupt FLAC). Stateless
+    mapInPandas decode is incremental-ingest-safe by construction;
+    this pins it over every real codec at once."""
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_codec_energy
+    from ds2_spark.streaming.events import run_codec_energy_stream_once
+    from .test_flac import _frame, _streaminfo, _sub_verbatim
+
+    rng = np.random.default_rng(33)
+    flac_good = _streaminfo(total=8) + _frame(
+        [_sub_verbatim([5, -7, 100, -100, 3000, -3000, 1, 0])], 8
+    )
+    flac_bad = flac_good[:-1] + bytes([flac_good[-1] ^ 0xFF])
+    adpcm = (
+        (-100).to_bytes(2, "little", signed=True) + bytes([30, 0])
+        + rng.integers(0, 256, size=20, dtype=np.uint8).tobytes()
+    )
+    rows = [
+        ("pcm", bytearray(rng.integers(-30000, 30000, 50, np.int64)
+                          .astype("<i2").tobytes()), 8000, 6, "pcm_s16le", "t"),
+        ("ul", bytearray(rng.integers(0, 256, 31, np.uint8).tobytes()),
+         8000, 4, "pcm_ulaw", "t"),
+        ("al", bytearray(rng.integers(0, 256, 44, np.uint8).tobytes()),
+         8000, 6, "pcm_alaw", "t"),
+        ("ad", bytearray(adpcm), 8000, 5, "adpcm_ima", "t"),
+        ("fl", bytearray(flac_good), 8000, 1, "flac", "t"),
+        ("flbad", bytearray(flac_bad), 8000, 1, "flac", "t"),
+        ("nul", None, 8000, 0, "pcm_s16le", "t"),
+        ("mp3", bytearray(b"\x01\x02\x03\x04"), 8000, 0, "mp3", "t"),
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    df = spark.createDataFrame(rows, schema)
+    clips_dir = str(tmp_path / "codec_stream")
+    df.repartition(4).write.mode("overwrite").parquet(clips_dir)
+
+    stream_out = run_codec_energy_stream_once(spark, clips_dir, "codec_test")
+    batch_out = audio_codec_energy(spark.read.parquet(clips_dir))
+    key = lambda r: (r["clip_id"], r["decoded_ok"], r["n_samples"],
+                     r["abs_energy"], r["max_abs"])
+    got = sorted(key(r) for r in stream_out.collect())
+    exp = sorted(key(r) for r in batch_out.collect())
+    assert got == exp and len(got) == len(rows)
+    ok = {r["clip_id"]: r["decoded_ok"] for r in batch_out.collect()}
+    assert ok == {"pcm": True, "ul": True, "al": True, "ad": True,
+                  "fl": True, "flbad": False, "nul": False, "mp3": False}
