@@ -52,6 +52,7 @@ HEADLINE = [
     "q_adpcm_energy",
     "q_flac_energy",
     "q_g711_transcode",
+    "q_audio_chunk",
     "q_cube",
     "q_funnel",
     "q_asof_join",

@@ -690,6 +690,84 @@ def audio_transcode(clips: DataFrame, to_codec: str) -> DataFrame:
     return pruned.mapInPandas(_op, schema=AUDIO_TRANSCODE_SCHEMA)
 
 
+def audio_chunk(
+    clips: DataFrame,
+    chunk_ms: int,
+    overlap_ms: int = 0,
+    min_ms: int = 0,
+) -> DataFrame:
+    """Segment fixed-width-codec clips (PCM16 / G.711) into
+    fixed-duration training windows — the audio analog of
+    operators/chunking.chunk_documents. ENTIRELY JVM column
+    expressions: window starts via sequence() + explode, payload
+    slices via substring() on the binary column, so the hot path is
+    whole-stage-codegen with zero Python and the only data movement
+    is the final write (no shuffle is introduced; bytes stay in the
+    partition that scanned them).
+
+    Windows step by (chunk_ms - overlap_ms); the last window may be
+    shorter (never padded) and is dropped if under `min_ms`. Sample
+    math is exact integer arithmetic on the per-codec sample width:
+    a window covers samples [start, start+len) with byte offsets
+    start*width — nibble-packed or variable-rate codecs (ADPCM, FLAC)
+    are stateful across the stream and cannot be sliced at byte
+    boundaries; their rows are passed through as a single NULL-chunk
+    row (chunk_id -1) so a caller can route them to a decode-first
+    path. Returns (clip_id, chunk_id, start_ms, dur_ms, n_samples,
+    bytes, codec)."""
+    if chunk_ms <= 0 or overlap_ms < 0 or overlap_ms >= chunk_ms:
+        raise ValueError("need 0 <= overlap_ms < chunk_ms")
+    g711 = F.col("codec").isin("pcm_ulaw", "pcm_alaw")
+    fixed = g711 | F.col("codec").isin("pcm_s16le")
+    width = F.when(g711, F.lit(1)).otherwise(F.lit(2))
+    sr = F.greatest(F.col("sr_hz"), F.lit(1))
+    blen = F.coalesce(F.length("bytes"), F.lit(0))
+    nsamp = F.floor(blen / width).cast("long")
+    # exact integer sample counts per window/step (floor: a chunk
+    # never reads past the payload)
+    csamp = F.floor(sr * chunk_ms / 1000).cast("long")
+    step = F.floor(sr * (chunk_ms - overlap_ms) / 1000).cast("long")
+    minsamp = F.floor(sr * min_ms / 1000).cast("long")
+    # a clip shorter than one chunk still yields its single (short)
+    # window — greatest(1, ...) guards the negative-ceil case
+    nchunks = F.when(nsamp <= 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(1).cast("long"), F.ceil((nsamp - csamp) / step) + 1)
+    )
+    ok = fixed & (blen > 0) & (blen % width == 0)
+    idx = F.when(ok, F.sequence(F.lit(0), nchunks.cast("int") - 1)).otherwise(
+        F.array(F.lit(-1))
+    )
+    e = clips.select(
+        "clip_id", "bytes", "sr_hz", "codec",
+        F.explode(idx).alias("chunk_id"),
+        width.alias("_w"), nsamp.alias("_n"), csamp.alias("_c"),
+        step.alias("_s"), minsamp.alias("_m"),
+    )
+    start = F.col("chunk_id").cast("long") * F.col("_s")
+    clen = F.least(F.col("_c"), F.col("_n") - start)
+    out = e.where(
+        (F.col("chunk_id") == -1) | (clen >= F.greatest(F.col("_m"), F.lit(1)))
+    ).select(
+        "clip_id",
+        "chunk_id",
+        F.when(F.col("chunk_id") >= 0,
+               F.floor(start * 1000 / F.greatest(F.col("sr_hz"), F.lit(1)))
+               .cast("int")).alias("start_ms"),
+        F.when(F.col("chunk_id") >= 0,
+               F.floor(clen * 1000 / F.greatest(F.col("sr_hz"), F.lit(1)))
+               .cast("int")).alias("dur_ms"),
+        F.when(F.col("chunk_id") >= 0, clen).alias("n_samples"),
+        F.when(
+            F.col("chunk_id") >= 0,
+            F.expr("substring(bytes, cast(chunk_id as bigint) * _s * _w + 1, "
+                   "cast(least(_c, _n - cast(chunk_id as bigint) * _s) * _w "
+                   "as int))"),
+        ).alias("bytes"),
+        "codec",
+    )
+    return out
+
+
 AUDIO_FEATURES_SCHEMA = (
     "clip_id string, decoded_ok boolean, zcr double, silence_ratio double, "
     "clipping_ratio double, snr_db_est double"

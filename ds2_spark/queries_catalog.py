@@ -1130,6 +1130,85 @@ def q_g711_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window segmentation of audio: `audio_chunk` slices
+    fixed-width payloads (PCM16 and 1-byte/sample mu-law mixed in one
+    table) into 50ms windows stepping 25ms ENTIRELY in JVM column
+    expressions (sequence+explode for window ids, substring on the
+    binary column for the slice — zero Python in the slicing path),
+    then every chunk's integer energy is decoded by
+    `audio_codec_energy`. The DuckDB oracle recomputes each window's
+    sample range from the same integer boundary math and re-derives
+    the decoded values per sample (PCM formula / G.711 expansion) —
+    window arithmetic, byte offsets (including the codec width), the
+    kept short tail, and chunk content are all hash-checked. Stateful
+    codecs (every 13th clip is tagged adpcm_ima) pass through as the
+    documented single chunk_id=-1 row; every 17th payload is NULL."""
+    from .operators.audio import audio_chunk, audio_codec_energy
+
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    sr = F.when(e % 2 == 0, F.lit(4000)).otherwise(F.lit(6000))
+    n = (e % 301 + 300).cast("int")
+    is_u = e % 3 == 0
+    pcm_sample = lambda i: (e * 31 + i * 1717) % 65401 - 32700
+    ubyte = lambda j: (e * 37 + j * 101 + (j * j) % 251) % 256
+    uhex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.lpad(F.hex(ubyte(j).cast("bigint")), 2, "0"),
+        ),
+        "",
+    )
+    payload = (
+        F.when(e % 17 == 0, F.lit(None).cast("binary"))
+        .when(is_u, F.to_binary(uhex, F.lit("hex")))
+        .otherwise(_synth_pcm16_hex(n, pcm_sample))
+    )
+    codec = (
+        F.when(e % 13 == 0, F.lit("adpcm_ima"))
+        .when(is_u, F.lit("pcm_ulaw"))
+        .otherwise(F.lit("pcm_s16le"))
+    )
+    clips = ev.select(
+        e.cast("string").alias("clip_id"),
+        payload.alias("bytes"),
+        sr.alias("sr_hz"),
+        codec.alias("codec"),
+    )
+    ch = audio_chunk(clips, chunk_ms=50, overlap_ms=25)
+    en = audio_codec_energy(
+        ch.select(
+            F.concat_ws("#", "clip_id", "chunk_id").alias("clip_id"),
+            "bytes",
+            "codec",
+        )
+    )
+    meta = ch.select(
+        F.concat_ws("#", "clip_id", "chunk_id").alias("k"),
+        F.col("clip_id").cast("long").alias("clip_id"),
+        "chunk_id",
+        "start_ms",
+        "dur_ms",
+    )
+    return (
+        meta.join(en.withColumnRenamed("clip_id", "k"), "k")
+        .select(
+            "clip_id",
+            "chunk_id",
+            F.coalesce("start_ms", F.lit(-1)).alias("start_ms"),
+            F.coalesce("dur_ms", F.lit(-1)).alias("dur_ms"),
+            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            "n_samples",
+            "abs_energy",
+            "max_abs",
+        )
+        .orderBy("clip_id", "chunk_id")
+    )
+
+
 def _flac_variant_params(v: int) -> dict:
     """Deterministic per-variant FLAC content parameters. The DuckDB
     oracle re-derives every decoded sample from THESE formulas (see
@@ -1667,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_adpcm_energy": q_adpcm_energy,
         "q_flac_energy": q_flac_energy,
         "q_g711_transcode": q_g711_transcode,
+        "q_audio_chunk": q_audio_chunk,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -2473,6 +2553,75 @@ ORACLE_SQL["q_adpcm_energy"] = f"""
            COALESCE(f.max_abs, 0) AS max_abs
     FROM base b LEFT JOIN final f USING (event_id)
     ORDER BY clip_id
+"""
+
+# Chunker twin: recomputes every window's [start, start+len) sample
+# range from the same integer boundary math (per-codec width, floor
+# steps, kept short tail) and re-derives the decoded values per
+# sample; the operator's JVM substring slicing sits between.
+ORACLE_SQL["q_audio_chunk"] = """
+    WITH base AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN 4000 ELSE 6000 END AS sr,
+             CAST(event_id % 301 + 300 AS BIGINT) AS n,
+             (event_id % 17 = 0) AS is_null,
+             (event_id % 13 = 0) AS is_ad,
+             (event_id % 3 = 0) AS is_u
+      FROM events),
+    geom AS (
+      SELECT event_id, sr, n, is_u,
+             sr * 50 // 1000 AS csamp,
+             sr * 25 // 1000 AS step
+      FROM base WHERE NOT is_null AND NOT is_ad),
+    chunks AS (
+      SELECT g.event_id, g.sr, g.n, g.is_u, g.csamp, c.c,
+             c.c * g.step AS strt,
+             LEAST(g.csamp, g.n - c.c * g.step) AS clen
+      FROM geom g, UNNEST(generate_series(0,
+           GREATEST(1, CAST(CEIL((g.n - g.csamp) * 1.0 / g.step) AS BIGINT)
+                        + 1) - 1)) AS c(c)),
+    vals AS (
+      SELECT ch.event_id, ch.c,
+             CASE WHEN ch.is_u THEN
+               CASE WHEN (255 - ((ch.event_id * 37 + t.j * 101
+                                  + (t.j * t.j) % 251) % 256)) >= 128
+                    THEN 132 - ((((255 - ((ch.event_id * 37 + t.j * 101
+                                           + (t.j * t.j) % 251) % 256))
+                                  % 16) * 8 + 132)
+                                << (((255 - ((ch.event_id * 37 + t.j * 101
+                                              + (t.j * t.j) % 251) % 256))
+                                     // 16) % 8))
+                    ELSE ((((255 - ((ch.event_id * 37 + t.j * 101
+                                     + (t.j * t.j) % 251) % 256))
+                            % 16) * 8 + 132)
+                          << (((255 - ((ch.event_id * 37 + t.j * 101
+                                        + (t.j * t.j) % 251) % 256))
+                               // 16) % 8)) - 132
+               END
+             ELSE (ch.event_id * 31 + t.j * 1717) % 65401 - 32700
+             END AS v
+      FROM chunks ch,
+           UNNEST(generate_series(ch.strt, ch.strt + ch.clen - 1)) AS t(j)),
+    agg AS (
+      SELECT event_id, c, CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(SUM(ABS(v)) AS BIGINT) AS abs_energy,
+             CAST(MAX(ABS(v)) AS INT) AS max_abs
+      FROM vals GROUP BY event_id, c),
+    outg AS (
+      SELECT ch.event_id AS clip_id, CAST(ch.c AS INT) AS chunk_id,
+             CAST(ch.strt * 1000 // ch.sr AS INT) AS start_ms,
+             CAST(ch.clen * 1000 // ch.sr AS INT) AS dur_ms,
+             1 AS decoded_ok, a.n_samples, a.abs_energy, a.max_abs
+      FROM chunks ch
+      JOIN agg a ON a.event_id = ch.event_id AND a.c = ch.c
+      UNION ALL
+      SELECT event_id, -1, -1, -1, 0, CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), 0
+      FROM base WHERE is_null OR is_ad)
+    SELECT clip_id, chunk_id, start_ms, dur_ms,
+           CAST(decoded_ok AS INT) AS decoded_ok, n_samples, abs_energy,
+           CAST(max_abs AS INT) AS max_abs
+    FROM outg ORDER BY clip_id, chunk_id
 """
 
 # Transcode twin: replays the standard segmented G.711 ENCODERS

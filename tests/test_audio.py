@@ -1034,3 +1034,66 @@ def test_audio_transcode(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         audio_transcode(df, "opus")
+
+
+def test_audio_chunk_windows(spark):
+    """JVM byte-slicing audio chunker: window boundaries are exact
+    sample math on the codec width, overlap steps correctly, the
+    short tail is kept (unless under min_ms), zero-overlap chunks
+    reconstruct the original payload, and stateful codecs pass
+    through as a single NULL-chunk row."""
+    from ds2_spark.operators.audio import audio_chunk
+
+    rng = np.random.default_rng(17)
+    pcm = rng.integers(-30000, 30000, 1000, np.int64).astype("<i2").tobytes()
+    ub = rng.integers(0, 256, 900, np.uint8).tobytes()
+    short = rng.integers(-100, 100, 100, np.int64).astype("<i2").tobytes()
+    df = spark.createDataFrame(
+        [
+            ("p", bytearray(pcm), 8000, 125, "pcm_s16le"),
+            ("u", bytearray(ub), 8000, 112, "pcm_ulaw"),
+            ("s", bytearray(short), 8000, 12, "pcm_s16le"),
+            ("ad", bytearray(b"\x00\x00\x14\x00abc"), 8000, 10, "adpcm_ima"),
+            ("nul", None, 8000, 0, "pcm_s16le"),
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+
+    out = audio_chunk(df, chunk_ms=50).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["clip_id"], []).append(r)
+    p = sorted(by["p"], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in p] == [0, 1, 2]
+    assert [r["n_samples"] for r in p] == [400, 400, 200]
+    assert [r["start_ms"] for r in p] == [0, 50, 100]
+    assert [r["dur_ms"] for r in p] == [50, 50, 25]
+    assert b"".join(bytes(r["bytes"]) for r in p) == pcm  # reconstruction
+    u = sorted(by["u"], key=lambda r: r["chunk_id"])
+    assert [r["n_samples"] for r in u] == [400, 400, 100]  # width 1
+    assert b"".join(bytes(r["bytes"]) for r in u) == ub
+    assert [r["n_samples"] for r in by["s"]] == [100]  # short clip kept
+    assert by["ad"][0]["chunk_id"] == -1 and by["ad"][0]["bytes"] is None
+    assert by["nul"][0]["chunk_id"] == -1
+
+    # overlap: 50ms windows stepping 25ms
+    p2 = sorted(
+        (r for r in audio_chunk(df, 50, overlap_ms=25).collect()
+         if r["clip_id"] == "p"),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["n_samples"] for r in p2] == [400, 400, 400, 400]
+    assert [r["start_ms"] for r in p2] == [0, 25, 50, 75]
+    np_pcm = np.frombuffer(pcm, dtype="<i2")
+    for r in p2:
+        s = r["chunk_id"] * 200
+        assert bytes(r["bytes"]) == np_pcm[s : s + 400].tobytes()
+
+    # min_ms drops the short tail
+    p3 = [r for r in audio_chunk(df, 50, min_ms=30).collect()
+          if r["clip_id"] == "p"]
+    assert sorted(r["chunk_id"] for r in p3) == [0, 1]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        audio_chunk(df, 50, overlap_ms=50)
