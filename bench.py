@@ -53,6 +53,7 @@ HEADLINE = [
     "q_flac_energy",
     "q_g711_transcode",
     "q_audio_chunk",
+    "q_wav_energy",
     "q_cube",
     "q_funnel",
     "q_asof_join",

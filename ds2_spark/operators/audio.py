@@ -135,6 +135,35 @@ def decode_wav(b: bytes) -> np.ndarray:
     return (mono / 32767.0).astype(np.float32)
 
 
+def decode_wav_int(b: bytes) -> np.ndarray:
+    """Mono RIFF WAV -> int32 linear samples (the oracle-checkable
+    integer path: PCM16 passthrough, G.711 expansion tables, IMA
+    ADPCM blocks). Multichannel refuses here — channel averaging is
+    a float operation (decode_wav owns it)."""
+    h = parse_wav_header(b)
+    if h is None:
+        raise ValueError("not a RIFF/WAVE stream")
+    if h["channels"] != 1:
+        raise ValueError("integer WAV path: mono only")
+    if h["audio_format"] == 1 and h["bits"] == 16:
+        n = h["data_len"] // 2
+        return np.frombuffer(
+            b, dtype="<i2", count=n, offset=h["data_off"]
+        ).astype(np.int32)
+    if h["audio_format"] in (6, 7) and h["bits"] == 8:
+        codes = np.frombuffer(
+            b, dtype=np.uint8, count=h["data_len"], offset=h["data_off"]
+        )
+        table = ALAW2LIN if h["audio_format"] == 6 else ULAW2LIN
+        return table[codes].astype(np.int32)
+    if h["audio_format"] == 0x11 and h["bits"] == 4:
+        return _decode_wav_ima_blocks(
+            b[h["data_off"] : h["data_off"] + h["data_len"]],
+            h.get("block_align") or 0,
+        ).astype(np.int32)
+    raise ValueError("only PCM16 / A-law / mu-law / IMA-ADPCM WAV supported")
+
+
 def _decode_wav_ima_blocks(data: bytes, block_align: int) -> np.ndarray:
     """WAV format-0x11 mono payload: a sequence of `block_align`-sized
     blocks, each (int16 predictor, uint8 step index, reserved) +
@@ -265,6 +294,9 @@ register_decoder("pcm_alaw", _decode_alaw)
 # validates the header.
 CODEC_SAMPLE_BYTES: dict[str, int] = {
     "pcm_ulaw": 1, "pcm_alaw": 1, "adpcm_ima": 1,
+    # 'wav' is a container: total length carries header + padding, so
+    # no alignment precheck applies — parse_wav_header validates
+    "wav": 1,
 }
 
 # Codecs whose payload length says NOTHING about sample count
@@ -550,6 +582,7 @@ _INT_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "pcm_alaw": decode_alaw_int,
     "adpcm_ima": decode_ima_adpcm_int,
     "flac": decode_flac_int,
+    "wav": decode_wav_int,
 }
 
 

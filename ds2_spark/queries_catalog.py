@@ -1178,7 +1178,13 @@ def q_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sr.alias("sr_hz"),
         codec.alias("codec"),
     )
-    ch = audio_chunk(clips, chunk_ms=50, overlap_ms=25)
+    # the chunk frame feeds TWO consumers (metadata + decode); without
+    # materialization Catalyst re-synthesizes the payloads per branch
+    # (the BM25 re-explode trap, NOTES.md #41) — lazy localCheckpoint
+    # computes the chunks once
+    ch = audio_chunk(clips, chunk_ms=50, overlap_ms=25).localCheckpoint(
+        eager=False
+    )
     en = audio_codec_energy(
         ch.select(
             F.concat_ws("#", "clip_id", "chunk_id").alias("clip_id"),
@@ -1207,6 +1213,94 @@ def q_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clip_id", "chunk_id")
     )
+
+
+def q_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WAV container parsing driver-verified: complete WAV files
+    (RIFF header, fmt chunk, data chunk) are synthesized IN SPARK SQL
+    EXPRESSIONS — format tag 1 (PCM16), 6 (A-law), 7 (mu-law) — and
+    decoded through `parse_wav_header` + `decode_wav_int` inside
+    `audio_codec_energy`. The DuckDB oracle re-derives the decoded
+    samples from the content formulas alone (it never builds a
+    header), so every header field the parser consumes — chunk walk,
+    fmt/bits dispatch, data offset/length — sits between the two.
+    Every 13th file declares IEEE-float format 3 (unsupported ->
+    refuse), every 17th payload is NULL."""
+    from .operators.audio import audio_codec_energy
+
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    n = (e % 21 + 40).cast("int")
+
+    def _le(v, nbytes):
+        h = F.lpad(F.hex(v.cast("bigint")), 2 * nbytes, "0")
+        return F.concat(
+            *[F.substring(h, 2 * (nbytes - 1 - i) + 1, 2)
+              for i in range(nbytes)]
+        )
+
+    is_pcm = e % 3 == 0
+    is_alaw = e % 3 == 1
+    is_float = e % 13 == 0
+    fmt = (
+        F.when(is_float, F.lit(3))
+        .when(is_pcm, F.lit(1))
+        .when(is_alaw, F.lit(6))
+        .otherwise(F.lit(7))
+    )
+    bits = F.when(is_float, F.lit(32)).when(is_pcm, F.lit(16)).otherwise(F.lit(8))
+    block = (bits / 8).cast("int")
+    dlen = n * block
+    sr = F.lit(8000)
+    hdr = F.concat(
+        F.lit("52494646"), _le(dlen + 36, 4), F.lit("57415645"),
+        F.lit("666d7420"), F.lit("10000000"),
+        _le(fmt, 2), F.lit("0100"), _le(sr, 4), _le(sr * block, 4),
+        _le(block, 2), _le(bits, 2),
+        F.lit("64617461"), _le(dlen, 4),
+    )
+    pcm_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: _le((e * 31 + i * 1717) % 65401 - 32700
+                          + F.when((e * 31 + i * 1717) % 65401 - 32700 < 0,
+                                   F.lit(65536)).otherwise(F.lit(0)), 2),
+        ),
+        "",
+    )
+    g711_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.lpad(
+                F.hex(((e * 37 + j * 101 + (j * j) % 251) % 256)
+                      .cast("bigint")), 2, "0"),
+        ),
+        "",
+    )
+    # float-format files carry zero payload bytes of the right length
+    datahex = (
+        F.when(is_float, F.repeat(F.lit("00"), dlen.cast("int")))
+        .when(is_pcm, pcm_hex)
+        .otherwise(g711_hex)
+    )
+    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(F.concat(hdr, datahex), F.lit("hex"))
+    )
+    clips = ev.select(
+        e.cast("string").alias("clip_id"),
+        payload.alias("bytes"),
+        F.lit("wav").alias("codec"),
+    )
+    out = audio_codec_energy(clips)
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("decoded_ok").cast("int").alias("decoded_ok"),
+        "n_samples",
+        "abs_energy",
+        "max_abs",
+    ).orderBy("clip_id")
 
 
 def _flac_variant_params(v: int) -> dict:
@@ -1747,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flac_energy": q_flac_energy,
         "q_g711_transcode": q_g711_transcode,
         "q_audio_chunk": q_audio_chunk,
+        "q_wav_energy": q_wav_energy,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -2552,6 +2647,71 @@ ORACLE_SQL["q_adpcm_energy"] = f"""
            COALESCE(f.abs_energy, 0) AS abs_energy,
            COALESCE(f.max_abs, 0) AS max_abs
     FROM base b LEFT JOIN final f USING (event_id)
+    ORDER BY clip_id
+"""
+
+# WAV twin: the oracle never builds a header — it re-derives decoded
+# samples from the content formulas; the container parser (chunk
+# walk, fmt dispatch, data offset/length) sits between.
+ORACLE_SQL["q_wav_energy"] = """
+    WITH base AS (
+      SELECT event_id, CAST(event_id % 21 + 40 AS INT) AS n,
+             (event_id % 17 = 0) OR (event_id % 13 = 0) AS refused,
+             (event_id % 3 = 0) AS is_pcm,
+             (event_id % 3 = 1) AS is_alaw
+      FROM events),
+    vals AS (
+      SELECT b.event_id,
+             CASE WHEN b.is_pcm THEN
+               (b.event_id * 31 + t.j * 1717) % 65401 - 32700
+             WHEN b.is_alaw THEN
+               CASE WHEN xor((b.event_id * 37 + t.j * 101
+                              + (t.j * t.j) % 251) % 256, 85) >= 128
+                    THEN 1 ELSE -1 END *
+               CASE WHEN ((xor((b.event_id * 37 + t.j * 101
+                                + (t.j * t.j) % 251) % 256, 85) // 16) % 8) = 0
+                    THEN (xor((b.event_id * 37 + t.j * 101
+                               + (t.j * t.j) % 251) % 256, 85) % 16) * 16 + 8
+                    WHEN ((xor((b.event_id * 37 + t.j * 101
+                                + (t.j * t.j) % 251) % 256, 85) // 16) % 8) = 1
+                    THEN (xor((b.event_id * 37 + t.j * 101
+                               + (t.j * t.j) % 251) % 256, 85) % 16) * 16 + 264
+                    ELSE ((xor((b.event_id * 37 + t.j * 101
+                                + (t.j * t.j) % 251) % 256, 85) % 16) * 16 + 264)
+                         << (((xor((b.event_id * 37 + t.j * 101
+                                    + (t.j * t.j) % 251) % 256, 85) // 16) % 8)
+                             - 1)
+               END
+             ELSE
+               CASE WHEN (255 - ((b.event_id * 37 + t.j * 101
+                                  + (t.j * t.j) % 251) % 256)) >= 128
+                    THEN 132 - ((((255 - ((b.event_id * 37 + t.j * 101
+                                           + (t.j * t.j) % 251) % 256))
+                                  % 16) * 8 + 132)
+                                << (((255 - ((b.event_id * 37 + t.j * 101
+                                              + (t.j * t.j) % 251) % 256))
+                                     // 16) % 8))
+                    ELSE ((((255 - ((b.event_id * 37 + t.j * 101
+                                     + (t.j * t.j) % 251) % 256))
+                            % 16) * 8 + 132)
+                          << (((255 - ((b.event_id * 37 + t.j * 101
+                                        + (t.j * t.j) % 251) % 256))
+                               // 16) % 8)) - 132
+               END
+             END AS v
+      FROM base b, UNNEST(generate_series(0, b.n - 1)) AS t(j)
+      WHERE NOT b.refused),
+    agg AS (
+      SELECT event_id, CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(SUM(ABS(v)) AS BIGINT) AS abs_energy,
+             CAST(MAX(ABS(v)) AS INT) AS max_abs
+      FROM vals GROUP BY event_id)
+    SELECT b.event_id AS clip_id,
+           CAST(NOT b.refused AS INT) AS decoded_ok,
+           COALESCE(a.n_samples, 0) AS n_samples,
+           COALESCE(a.abs_energy, 0) AS abs_energy,
+           COALESCE(a.max_abs, 0) AS max_abs
+    FROM base b LEFT JOIN agg a USING (event_id)
     ORDER BY clip_id
 """
 

@@ -1097,3 +1097,39 @@ def test_audio_chunk_windows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         audio_chunk(df, 50, overlap_ms=50)
+
+
+def test_decode_wav_int_matches_float_surface():
+    """The integer WAV path (oracle-checkable) agrees with the float
+    decode_wav surface on mono files and refuses multichannel (channel
+    averaging is a float op)."""
+    import pytest as _pytest
+
+    from ds2_spark.operators.audio import decode_wav, decode_wav_int
+
+    def wav(fmt, bits, data, block, ch=1, sr=8000):
+        hdr = (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + fmt.to_bytes(2, "little") + ch.to_bytes(2, "little")
+            + sr.to_bytes(4, "little") + (sr * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little")
+        )
+        return hdr + data
+
+    rng = np.random.default_rng(51)
+    pcm = rng.integers(-30000, 30000, 64, np.int64).astype("<i2")
+    g = rng.integers(0, 256, 33, np.uint8)
+    for b, n in ((wav(1, 16, pcm.tobytes(), 2), 64),
+                 (wav(7, 8, g.tobytes(), 1), 33),
+                 (wav(6, 8, g.tobytes(), 1), 33)):
+        xi = decode_wav_int(b)
+        assert len(xi) == n
+        np.testing.assert_allclose(
+            decode_wav(b), xi.astype(np.float32) / 32767.0, rtol=0, atol=0
+        )
+    stereo = wav(1, 16, pcm.tobytes(), 4, ch=2)
+    with _pytest.raises(ValueError):
+        decode_wav_int(stereo)
+    assert len(decode_wav(stereo)) == 32  # float surface averages
