@@ -369,3 +369,70 @@ def test_registry_integration(spark):
         np.array(vals, np.float32) / 32767.0, rtol=0, atol=1e-7,
     )
     assert dec["alias"] == []
+
+
+def test_lpc_high_order_random_coefficients():
+    """LPC order 8 with random 12-bit coefficients and a nonzero
+    shift: the decoder's recurrence is recomputed in the test with
+    plain Python ints (arbitrary precision — would catch any int32
+    truncation in the accumulator)."""
+    rng = np.random.default_rng(23)
+    order = 8
+    warm = [int(v) for v in rng.integers(-2000, 2000, size=order)]
+    coefs = [int(v) for v in rng.integers(-2048, 2048, size=order)]
+    res = [int(v) for v in rng.integers(-30, 30, size=32 - order)]
+    shift = 11
+    w = _BitWriter()
+    w.write(0, 1).write(32 + order - 1, 6).write(0, 1)
+    for v in warm:
+        w.write_signed(v, 16)
+    w.write(12 - 1, 4)
+    w.write_signed(shift, 5)
+    for c in coefs:
+        w.write_signed(c, 12)
+    w.write(0, 2).write(0, 4).write(5, 4)
+    for r in res:
+        w.write_rice(r, 5)
+    stream = _streaminfo(total=32) + _frame([w], 32)
+    got = decode_flac_int(stream)
+    x = list(warm)
+    for r in res:
+        acc = sum(c * x[-1 - j] for j, c in enumerate(coefs))
+        x.append((acc >> shift) + r)
+    assert got.tolist() == x
+
+
+def test_blocksize_16bit_code_and_uncommon_table_sizes():
+    """The 16-bit blocksize-at-end header code (0111) and table-coded
+    blocksizes decode; a frame whose declared blocksize disagrees
+    with the subframe bit budget raises instead of desynchronizing."""
+    vals = [int(v) for v in np.arange(-96, 96)]  # 192 samples
+    # table code 0001 = 192
+    w = _BitWriter()
+    w.write(0x3FFE, 14).write(0, 1).write(0, 1)
+    w.write(1, 4).write(0, 4).write(0, 4).write(0, 3).write(0, 1)
+    w.write(0, 8)
+    head = w.tobytes()
+    head += bytes([_crc8(head)])
+    body = _BitWriter()
+    body.bits.extend(_sub_verbatim(vals).bits)
+    body.align()
+    raw = head + body.tobytes()
+    stream = _streaminfo(total=192) + raw + _crc16(raw).to_bytes(2, "big")
+    assert decode_flac_int(stream).tolist() == vals
+
+    # 16-bit blocksize-1 code (0111)
+    vals2 = [7, -7, 300, -300]
+    w = _BitWriter()
+    w.write(0x3FFE, 14).write(0, 1).write(0, 1)
+    w.write(7, 4).write(0, 4).write(0, 4).write(0, 3).write(0, 1)
+    w.write(0, 8)
+    w.write(len(vals2) - 1, 16)
+    head = w.tobytes()
+    head += bytes([_crc8(head)])
+    body = _BitWriter()
+    body.bits.extend(_sub_verbatim(vals2).bits)
+    body.align()
+    raw = head + body.tobytes()
+    stream = _streaminfo(total=4) + raw + _crc16(raw).to_bytes(2, "big")
+    assert decode_flac_int(stream).tolist() == vals2
