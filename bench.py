@@ -54,6 +54,8 @@ HEADLINE = [
     "q_g711_transcode",
     "q_audio_chunk",
     "q_wav_energy",
+    "q_audio_tone_probe",
+    "q_rule_decisions",
     "q_cube",
     "q_funnel",
     "q_asof_join",

@@ -73,6 +73,17 @@ class QualityConfig:
     langid_margin_min: float = 0.20  # top1-top2 log-prob margin per char
     ppl_max: float = 40.0            # KN char-model perplexity ceiling
     allowed_langs: tuple[str, ...] = ("en", "es", "de", "fr", "zh")
+    # Speech-rate alignment bounds (words per minute of audio): a
+    # transcript whose token count is implausibly fast/slow for the
+    # clip's duration signals a bad audio-transcript pairing (wrong
+    # file, truncated audio, hallucinated text). OPT-IN — plausible
+    # bounds are corpus-specific (read speech ~120-160 wpm,
+    # conversational up to ~200, but dictation/singing differ), so the
+    # default None keeps the rule off. Evaluated as exact integer
+    # cross-multiplication (n_tokens*60000 vs wpm*dur_ms): no float
+    # division, so the decision is bit-identical in any engine.
+    wpm_min: int | None = None
+    wpm_max: int | None = None
 
 
 @dataclass(frozen=True)

@@ -1032,6 +1032,101 @@ def decode_pcm(
     )
 
 
+AUDIO_TONE_PROBE_SCHEMA = (
+    "clip_id string, decoded_ok boolean, n_samples int, "
+    "corr_c bigint, corr_s bigint, is_tonal boolean"
+)
+
+
+def audio_tone_probe(
+    clips: DataFrame,
+    cos_table: tuple[int, ...] = (1000, 707, 0, -707, -1000, -707, 0, 707),
+    sin_table: tuple[int, ...] = (0, 707, 1000, 707, 0, -707, -1000, -707),
+    tonal_threshold_milli: int = 6000,
+) -> DataFrame:
+    """Single-bin INTEGER tone probe over raw PCM16 — the exact-oracle
+    member of the spectral family (audio_spectral_features' rFFT stats
+    are float DSP and stay pytest-verified, NOTES.md #45; this probe
+    is the cross-engine-checkable projection of the same question).
+
+    Correlates each clip against one integer cosine/sine pair of
+    period P = len(cos_table), i.e. a one-bin DFT with the basis
+    quantized to integers (round(1000*cos), the LSH quantized-plane
+    trick applied to a Fourier basis):
+
+      corr_c = sum_i pcm16_i * cos_table[i mod P]   (int64 exact)
+      corr_s = sum_i pcm16_i * sin_table[i mod P]
+      is_tonal = (|corr_c| + |corr_s|) > threshold_milli * n
+
+    Use: probing a frequency ABOVE a suspected true bandwidth detects
+    upsampled / band-limited content (e.g. 8 kHz telephone audio
+    re-tagged 16 kHz has ~no energy at the probe bin — is_tonal false
+    where genuine wideband speech trips it), and probing mains hum
+    bins (50/60 Hz aliases) flags hum-contaminated recordings.
+
+    Everything is integer arithmetic on both sides, so a DuckDB oracle
+    re-derives the identical values from closed-form synthesized
+    payloads (contract query q_audio_tone_probe). The per-clip sums
+    are accumulated via np.bincount float64 weights: every addend is
+    an integer with |pcm*coef| <= 32767*max|table|, so sums stay EXACT
+    below 2^53 — clips up to ~2.7e9 samples (> 24h at 16 kHz) at the
+    default table scale; far beyond any real clip.
+
+    Spark shape: the standard bytes-column discipline (pruned scan ->
+    mapInPandas -> small keyed output; bytes never shuffle), kernel
+    batch-vectorized — one frombuffer over the concatenated batch, one
+    modular gather, two bincount segment-reduces; no per-row Python in
+    the per-sample work. Odd trailing bytes truncate (PCM16
+    alignment); NULL/empty payloads report decoded_ok=false.
+    """
+    period = len(cos_table)
+    if len(sin_table) != period or period == 0:
+        raise ValueError("cos_table and sin_table must share a nonzero length")
+    ctab = np.asarray(cos_table, dtype=np.int64)
+    stab = np.asarray(sin_table, dtype=np.int64)
+    thr = int(tonal_threshold_milli)
+    pruned = clips.select("clip_id", "bytes")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nrows = len(pdf)
+            raw = list(pdf["bytes"])
+            isnull = np.fromiter(
+                (b is None or len(b) < 2 for b in raw), dtype=bool, count=nrows
+            )
+            trunc = [
+                b"" if nu else bytes(b[: (len(b) // 2) * 2])
+                for nu, b in zip(isnull, raw)
+            ]
+            nsamp = np.fromiter(
+                (len(b) // 2 for b in trunc), dtype=np.int64, count=nrows
+            )
+            pcm = np.frombuffer(b"".join(trunc), dtype="<i2").astype(np.int64)
+            idx = _concat_aranges(nsamp) % period
+            owner = np.repeat(np.arange(nrows), nsamp)
+            cc = np.bincount(
+                owner, weights=(pcm * ctab[idx]).astype(np.float64),
+                minlength=nrows,
+            ).astype(np.int64)
+            ss = np.bincount(
+                owner, weights=(pcm * stab[idx]).astype(np.float64),
+                minlength=nrows,
+            ).astype(np.int64)
+            tonal = (np.abs(cc) + np.abs(ss)) > thr * nsamp
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ~isnull,
+                    "n_samples": nsamp.astype(np.int32),
+                    "corr_c": np.where(isnull, 0, cc),
+                    "corr_s": np.where(isnull, 0, ss),
+                    "is_tonal": tonal & ~isnull,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_TONE_PROBE_SCHEMA)
+
+
 AUDIO_SPECTRAL_SCHEMA = (
     "clip_id string, decoded_ok boolean, centroid_hz double, "
     "bandwidth_hz double, rolloff_hz double, flatness double"

@@ -62,8 +62,17 @@ def rule_decisions(
     """Stage 4: heuristic keep/drop with a first-failing reason code.
 
     reason ∈ {candidate, empty_transcript, bad_codec, dur_mismatch,
-    langid_fail, ppl_outlier}; `candidate` rows proceed to calibrated
-    selection (which refines them to selected/low_score).
+    rate_outlier, langid_fail, ppl_outlier}; `candidate` rows proceed
+    to calibrated selection (which refines them to selected/low_score).
+
+    rate_outlier (speech-rate alignment, fires only when cfg.quality
+    wpm bounds are set — see QualityConfig): the transcript's
+    words-per-minute implied by the clip duration falls outside
+    [wpm_min, wpm_max], or the duration is NULL/non-positive so the
+    rate is unverifiable. Exact integer cross-multiplication
+    (n_tokens*60000 <> wpm*dur_ms) — no float division, so the
+    decision replays bit-identically in any engine (contract query
+    q_rule_decisions).
     """
     q = (cfg or PipelineConfig()).quality
     df = features
@@ -79,18 +88,32 @@ def rule_decisions(
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(True))
 
-    reason = (
-        F.when(F.col("n_chars") < q.min_transcript_chars, "empty_transcript")
-        .when(~F.col("codec").isin(*q.codec_whitelist), "bad_codec")
-        .when(~F.coalesce(F.col("dur_ok"), F.lit(False)), "dur_mismatch")
-        .when(
+    checks = [
+        (F.col("n_chars") < q.min_transcript_chars, "empty_transcript"),
+        (~F.col("codec").isin(*q.codec_whitelist), "bad_codec"),
+        (~F.coalesce(F.col("dur_ok"), F.lit(False)), "dur_mismatch"),
+    ]
+    if q.wpm_min is not None or q.wpm_max is not None:
+        toks60k = F.col("n_tokens").cast("long") * F.lit(60000)
+        dur = F.col("dur_ms").cast("long")
+        bad_rate = dur.isNull() | (dur <= 0)
+        if q.wpm_min is not None:
+            bad_rate = bad_rate | (toks60k < dur * F.lit(int(q.wpm_min)))
+        if q.wpm_max is not None:
+            bad_rate = bad_rate | (toks60k > dur * F.lit(int(q.wpm_max)))
+        checks.append((bad_rate, "rate_outlier"))
+    checks += [
+        (
             (~F.col("lang").isin(*q.allowed_langs))
             | (F.col("lang_margin") < q.langid_margin_min),
             "langid_fail",
-        )
-        .when(F.col("ppl") > q.ppl_max, "ppl_outlier")
-        .otherwise("candidate")
-    )
+        ),
+        (F.col("ppl") > q.ppl_max, "ppl_outlier"),
+    ]
+    reason = F.when(*checks[0])
+    for cond, label in checks[1:]:
+        reason = reason.when(cond, label)
+    reason = reason.otherwise("candidate")
     return df.withColumn("reason", reason).withColumn(
         "keep_rules", F.col("reason") == "candidate"
     )

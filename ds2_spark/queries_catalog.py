@@ -1303,6 +1303,125 @@ def q_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+# q_audio_tone_probe synthesis constants. Per clip the sample sequence
+# x[i] = class_term(i) + noise(i) has period lcm(8, 7) = 56 (tone class
+# period 8, hf class period 2, noise period 7 in i), and the noise
+# depends on event_id only through event_id % 7 — so every payload is a
+# repetition of ONE of 14 precomputed 56-sample hex constants plus a
+# truncated tail (NOTES.md #33: per-chunk constants beat per-sample
+# interpreted HOF synthesis ~50x for identical bytes).
+_TONE_P = (30, 21, 0, -21, -30, -21, 0, 21)  # ~30*cos(2*pi*i/8)
+_TONE_COS = (1000, 707, 0, -707, -1000, -707, 0, 707)
+_TONE_SIN = (0, 707, 1000, 707, 0, -707, -1000, -707)
+
+
+def _tone_chunk_hex(cls: int, em7: int) -> str:
+    out = []
+    for i in range(56):
+        base = _TONE_P[i % 8] if cls == 0 else 25 * (1 - 2 * (i % 2))
+        v = base + ((em7 + i * 13) % 7 - 3)
+        out.append(f"{v & 0xFFFF:04x}"[2:] + f"{v & 0xFFFF:04x}"[:2])
+    return "".join(out)
+
+
+def q_audio_tone_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer one-bin DFT probe (operators/audio.audio_tone_probe):
+    band-limit / upsample / hum detection as exact integer arithmetic,
+    the oracle-checkable member of the spectral family. Synthesis
+    plants two classes — tonal clips carrying ~30*cos at the probe bin
+    (correlation >= 14867 per sample) and high-frequency alternating
+    clips orthogonal to it over full periods (<= 188 per sample,
+    measured over all event_id residues) — plus shared small noise, so
+    the is_tonal threshold (6000 milli-units/sample) separates with
+    >75x margin and the DuckDB oracle re-derives corr_c/corr_s/is_tonal
+    from the closed-form sample formula. Every 17th payload is NULL
+    (refuse path); every 3rd gets one odd trailing byte (PCM16
+    truncation path)."""
+    from .operators.audio import audio_tone_probe
+
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    n = ((e % 13 + 40) * 8 + e % 5).cast("int")  # 320..427 samples
+    chunk = F.lit(None).cast("string")
+    for cls in (0, 1):
+        for em7 in range(7):
+            chunk = F.when(
+                (e % 2 == cls) & (e % 7 == em7),
+                F.lit(_tone_chunk_hex(cls, em7)),
+            ).otherwise(chunk)
+    reps = F.ceil(n / 56).cast("int")
+    hexstr = F.concat(
+        F.substring(F.repeat(chunk, reps), F.lit(1), n * 4),
+        # odd trailing byte: must truncate, never shift decoding
+        F.when(e % 3 == 0, F.lit("02")).otherwise(F.lit("")),
+    )
+    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(hexstr, F.lit("hex"))
+    )
+    clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
+    out = audio_tone_probe(
+        clips, cos_table=_TONE_COS, sin_table=_TONE_SIN,
+        tonal_threshold_milli=6000,
+    )
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("decoded_ok").cast("int").alias("decoded_ok"),
+        "n_samples",
+        "corr_c",
+        "corr_s",
+        F.col("is_tonal").cast("int").alias("is_tonal"),
+    ).orderBy("clip_id")
+
+
+def q_rule_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop reason-code ladder (plans/pipeline.rule_decisions)
+    driver-verified DIRECTLY — the flagship covers it end-to-end at
+    sf0.01, but only this query pins the ladder's first-failing
+    PRECEDENCE and the opt-in speech-rate rule cross-engine at any SF.
+    A features-shaped frame is synthesized in SQL expressions (the
+    langid/ppl kernels are Python; their values here are planted
+    constants — kernel parity is the flagship's and pytest's job, the
+    DECISION ladder is this query's), with every reason code
+    reachable, collision rows exercising precedence (e.g. a row that
+    is both empty and bad-codec must report empty_transcript), and
+    the rate rule hitting all four branches: too slow, too fast,
+    zero/NULL duration, and the exact-boundary tie (n_tokens*60000 ==
+    wpm*dur_ms is NOT an outlier — strict inequality, exact integers,
+    so both engines agree bit-identically). The DuckDB oracle replays
+    the identical CASE ladder."""
+    from .config import PipelineConfig, QualityConfig
+    from .plans.pipeline import rule_decisions
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    features = ev.select(
+        e.cast("string").alias("clip_id"),
+        (e % 6).cast("int").alias("n_chars"),
+        F.when(e % 5 == 0, "mp3").otherwise("pcm_s16le").alias("codec"),
+        (e % 7 != 0).alias("dur_ok"),
+        F.lit(True).alias("pcm_ok"),
+        F.when(e % 11 == 0, "xx").otherwise("en").alias("lang"),
+        F.when(e % 13 == 0, F.lit(0.05)).otherwise(F.lit(0.5)).alias(
+            "lang_margin"
+        ),
+        F.when(e % 17 == 0, F.lit(90.0)).otherwise(F.lit(10.0)).alias("ppl"),
+        F.when(e % 23 == 0, F.lit(0))
+        .otherwise(2000 + (e % 10) * 500)
+        .cast("int")
+        .alias("dur_ms"),
+        (e % 30).cast("int").alias("n_tokens"),
+    )
+    cfg = PipelineConfig(quality=QualityConfig(wpm_min=30, wpm_max=300))
+    out = rule_decisions(features, audio=None, cfg=cfg)
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        "reason",
+        F.col("keep_rules").cast("int").alias("keep_rules"),
+    ).orderBy("clip_id")
+
+
 def _flac_variant_params(v: int) -> dict:
     """Deterministic per-variant FLAC content parameters. The DuckDB
     oracle re-derives every decoded sample from THESE formulas (see
@@ -1842,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_g711_transcode": q_g711_transcode,
         "q_audio_chunk": q_audio_chunk,
         "q_wav_energy": q_wav_energy,
+        "q_audio_tone_probe": q_audio_tone_probe,
+        "q_rule_decisions": q_rule_decisions,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -2713,6 +2834,88 @@ ORACLE_SQL["q_wav_energy"] = """
            COALESCE(a.max_abs, 0) AS max_abs
     FROM base b LEFT JOIN agg a USING (event_id)
     ORDER BY clip_id
+"""
+
+# Tone-probe twin: re-derives the one-bin integer DFT correlations
+# from the closed-form sample formula (tone class + hf class + shared
+# noise) and the same integer basis tables as 1-based DuckDB list
+# literals; the engine side decodes REAL bytes, so the PCM16 decode,
+# modular basis gather, segment reduce, and odd-byte truncation all
+# sit between the two derivations.
+ORACLE_SQL["q_audio_tone_probe"] = """
+    WITH t AS (
+      SELECT event_id,
+             CAST((event_id % 13 + 40) * 8 + event_id % 5 AS INT) AS n,
+             (event_id % 17 = 0) AS is_null
+      FROM events),
+    u AS (SELECT event_id, n, unnest(range(0, n)) AS i
+          FROM t WHERE NOT is_null),
+    x AS (
+      SELECT event_id, i,
+             (CASE WHEN event_id % 2 = 0
+                   THEN ([30,21,0,-21,-30,-21,0,21])[CAST(i % 8 AS INT) + 1]
+                   ELSE 25 * (1 - 2 * CAST(i % 2 AS INT)) END)
+             + ((event_id + i * 13) % 7 - 3) AS v
+      FROM u),
+    c AS (
+      SELECT event_id,
+             CAST(sum(v * ([1000,707,0,-707,-1000,-707,0,707])
+                          [CAST(i % 8 AS INT) + 1]) AS BIGINT) AS corr_c,
+             CAST(sum(v * ([0,707,1000,707,0,-707,-1000,-707])
+                          [CAST(i % 8 AS INT) + 1]) AS BIGINT) AS corr_s
+      FROM x GROUP BY 1)
+    SELECT t.event_id AS clip_id,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE 1 END AS INT) AS decoded_ok,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE t.n END AS INT) AS n_samples,
+           CAST(COALESCE(c.corr_c, 0) AS BIGINT) AS corr_c,
+           CAST(COALESCE(c.corr_s, 0) AS BIGINT) AS corr_s,
+           CAST(CASE WHEN NOT t.is_null
+                      AND abs(COALESCE(c.corr_c, 0))
+                        + abs(COALESCE(c.corr_s, 0)) > 6000 * t.n
+                     THEN 1 ELSE 0 END AS INT) AS is_tonal
+    FROM t LEFT JOIN c USING (event_id)
+    ORDER BY clip_id
+"""
+
+# Rules-ladder twin: replays the identical first-failing CASE ladder
+# (constants from QualityConfig defaults + the query's wpm 30..300
+# bounds) over the same synthesized features — precedence collisions
+# and the integer cross-multiplied rate rule sit between the engines.
+ORACLE_SQL["q_rule_decisions"] = """
+    WITH f AS (
+      SELECT event_id,
+             event_id % 6 AS n_chars,
+             CASE WHEN event_id % 5 = 0 THEN 'mp3'
+                  ELSE 'pcm_s16le' END AS codec,
+             (event_id % 7 <> 0) AS dur_ok,
+             CASE WHEN event_id % 11 = 0 THEN 'xx' ELSE 'en' END AS lang,
+             CASE WHEN event_id % 13 = 0 THEN 0.05 ELSE 0.5 END AS margin,
+             CASE WHEN event_id % 17 = 0 THEN 90.0 ELSE 10.0 END AS ppl,
+             CASE WHEN event_id % 23 = 0 THEN 0
+                  ELSE 2000 + (event_id % 10) * 500 END AS dur_ms,
+             event_id % 30 AS n_tokens
+      FROM events),
+    r AS (
+      SELECT event_id,
+             CASE
+               WHEN n_chars < 2 THEN 'empty_transcript'
+               WHEN codec NOT IN ('pcm_s16le', 'flac', 'opus')
+                 THEN 'bad_codec'
+               WHEN NOT dur_ok THEN 'dur_mismatch'
+               WHEN dur_ms <= 0
+                    OR n_tokens * 60000 < dur_ms * 30
+                    OR n_tokens * 60000 > dur_ms * 300
+                 THEN 'rate_outlier'
+               WHEN lang NOT IN ('en', 'es', 'de', 'fr', 'zh')
+                    OR margin < 0.20 THEN 'langid_fail'
+               WHEN ppl > 40.0 THEN 'ppl_outlier'
+               ELSE 'candidate'
+             END AS reason
+      FROM f)
+    SELECT event_id AS clip_id, reason,
+           CAST(CASE WHEN reason = 'candidate' THEN 1 ELSE 0 END AS INT)
+             AS keep_rules
+    FROM r ORDER BY clip_id
 """
 
 # Chunker twin: recomputes every window's [start, start+len) sample

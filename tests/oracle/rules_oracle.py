@@ -39,6 +39,7 @@ def rule_reasons(clips_parquet: str, cfg: PipelineConfig | None = None) -> dict[
     out: dict[str, str] = {}
     for i, cid in enumerate(ids):
         n_chars = len(texts[i].strip())
+        n_tokens = len(texts[i].split())  # whitespace tokens, 0 if empty
         pcm = np.frombuffer(payloads[i], dtype="<i2")
         dur_actual = round(len(pcm) * 1000 / max(int(srs[i]), 1))
         dur_ok = (
@@ -53,6 +54,18 @@ def rule_reasons(clips_parquet: str, cfg: PipelineConfig | None = None) -> dict[
             r = "bad_codec"
         elif not dur_ok:
             r = "dur_mismatch"
+        elif (q.wpm_min is not None or q.wpm_max is not None) and (
+            int(dur_stored[i]) <= 0
+            or (
+                q.wpm_min is not None
+                and n_tokens * 60000 < int(dur_stored[i]) * q.wpm_min
+            )
+            or (
+                q.wpm_max is not None
+                and n_tokens * 60000 > int(dur_stored[i]) * q.wpm_max
+            )
+        ):
+            r = "rate_outlier"
         elif lang not in q.allowed_langs or margin[i] < q.langid_margin_min:
             r = "langid_fail"
         elif ppl[i] > q.ppl_max:

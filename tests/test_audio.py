@@ -1133,3 +1133,61 @@ def test_decode_wav_int_matches_float_surface():
     with _pytest.raises(ValueError):
         decode_wav_int(stereo)
     assert len(decode_wav(stereo)) == 32  # float surface averages
+
+
+def test_audio_tone_probe_matches_scalar_reference(spark):
+    """Batched tone-probe kernel vs a per-clip scalar NumPy twin, plus
+    the classification contract on planted signals: a pure probe-bin
+    tone must read tonal, a Nyquist alternation must not, and NULL /
+    sub-sample payloads refuse. Also pins odd-byte truncation (the
+    trailing byte must not shift neighbours in the batch)."""
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_tone_probe
+
+    C = np.array([1000, 707, 0, -707, -1000, -707, 0, 707], dtype=np.int64)
+    S = np.array([0, 707, 1000, 707, 0, -707, -1000, -707], dtype=np.int64)
+    rng = np.random.default_rng(52)
+
+    def pcm_bytes(x):
+        return np.asarray(x, dtype="<i2").tobytes()
+
+    tone = np.tile([300, 212, 0, -212, -300, -212, 0, 212], 40)
+    nyq = 250 * np.where(np.arange(320) % 2 == 0, 1, -1)
+    noise = rng.integers(-20000, 20000, 317, np.int64)
+    rows = [
+        ("tone", pcm_bytes(tone)),
+        ("tone_oddtail", pcm_bytes(tone) + b"\x7f"),  # odd byte drops
+        ("nyquist", pcm_bytes(nyq)),
+        ("noise", pcm_bytes(noise)),
+        ("null", None),
+        ("onebyte", b"\x01"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {
+        r["clip_id"]: r
+        for r in audio_tone_probe(df).collect()
+    }
+
+    # scalar twin, independently formulated (per-clip loop, int math)
+    for cid, b in rows:
+        if b is None or len(b) < 2:
+            assert not got[cid]["decoded_ok"]
+            assert got[cid]["n_samples"] == 0
+            assert not got[cid]["is_tonal"]
+            continue
+        x = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").astype(np.int64)
+        cc = int(sum(int(v) * int(C[i % 8]) for i, v in enumerate(x)))
+        ss = int(sum(int(v) * int(S[i % 8]) for i, v in enumerate(x)))
+        assert got[cid]["corr_c"] == cc, cid
+        assert got[cid]["corr_s"] == ss, cid
+        assert got[cid]["n_samples"] == len(x)
+        assert got[cid]["is_tonal"] == (
+            abs(cc) + abs(ss) > 6000 * len(x)
+        ), cid
+
+    assert got["tone"]["is_tonal"] and got["tone_oddtail"]["is_tonal"]
+    assert not got["nyquist"]["is_tonal"]
+    # odd tail byte truncates: identical correlations to the clean clip
+    assert got["tone_oddtail"]["corr_c"] == got["tone"]["corr_c"]
+    assert got["tone_oddtail"]["corr_s"] == got["tone"]["corr_s"]

@@ -170,3 +170,87 @@ def test_rules_over_real_mixed_codec_corpus(spark):
     assert reason2["fl"] not in ("bad_codec", "dur_mismatch"), reason2
     assert reason2["fake_flac"] == "dur_mismatch", reason2
     assert reason2["ul"] not in ("bad_codec", "dur_mismatch"), reason2
+
+
+def test_rate_rule_off_by_default(spark, clips_df, fixture_paths):
+    """No wpm bounds configured -> the ladder is bit-identical to the
+    pre-rate behavior: rate_outlier can never fire."""
+    dec = rule_decisions(
+        transcript_features(clips_df, FIXTURE_CFG),
+        audio_sanity(clips_df, pcm16_alias_codecs=FIXTURE_PCM16_ALIASES),
+        FIXTURE_CFG,
+    )
+    reasons = {r["reason"] for r in dec.select("reason").distinct().collect()}
+    assert "rate_outlier" not in reasons
+
+
+def test_rate_rule_bounds_and_precedence(spark):
+    """Speech-rate rule on synthetic feature rows: too slow, too fast,
+    in-band, exact boundary (NOT an outlier — strict inequality),
+    zero/NULL duration, and first-failing precedence (dur_mismatch and
+    bad_codec outrank it; it outranks langid/ppl)."""
+    cfg = PipelineConfig(quality=QualityConfig(wpm_min=30, wpm_max=300))
+    rows = [
+        # clip_id, n_chars, codec, dur_ok, lang, margin, ppl, dur_ms, n_tokens
+        ("slow", 20, "pcm_s16le", True, "en", 0.5, 10.0, 60000, 10),
+        ("fast", 20, "pcm_s16le", True, "en", 0.5, 10.0, 1000, 20),
+        ("ok", 20, "pcm_s16le", True, "en", 0.5, 10.0, 60000, 100),
+        # boundary: 30 wpm * 2000 ms == 1 token * 60000 exactly -> keep
+        ("edge_lo", 20, "pcm_s16le", True, "en", 0.5, 10.0, 2000, 1),
+        # boundary: 300 wpm * 2000 ms == 10 tokens * 60000 -> keep
+        ("edge_hi", 20, "pcm_s16le", True, "en", 0.5, 10.0, 2000, 10),
+        ("zero_dur", 20, "pcm_s16le", True, "en", 0.5, 10.0, 0, 10),
+        ("null_dur", 20, "pcm_s16le", True, "en", 0.5, 10.0, None, 10),
+        # precedence: duration mismatch fires before the rate rule
+        ("dur_first", 20, "pcm_s16le", False, "en", 0.5, 10.0, 60000, 10),
+        ("codec_first", 20, "mp3", True, "en", 0.5, 10.0, 60000, 10),
+        # rate fires before langid/ppl
+        ("rate_before_lang", 20, "pcm_s16le", True, "xx", 0.5, 10.0, 60000, 10),
+        ("rate_before_ppl", 20, "pcm_s16le", True, "en", 0.5, 99.0, 60000, 10),
+        ("lang_after_ok_rate", 20, "pcm_s16le", True, "xx", 0.5, 10.0, 60000, 100),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, n_chars int, codec string, dur_ok boolean, "
+        "lang string, lang_margin double, ppl double, dur_ms int, "
+        "n_tokens int",
+    )
+    got = {
+        r["clip_id"]: r["reason"]
+        for r in rule_decisions(df, audio=None, cfg=cfg).collect()
+    }
+    assert got == {
+        "slow": "rate_outlier",
+        "fast": "rate_outlier",
+        "ok": "candidate",
+        "edge_lo": "candidate",
+        "edge_hi": "candidate",
+        "zero_dur": "rate_outlier",
+        "null_dur": "rate_outlier",
+        "dur_first": "dur_mismatch",
+        "codec_first": "bad_codec",
+        "rate_before_lang": "rate_outlier",
+        "rate_before_ppl": "rate_outlier",
+        "lang_after_ok_rate": "langid_fail",
+    }
+
+
+def test_rate_rule_oracle_parity_with_bounds(spark, clips_df, fixture_paths):
+    """Engine vs the independent NumPy oracle with wpm bounds ENABLED
+    on the real fixture — the rate rule must agree row-for-row, and
+    the bounds must actually fire on some fixture rows (else the test
+    proves nothing)."""
+    cfg = PipelineConfig(
+        quality=QualityConfig(
+            pcm16_alias_codecs=FIXTURE_PCM16_ALIASES, wpm_min=30, wpm_max=300
+        )
+    )
+    dec = rule_decisions(
+        transcript_features(clips_df, cfg),
+        audio_sanity(clips_df, pcm16_alias_codecs=FIXTURE_PCM16_ALIASES),
+        cfg,
+    )
+    got = {r["clip_id"]: r["reason"] for r in dec.select("clip_id", "reason").collect()}
+    expected = rule_reasons(fixture_paths["clips"], cfg)
+    assert got == expected
+    assert any(r == "rate_outlier" for r in got.values())
