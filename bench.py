@@ -56,6 +56,7 @@ HEADLINE = [
     "q_wav_energy",
     "q_audio_tone_probe",
     "q_rule_decisions",
+    "q_audio_trim",
     "q_cube",
     "q_funnel",
     "q_asof_join",

@@ -1477,3 +1477,119 @@ def audio_vad_segments(
             yield pd.DataFrame(cols, columns=list(cols))
 
     return pruned.mapInPandas(_op, schema=AUDIO_VAD_SCHEMA)
+
+
+AUDIO_TRIM_SCHEMA = (
+    "clip_id string, decoded_ok boolean, n_frames int, first_voiced int, "
+    "last_voiced int, start_byte bigint, end_byte bigint, "
+    "kept_samples bigint, kept_energy bigint, bytes binary"
+)
+
+
+def audio_trim(
+    clips: DataFrame,
+    frame_samples: int = 160,
+    energy_threshold: int = 160 * 50,
+) -> DataFrame:
+    """Leading/trailing silence removal — the standard prep pass before
+    windowing/chunking training clips (dead air at the edges wastes
+    tokens and skews duration-based rules; interior pauses stay, that
+    is `audio_vad_segments`' job).
+
+    Same integer energy definition as the VAD (E_t = sum(|pcm16_i|)
+    per frame of `frame_samples`, voiced iff E_t >= energy_threshold):
+    the kept range is [first voiced frame, last voiced frame], sliced
+    on WHOLE frames, so every output is exact integer arithmetic and a
+    SQL engine can recompute offsets, kept sample count, and kept
+    energy from a closed-form synthesis (contract query q_audio_trim
+    additionally re-decodes the trimmed bytes through
+    audio_codec_energy and checks the content matches the formula —
+    the byte slicing itself sits between the engines).
+
+    Output per clip: frame bounds, byte offsets into the ORIGINAL
+    payload ([start_byte, end_byte)), the trimmed bytes, and
+    kept_energy = sum of E_t over the kept span (interior silence
+    included). Clips with NULL/short payloads report decoded_ok=false;
+    decodable clips with no voiced frame keep nothing (bytes NULL,
+    first/last = -1) — route them to a drop rule. Partial trailing
+    frames truncate (VAD convention).
+
+    Spark shape: bytes in AND out of one mapInPandas (Arrow round-trip,
+    partition-local, no shuffle — at 10^12 rows this beats emitting
+    offsets and re-joining them onto the bytes scan, which would either
+    shuffle the payloads or broadcast a per-clip table). Kernel is
+    batch-vectorized: one frombuffer, one reshape frame reduce, per-clip
+    first/last via minimum/maximum.at over voiced frames only; the only
+    per-row Python is the final bytes slice (a memcpy)."""
+    if frame_samples < 1:
+        raise ValueError("frame_samples must be >= 1")
+    pruned = clips.select("clip_id", "bytes")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fs = frame_samples
+        fb = 2 * fs  # bytes per frame
+        for pdf in batches:
+            nrows = len(pdf)
+            raw = list(pdf["bytes"])
+            isnull = np.fromiter(
+                (b is None or len(b) < fb for b in raw), dtype=bool,
+                count=nrows,
+            )
+            trunc = [
+                b"" if nu else bytes(b[: (len(b) // fb) * fb])
+                for nu, b in zip(isnull, raw)
+            ]
+            nframes = np.fromiter(
+                (len(b) // fb for b in trunc), dtype=np.int64, count=nrows
+            )
+            pcm = np.abs(
+                np.frombuffer(b"".join(trunc), dtype="<i2").astype(np.int64)
+            )
+            energy = (
+                pcm.reshape(-1, fs).sum(axis=1)
+                if len(pcm)
+                else np.zeros(0, dtype=np.int64)
+            )
+            first = np.full(nrows, -1, dtype=np.int64)
+            last = np.full(nrows, -1, dtype=np.int64)
+            kept_e = np.zeros(nrows, dtype=np.int64)
+            total = int(nframes.sum())
+            if total:
+                owner = np.repeat(np.arange(nrows), nframes)
+                local = _concat_aranges(nframes)
+                vidx = np.flatnonzero(energy >= energy_threshold)
+                # first/last touch only voiced frames — silence-heavy
+                # batches cost nothing here
+                np.maximum.at(last, owner[vidx], local[vidx])
+                neg = np.full(nrows, np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(neg, owner[vidx], local[vidx])
+                has = last >= 0
+                first[has] = neg[has]
+                csum = np.concatenate(([0], np.cumsum(energy, dtype=np.int64)))
+                fstarts = np.concatenate(([0], np.cumsum(nframes)))[:-1]
+                kept_e[has] = (
+                    csum[fstarts[has] + last[has] + 1]
+                    - csum[fstarts[has] + first[has]]
+                )
+            start_b = np.where(first >= 0, first * fb, 0)
+            end_b = np.where(first >= 0, (last + 1) * fb, 0)
+            out_bytes = [
+                None if (nu or f < 0) else trunc[i][f * fb : (l + 1) * fb]
+                for i, (nu, f, l) in enumerate(zip(isnull, first, last))
+            ]
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ~isnull,
+                    "n_frames": nframes.astype(np.int32),
+                    "first_voiced": first.astype(np.int32),
+                    "last_voiced": last.astype(np.int32),
+                    "start_byte": start_b,
+                    "end_byte": end_b,
+                    "kept_samples": np.where(first >= 0, (last - first + 1) * fs, 0),
+                    "kept_energy": kept_e,
+                    "bytes": out_bytes,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_TRIM_SCHEMA)

@@ -1422,6 +1422,72 @@ def q_rule_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim (operators/audio.audio_trim)
+    COMPOSED with a re-decode: the trimmed bytes flow straight into
+    audio_codec_energy, whose abs_energy must reproduce kept_energy —
+    so frame bounds, byte offsets, AND the sliced byte content are all
+    pinned against a DuckDB oracle that never sees a byte (closed-form
+    frame energies, VAD-style synthesis: planted leading silence
+    e%4 frames, trailing silence e%3 frames, ~27% interior silent
+    frames that must NOT trim, all-silent clips every 19th, NULL
+    payloads every 17th, odd tail samples every 5th)."""
+    from .operators.audio import audio_codec_energy, audio_trim
+
+    fs = 8
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    nf = (e % 23 + 10).cast("int")  # 10..32 whole frames
+
+    def _frame_hex(amp: int) -> str:
+        pos, neg = amp, (65536 - amp) % 65536
+        le = lambda u: f"{u:04x}"[2:] + f"{u:04x}"[:2]
+        return (le(pos) + le(neg)) * (fs // 2)
+
+    frame_of = lambda t: F.when(
+        (e % 19 != 0)
+        & (t >= e % 4)
+        & (t < nf - e % 3)
+        & ((e * 13 + t * t) % 11 < 8),
+        F.lit(_frame_hex(90)),
+    ).otherwise(F.lit(_frame_hex(2)))
+    hexstr = F.concat(
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), nf - 1), frame_of), ""
+        ),
+        F.repeat(F.lit("0200"), (e % 5).cast("int")),
+    )
+    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(hexstr, F.lit("hex"))
+    )
+    clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
+    trimmed = audio_trim(clips, frame_samples=fs, energy_threshold=400)
+    recheck = audio_codec_energy(
+        trimmed.select(
+            "clip_id", "bytes", F.lit("pcm_s16le").alias("codec")
+        )
+    ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
+    return (
+        trimmed.drop("bytes")
+        .join(recheck, "clip_id")
+        .select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            "n_frames",
+            "first_voiced",
+            "last_voiced",
+            "start_byte",
+            "end_byte",
+            "kept_samples",
+            "kept_energy",
+            "recheck_energy",
+        )
+        .orderBy("clip_id")
+    )
+
+
 def _flac_variant_params(v: int) -> dict:
     """Deterministic per-variant FLAC content parameters. The DuckDB
     oracle re-derives every decoded sample from THESE formulas (see
@@ -1963,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wav_energy": q_wav_energy,
         "q_audio_tone_probe": q_audio_tone_probe,
         "q_rule_decisions": q_rule_decisions,
+        "q_audio_trim": q_audio_trim,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -2874,6 +2941,54 @@ ORACLE_SQL["q_audio_tone_probe"] = """
                         + abs(COALESCE(c.corr_s, 0)) > 6000 * t.n
                      THEN 1 ELSE 0 END AS INT) AS is_tonal
     FROM t LEFT JOIN c USING (event_id)
+    ORDER BY clip_id
+"""
+
+# Trim twin: recomputes frame energies from the closed-form synthesis,
+# derives first/last voiced frame, byte offsets, kept samples and kept
+# energy — the engine's byte slicing + re-decode (recheck_energy) must
+# land on the same integers.
+ORACLE_SQL["q_audio_trim"] = """
+    WITH t AS (
+      SELECT event_id, CAST(event_id % 23 + 10 AS INT) AS nf,
+             (event_id % 17 = 0) AS is_null
+      FROM events),
+    u AS (SELECT event_id, nf, unnest(range(0, nf)) AS f
+          FROM t WHERE NOT is_null),
+    e AS (
+      SELECT event_id, f,
+             CASE WHEN event_id % 19 <> 0
+                   AND f >= event_id % 4
+                   AND f < nf - event_id % 3
+                   AND (event_id * 13 + f * f) % 11 < 8
+                  THEN 720 ELSE 16 END AS en
+      FROM u),
+    a AS (
+      SELECT event_id,
+             min(CASE WHEN en >= 400 THEN f END) AS fv,
+             max(CASE WHEN en >= 400 THEN f END) AS lv
+      FROM e GROUP BY 1),
+    k AS (
+      SELECT e.event_id, CAST(sum(e.en) AS BIGINT) AS ke
+      FROM e JOIN a USING (event_id)
+      WHERE e.f BETWEEN a.fv AND a.lv GROUP BY 1)
+    SELECT t.event_id AS clip_id,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE 1 END AS INT) AS decoded_ok,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE t.nf END AS INT) AS n_frames,
+           CAST(COALESCE(a.fv, -1) AS INT) AS first_voiced,
+           CAST(COALESCE(a.lv, -1) AS INT) AS last_voiced,
+           CAST(CASE WHEN a.fv IS NULL THEN 0 ELSE a.fv * 16 END
+                AS BIGINT) AS start_byte,
+           CAST(CASE WHEN a.fv IS NULL THEN 0 ELSE (a.lv + 1) * 16 END
+                AS BIGINT) AS end_byte,
+           CAST(CASE WHEN a.fv IS NULL THEN 0
+                     ELSE (a.lv - a.fv + 1) * 8 END AS BIGINT)
+             AS kept_samples,
+           CAST(COALESCE(k.ke, 0) AS BIGINT) AS kept_energy,
+           CAST(COALESCE(k.ke, 0) AS BIGINT) AS recheck_energy
+    FROM t
+    LEFT JOIN a ON a.event_id = t.event_id AND NOT t.is_null
+    LEFT JOIN k ON k.event_id = t.event_id
     ORDER BY clip_id
 """
 

@@ -1191,3 +1191,61 @@ def test_audio_tone_probe_matches_scalar_reference(spark):
     # odd tail byte truncates: identical correlations to the clean clip
     assert got["tone_oddtail"]["corr_c"] == got["tone"]["corr_c"]
     assert got["tone_oddtail"]["corr_s"] == got["tone"]["corr_s"]
+
+
+def test_audio_trim_edges_and_content(spark):
+    """Silence trim: leading/trailing dead air drops, interior pauses
+    stay, kept_energy spans the whole kept range, and the sliced bytes
+    are exactly the kept whole frames of the ORIGINAL payload
+    (verified byte-for-byte against manual slicing). All-silent,
+    NULL, and sub-frame payloads refuse or keep nothing."""
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_trim
+
+    fs = 4  # small frames; threshold 100
+    loud = np.array([60, -60, 60, -60], dtype="<i2")   # E = 240
+    quiet = np.array([5, -5, 5, -5], dtype="<i2")      # E = 20
+
+    def clip(*frames):
+        return b"".join(f.tobytes() for f in frames)
+
+    rows = [
+        # lead 2 silent, tail 1 silent, interior quiet frame kept
+        ("mid", clip(quiet, quiet, loud, quiet, loud, quiet)),
+        ("all_silent", clip(quiet, quiet, quiet)),
+        ("all_loud", clip(loud, loud)),
+        ("null", None),
+        ("subframe", b"\x01\x00"),  # < 1 frame
+        # partial tail frame after the last voiced frame truncates
+        ("tail_partial", clip(quiet, loud) + b"\x99\x99"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {
+        r["clip_id"]: r
+        for r in audio_trim(df, frame_samples=fs, energy_threshold=100)
+        .collect()
+    }
+
+    m = got["mid"]
+    assert (m["first_voiced"], m["last_voiced"]) == (2, 4)
+    assert (m["start_byte"], m["end_byte"]) == (2 * 8, 5 * 8)
+    assert m["kept_samples"] == 3 * fs
+    assert m["kept_energy"] == 240 + 20 + 240  # interior quiet stays
+    assert bytes(m["bytes"]) == rows[0][1][16:40]
+
+    s = got["all_silent"]
+    assert s["decoded_ok"] and s["first_voiced"] == -1
+    assert s["bytes"] is None and s["kept_samples"] == 0
+
+    a = got["all_loud"]
+    assert (a["first_voiced"], a["last_voiced"]) == (0, 1)
+    assert bytes(a["bytes"]) == rows[2][1]
+
+    assert not got["null"]["decoded_ok"]
+    assert not got["subframe"]["decoded_ok"]
+
+    tp = got["tail_partial"]
+    assert (tp["first_voiced"], tp["last_voiced"]) == (1, 1)
+    assert bytes(tp["bytes"]) == loud.tobytes()
+    assert tp["n_frames"] == 2  # partial tail never counts
