@@ -57,6 +57,10 @@ HEADLINE = [
     "q_audio_tone_probe",
     "q_rule_decisions",
     "q_audio_trim",
+    "q_scrub_audit",
+    "q_hll_distinct",
+    "q_bloom_decontaminate",
+    "q_cms_heavy",
     "q_cube",
     "q_funnel",
     "q_asof_join",

@@ -164,3 +164,58 @@ def scrub_py(text: str) -> str:
     for cre, rep in _COMPILED:
         text = cre.sub(rep, text)
     return text
+
+
+# ------------------------------------------------------------ audit
+
+# tag -> audit column name (the per-document scrub metrics a
+# production pipeline emits to its lineage/metrics table: how much
+# PII/toxicity was found where — required for takedown accounting and
+# for watching a corpus's PII rate drift over ingestion batches).
+SCRUB_AUDIT_TAGS: tuple[tuple[str, str], ...] = (
+    ("<EMAIL>", "n_email"),
+    ("<SSN>", "n_ssn"),
+    ("<PHONE>", "n_phone"),
+    ("<TOX>", "n_tox"),
+)
+
+
+def _tag_occurrences(c: Column, tag: str) -> Column:
+    # portable substring count: (len(s) - len(remove(s, tag))) / len(tag)
+    # — the length diff is a multiple of len(tag) and counts stay far
+    # below 2^49, so the double division is exact in any engine
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(tag), F.lit(""))))
+        / F.lit(len(tag))
+    ).cast("int")
+
+
+def scrub_audit_cols(col: Column | str) -> list[Column]:
+    """Per-row replacement counts for every scrub tag, as pure JVM
+    column expressions (string length arithmetic on the ALREADY
+    VERIFIED scrub chain — no second regex pass, no Python).
+
+    count(tag) = occurrences in scrub_col(text) MINUS occurrences in
+    the original text: pre-existing literal tags in the input survive
+    the chain unchanged (no scrub pattern can match a tag — the cores
+    require digits or '@'-locals or lexicon words, none of which
+    appear inside '<EMAIL>'-style markers), so the subtraction counts
+    exactly the replacements the chain made. The same arithmetic runs
+    verbatim in SQL (contract query q_scrub_audit) and Python
+    (scrub_audit_py), inheriting the 3-engine-identical guarantee of
+    the chain itself."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = scrub_col(c)
+    return [
+        (_tag_occurrences(s, tag) - _tag_occurrences(c, tag)).alias(name)
+        for tag, name in SCRUB_AUDIT_TAGS
+    ]
+
+
+def scrub_audit_py(text: str) -> dict[str, int]:
+    """Python twin of scrub_audit_cols for fixtures/oracles."""
+    scrubbed = scrub_py(text)
+    return {
+        name: scrubbed.count(tag) - text.count(tag)
+        for tag, name in SCRUB_AUDIT_TAGS
+    }

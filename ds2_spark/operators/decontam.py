@@ -163,3 +163,79 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def _bloom_positions(key: Column, k: int, m_bits: int) -> Column:
+    """k bit positions for a 16-hex gram key: 5-hex (20-bit) slices of
+    md5(key) reduced mod m_bits. String-derived like the HLL sketch
+    (functions/sketches.py) — no 64-bit numeric conversion, replayable
+    in any SQL engine. Duplicate positions within one key collapse
+    (membership needs every DISTINCT position present)."""
+    if not 1 <= k <= 6:
+        raise ValueError("k must be in 1..6 (32 md5 hex chars / 5)")
+    h = F.md5(key)
+    return F.array_distinct(
+        F.array(
+            *[
+                (
+                    F.conv(F.substring(h, 1 + 5 * i, 5), 16, 10).cast("long")
+                    % m_bits
+                ).cast("int")
+                for i in range(k)
+            ]
+        )
+    )
+
+
+def bloom_contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 13,
+    k: int = 3,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Bloom-filter variant of `contamination_report` — the scale path
+    when even the benchmark's distinct n-gram KEY set is too wide to
+    broadcast comfortably: what broadcasts instead is the set of
+    distinct BIT POSITIONS (at most min(k*n_keys, m_bits) ints — a
+    2^20-bit filter is 4 MB dense, and this relational emulation stays
+    proportional to occupancy). A corpus gram is flagged iff ALL its k
+    positions are set, so output is a SUPERSET of the exact report:
+    false positives at rate ~(k*n_keys/m_bits)^k (pick m_bits for the
+    benchmark size), never false negatives — the right direction for
+    decontamination, where a flagged doc gets re-checked or dropped
+    cheaply. Output: (id, n_flagged_grams) per possibly-contaminated
+    doc.
+
+    Exactly replayable cross-engine (contract query
+    q_bloom_decontaminate): positions are md5 string arithmetic, the
+    all-k test is a relational join + count, no actual bitset state."""
+    bench_keys = ngram_keys(
+        benchmark, bench_id_col or id_col, bench_text_col or text_col, n
+    ).select("key").distinct()
+    bloom = (
+        bench_keys.select(
+            F.explode(_bloom_positions(F.col("key"), k, m_bits)).alias("pos")
+        )
+        .distinct()
+    )
+    doc_keys = ngram_keys(docs, id_col, text_col, n)
+    probe = doc_keys.select(
+        id_col,
+        "key",
+        F.explode(_bloom_positions(F.col("key"), k, m_bits)).alias("pos"),
+        F.size(_bloom_positions(F.col("key"), k, m_bits)).alias("npos"),
+    )
+    flagged = (
+        probe.join(F.broadcast(bloom), "pos")
+        .groupBy(id_col, "key", "npos")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == F.col("npos"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_flagged_grams")
+    )

@@ -221,6 +221,43 @@ def run_codec_energy_stream_once(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_trim_stream_once(
+    spark: SparkSession,
+    clips_dir: str,
+    query_name: str = "clip_trim",
+    frame_samples: int = 4,
+    energy_threshold: int = 100,
+) -> DataFrame:
+    """Incremental twin of the bytes-TRANSFORMING audio stage:
+    `audio_trim` (leading/trailing silence removal, trimmed bytes
+    emitted partition-local) over a micro-batched clips file stream.
+    Like the decode twin above it is a stateless mapInPandas over a
+    pruned projection, so the identical Arrow plan — including the
+    binary OUTPUT column — runs under Structured Streaming unchanged;
+    clips landing in the table are edge-trimmed as they arrive."""
+    from ..operators.audio import audio_trim
+
+    stream = (
+        spark.readStream.schema(CLIPS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(clips_dir)
+    )
+    out = audio_trim(
+        stream, frame_samples=frame_samples, energy_threshold=energy_threshold
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_rules_stream_once(
     spark: SparkSession, clips_dir: str, query_name: str = "clip_rules", cfg=None
 ) -> DataFrame:

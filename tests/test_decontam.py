@@ -91,3 +91,43 @@ def test_containment_hot_bucket_cap(spark):
         (a, b) for a in range(3) for b in range(3) if a != b
     }
     assert all(r["containment"] == 1.0 for r in rows)
+
+
+def test_bloom_report_is_superset_with_false_positives(spark):
+    """Bloom decontamination vs the exact report on the same corpus:
+    every exactly-contaminated doc is flagged (no false negatives —
+    the property that makes bloom safe for decontamination), and with
+    a deliberately tiny filter false positives DO occur (otherwise the
+    test degenerates to exact equality and proves nothing about the
+    bloom path). Also: n_flagged_grams >= n_hits per common doc."""
+    from ds2_spark.operators.decontam import (
+        bloom_contamination_report,
+        contamination_report,
+    )
+
+    # per-doc-unique words: the ONLY exact contaminations are the
+    # bench docs matching themselves, leaving 109 clean docs for the
+    # bloom to false-positive on (measured: m=4096 -> 23 FP docs)
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(30)))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    bench = docs.filter("doc_id % 11 = 0")
+
+    exact = {r["doc_id"]: r["n_hits"]
+             for r in contamination_report(docs, bench, n=5).collect()}
+    bloom = {r["doc_id"]: r["n_flagged_grams"]
+             for r in bloom_contamination_report(
+                 docs, bench, n=5, k=3, m_bits=4096).collect()}
+
+    assert set(exact) <= set(bloom), "bloom lost a true contamination"
+    for d, h in exact.items():
+        assert bloom[d] >= h, (d, h, bloom[d])
+    fps = set(bloom) - set(exact)
+    assert fps, "no false positives — filter not actually exercised"
+
+    # a roomy filter on the same corpus: still a superset, fewer FPs
+    roomy = {r["doc_id"]: r["n_flagged_grams"]
+             for r in bloom_contamination_report(
+                 docs, bench, n=5, k=3, m_bits=1 << 20).collect()}
+    assert set(exact) <= set(roomy)
+    assert len(set(roomy) - set(exact)) <= len(fps)

@@ -122,3 +122,40 @@ def test_unicode_three_way_agreement(spark):
     duck.executemany("insert into h values (?, ?)", list(enumerate(hostile)))
     got_duck = [r[0] for r in duck.sql(f"select {scrub_sql('t')} from h order by i").fetchall()]
     assert got_duck == expected
+
+
+def test_scrub_audit_counts(spark):
+    """scrub_audit_cols (JVM length arithmetic) vs the Python twin on
+    planted cases: multiple hits, adjacent bounded hits needing the
+    second fixed-point pass, pre-existing literal tags that must NOT
+    count, and empty/no-PII rows."""
+    from pyspark.sql import functions as F
+
+    from ds2_spark.functions.scrub import scrub_audit_cols, scrub_audit_py
+
+    texts = [
+        "a@b.com and c.d+x@e.org wrote",               # 2 emails
+        "ssn 123-45-6789 ok",                           # 1 ssn
+        "pair 111-22-3333 444-55-6666 end",             # adjacent ssns
+        "call +1 (415) 555-0199 now",                   # 1 phone
+        "zorgblat07 and zorgblat33!",                   # 2 tox
+        "literal <EMAIL> marker, no pii",               # 0 everything
+        "<SSN> pre-existing plus real 123-45-6789",     # 1 ssn only
+        "clean text",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ssn"], r["n_phone"], r["n_tox"])
+        for r in df.select("doc_id", *scrub_audit_cols("text")).collect()
+    }
+    for i, t in enumerate(texts):
+        exp = scrub_audit_py(t)
+        assert got[i] == (
+            exp["n_email"], exp["n_ssn"], exp["n_phone"], exp["n_tox"]
+        ), (i, t)
+    assert got[0] == (2, 0, 0, 0)
+    assert got[2] == (0, 2, 0, 0)   # second pass counted
+    assert got[5] == (0, 0, 0, 0)   # pre-existing tag not counted
+    assert got[6] == (0, 1, 0, 0)

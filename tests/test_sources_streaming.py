@@ -422,3 +422,47 @@ def test_streaming_codec_decode_matches_batch(spark, tmp_path):
     ok = {r["clip_id"]: r["decoded_ok"] for r in batch_out.collect()}
     assert ok == {"pcm": True, "ul": True, "al": True, "ad": True,
                   "fl": True, "flbad": False, "nul": False, "mp3": False}
+
+
+def test_trim_stream_matches_batch(spark, tmp_path):
+    """The bytes-TRANSFORMING audio stage (silence trim, binary column
+    in AND out) under Structured Streaming: every output column
+    including the trimmed payload bytes must equal the batch run
+    across micro-batch boundaries."""
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_trim
+    from ds2_spark.streaming.events import run_trim_stream_once
+
+    loud = np.array([60, -60, 60, -60], dtype="<i2").tobytes()
+    quiet = np.array([5, -5, 5, -5], dtype="<i2").tobytes()
+    rows = [
+        ("lead", bytearray(quiet + loud + loud), 8000, 2, "pcm_s16le", "t"),
+        ("tail", bytearray(loud + quiet + quiet), 8000, 2, "pcm_s16le", "t"),
+        ("both", bytearray(quiet + loud + quiet), 8000, 2, "pcm_s16le", "t"),
+        ("mid", bytearray(loud + quiet + loud), 8000, 2, "pcm_s16le", "t"),
+        ("silent", bytearray(quiet * 3), 8000, 2, "pcm_s16le", "t"),
+        ("nul", None, 8000, 0, "pcm_s16le", "t"),
+    ]
+    schema = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    df = spark.createDataFrame(rows, schema)
+    clips_dir = str(tmp_path / "trim_stream")
+    df.repartition(3).write.mode("overwrite").parquet(clips_dir)
+
+    stream_out = run_trim_stream_once(spark, clips_dir, "trim_test")
+    batch_out = audio_trim(
+        spark.read.parquet(clips_dir), frame_samples=4, energy_threshold=100
+    )
+    key = lambda r: (
+        r["clip_id"], r["decoded_ok"], r["first_voiced"], r["last_voiced"],
+        r["start_byte"], r["end_byte"], r["kept_energy"],
+        None if r["bytes"] is None else bytes(r["bytes"]),
+    )
+    got = sorted(key(r) for r in stream_out.collect())
+    exp = sorted(key(r) for r in batch_out.collect())
+    assert got == exp and len(got) == len(rows)
+    by_id = {r["clip_id"]: r for r in batch_out.collect()}
+    assert bytes(by_id["both"]["bytes"]) == loud
+    assert by_id["mid"]["kept_energy"] == 240 + 20 + 240
+    assert by_id["silent"]["bytes"] is None
