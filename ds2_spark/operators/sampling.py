@@ -28,7 +28,7 @@ over ``den`` so the comparison is integer-exact in every engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -124,3 +124,77 @@ def temperature_sample(
     shuffle-free filter."""
     rates = temperature_rates(df, stratum, alpha=alpha, target_frac=target_frac)
     return stratified_sample(df, stratum, id_col, rates, den=den)
+
+
+def priority_sample(
+    df: DataFrame,
+    group: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    den: int = 1_000_000,
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): a
+    weight-aware fixed-size sample with an unbiased subset-sum
+    estimator. Each row draws a deterministic uniform
+    u(id) in [1, den] from md5(id) (same recipe as ``hash_bucket``),
+    gets priority q = w / u, and the k highest-priority rows per
+    group are kept. With tau = the (k+1)-th priority, the estimator
+    est_w = max(w, tau) is unbiased for the group's total weight —
+    the standard way to downsample a weighted corpus (cost-, token-
+    or byte-weighted) while preserving aggregate estimates.
+
+    Engine-portability: u is integer, w is integer, and q = w / u is
+    ONE IEEE-754 double division of the same two integers in every
+    engine — correctly rounded, hence bit-identical (unlike
+    transcendental scoring, division needs no rounding grid). Ties in
+    q are broken by id in both engines.
+
+    Scale shape: one hash-partition shuffle on ``group`` + a window
+    rank — identical to any top-k-per-group; no RNG state, no
+    driver participation, resume-stable because u depends only on
+    the id. At 10^12 rows with bounded k per group the output is
+    groups x k rows; AQE handles group skew.
+    """
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+            ).cast("long"),
+            F.lit(den),
+        )
+        + F.lit(1)
+    ).alias("u")
+    w = F.col(weight_col).cast("long")
+    base = (
+        df.where(w >= 1)
+        .select(
+            F.col(group),
+            F.col(id_col),
+            w.alias("w"),
+            u,
+        )
+        .withColumn("pri", F.col("w").cast("double") / F.col("u").cast("double"))
+    )
+    win = Window.partitionBy(group).orderBy(F.desc("pri"), F.col(id_col))
+    ranked = base.withColumn("rn", F.row_number().over(win))
+    tau = Window.partitionBy(group)
+    ranked = ranked.withColumn(
+        "tau",
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("pri"))).over(tau),
+            F.lit(0.0),
+        ),
+    )
+    return (
+        ranked.where(F.col("rn") <= k)
+        .select(
+            group,
+            id_col,
+            "w",
+            "u",
+            "pri",
+            "rn",
+            F.greatest(F.col("w").cast("double"), F.col("tau")).alias("est_w"),
+        )
+    )

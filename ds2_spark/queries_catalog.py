@@ -2119,6 +2119,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (operators/sampling.priority_sample):
+    fixed-size weight-aware sample per source with the
+    Duffield–Lund–Thorup unbiased estimator est_w = max(w, tau).
+    Weight = n_chars (a byte/token-cost proxy), k = 20 per source.
+    Cross-engine exactness rests on q = w / u being one IEEE-754
+    double division of the same two integers in both engines
+    (correctly rounded => bit-identical); ties broken by doc_id.
+    The oracle replays u from the shared md5 recipe and the same
+    window rank / (k+1)-th-priority threshold."""
+    from .operators.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = priority_sample(
+        docs, group="source", id_col="doc_id", weight_col="n_chars", k=20
+    )
+    return out.orderBy("source", "rn")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2175,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
         "q_stratified_sample": q_stratified_sample,
+        "q_priority_sample": q_priority_sample,
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -2893,6 +2913,33 @@ ORACLE_SQL["q_stratified_sample"] = """
                      WHEN 'src12' THEN 100
                      ELSE 50 END
     ORDER BY doc_id
+"""
+
+# Priority-sampling twin: identical u derivation (NOTES.md #7 md5
+# recipe), identical ONE double division w/u (IEEE correctly rounded
+# => bit-identical across engines), identical rank + (k+1)-threshold.
+ORACLE_SQL["q_priority_sample"] = """
+    WITH w AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 1000000 + 1 AS u
+      FROM documents
+      WHERE n_chars >= 1),
+    p AS (
+      SELECT *, CAST(w AS DOUBLE) / CAST(u AS DOUBLE) AS pri FROM w),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY pri DESC, doc_id) AS rn
+      FROM p),
+    t AS (
+      SELECT *, COALESCE(max(CASE WHEN rn = 21 THEN pri END)
+                           OVER (PARTITION BY source), 0.0) AS tau
+      FROM r)
+    SELECT source, doc_id, w, u, pri, rn,
+           GREATEST(CAST(w AS DOUBLE), tau) AS est_w
+    FROM t
+    WHERE rn <= 20
+    ORDER BY source, rn
 """
 
 # G.711 twin: re-expands every synthesized byte with the published

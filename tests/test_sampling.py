@@ -123,3 +123,57 @@ def test_temperature_rates_and_sample(spark):
         if buckets[i] < int(r["big" if src == "big" else "small"] * 1_000_000)
     }
     assert kept == manual
+
+
+def test_priority_sample_matches_numpy_oracle(spark, docs):
+    """Engine vs an independent NumPy/stdlib replay of DLT priority
+    sampling: same u(id), same top-k membership, same tau and
+    estimator; groups smaller than k keep everything with est_w == w."""
+    import numpy as np
+
+    from ds2_spark.operators.sampling import priority_sample
+
+    weighted = docs.withColumn(
+        "w_col", (F.col("doc_id") % 97 + 1).cast("long")
+    )
+    k = 25
+    got = priority_sample(
+        weighted, group="source", id_col="doc_id", weight_col="w_col", k=k
+    ).collect()
+
+    # independent replay
+    rows = [(i, f"s{i % 4}", i % 97 + 1) for i in range(2000)]
+    by_group: dict[str, list] = {}
+    for i, g, w in rows:
+        u = _py_bucket(i, 1_000_000) + 1
+        by_group.setdefault(g, []).append((w / u, i, w, u))
+    expect = {}
+    for g, items in by_group.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        tau = items[k][0] if len(items) > k else 0.0
+        for rn, (pri, i, w, u) in enumerate(items[:k], start=1):
+            expect[(g, i)] = (w, u, pri, rn, max(float(w), tau))
+
+    assert len(got) == len(expect)
+    for r in got:
+        key = (r["source"], r["doc_id"])
+        w, u, pri, rn, est = expect[key]
+        assert (r["w"], r["u"], r["rn"]) == (w, u, rn), key
+        assert r["pri"] == pri, key          # IEEE division, bit-exact
+        assert r["est_w"] == est, key
+        assert r["est_w"] >= r["w"]
+
+
+def test_priority_sample_small_group_keeps_all(spark):
+    from ds2_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, "only", 10 * i + 1) for i in range(5)],
+        "doc_id long, source string, w_col long",
+    )
+    got = priority_sample(
+        df, group="source", id_col="doc_id", weight_col="w_col", k=20
+    ).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r["est_w"] == float(r["w"])  # tau == 0 when |group| <= k
