@@ -1593,3 +1593,96 @@ def audio_trim(
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_TRIM_SCHEMA)
+
+
+AUDIO_GAIN_SCHEMA = (
+    "clip_id string, decoded_ok boolean, n_samples bigint, peak bigint, "
+    "gain_ppm bigint, out_energy bigint, bytes binary"
+)
+
+
+def audio_gain_normalize(clips: DataFrame, target_peak: int = 24000) -> DataFrame:
+    """Peak (gain) normalization — the standard level-equalization pass
+    before training-audio featurization: every decodable clip is
+    rescaled so its largest |sample| becomes exactly ``target_peak``
+    (quiet clips gain up, hot clips gain down; relative dynamics within
+    a clip are preserved up to integer truncation).
+
+    Exactness contract: the applied gain is the RATIONAL
+    target_peak / peak, and each output sample is
+    y_i = sign(x_i) * ((|x_i| * target_peak) // peak) — pure integer
+    arithmetic (floor of a nonnegative quotient == truncation, so
+    Spark, NumPy and DuckDB agree without any float tolerance).
+    |y_i| <= target_peak <= 32767 by construction, so the result
+    always fits int16. Digital-silence clips (peak == 0) have no
+    defined gain: they report gain_ppm = 0 with bytes = NULL so a
+    downstream rule can route them (normalizing silence is a no-op
+    that would only hide a broken clip). gain_ppm =
+    (target_peak * 10^6) // peak is reported for drift monitoring.
+
+    Spark shape: bytes in AND out of one mapInPandas, partition-local,
+    no shuffle (the audio_trim rule of thumb — an operator that OUTPUTS
+    transformed bytes pays one Arrow round-trip rather than re-joining
+    offsets onto a second bytes scan). Kernel is batch-vectorized:
+    one frombuffer over the concatenated batch, per-clip peak via
+    np.maximum.at on the owner index, one vectorized rescale, one
+    int16 repack; the only per-row Python is the output slice.
+    Odd trailing bytes truncate to whole samples (VAD convention).
+
+    Contract query q_audio_gain re-decodes the output bytes through
+    audio_codec_energy and pins out_energy == the oracle's closed-form
+    recompute, so the byte content (not just the stats) is verified."""
+    if not (1 <= target_peak <= 32767):
+        raise ValueError("target_peak must be in [1, 32767]")
+    pruned = clips.select("clip_id", "bytes")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tp = target_peak
+        for pdf in batches:
+            nrows = len(pdf)
+            raw = list(pdf["bytes"])
+            isnull = np.fromiter(
+                (b is None or len(b) < 2 for b in raw), dtype=bool, count=nrows
+            )
+            trunc = [
+                b"" if nu else bytes(b[: (len(b) // 2) * 2])
+                for nu, b in zip(isnull, raw)
+            ]
+            nsamp = np.fromiter(
+                (len(b) // 2 for b in trunc), dtype=np.int64, count=nrows
+            )
+            x = np.frombuffer(b"".join(trunc), dtype="<i2").astype(np.int64)
+            ax = np.abs(x)
+            peaks = np.zeros(nrows, dtype=np.int64)
+            if len(x):
+                owner = np.repeat(np.arange(nrows), nsamp)
+                np.maximum.at(peaks, owner, ax)
+            safe = np.maximum(peaks, 1)
+            if len(x):
+                y = np.sign(x) * ((ax * tp) // safe[owner])
+                packed = y.astype("<i2").tobytes()
+                out_e = np.zeros(nrows, dtype=np.int64)
+                np.add.at(out_e, owner, np.abs(y))
+            else:
+                packed = b""
+                out_e = np.zeros(nrows, dtype=np.int64)
+            ends = np.cumsum(nsamp) * 2
+            starts = ends - nsamp * 2
+            out_bytes = [
+                None if (nu or pk == 0) else packed[s:t2]
+                for nu, pk, s, t2 in zip(isnull, peaks, starts, ends)
+            ]
+            gain = np.where(peaks > 0, (tp * 1_000_000) // safe, 0)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ~isnull,
+                    "n_samples": nsamp,
+                    "peak": peaks,
+                    "gain_ppm": gain,
+                    "out_energy": np.where(peaks > 0, out_e, 0),
+                    "bytes": out_bytes,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_GAIN_SCHEMA)

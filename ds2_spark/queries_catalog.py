@@ -1606,6 +1606,72 @@ def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak/gain normalization (operators/audio.audio_gain_normalize)
+    COMPOSED with a re-decode: the rescaled bytes flow into
+    audio_codec_energy whose abs_energy must equal out_energy, so the
+    integer rescale y = sign(x) * ((|x| * T) // peak) is pinned on the
+    actual output CONTENT, not just the stats. Synthesis is
+    frame-constant (NOTES.md #33): clip e has nf = e%11+4 frames of 8
+    samples alternating +a/-a with a = 1 + (e*31 + f*17) % 29000, so
+    peaks land on BOTH sides of the target 24000 (up- and down-gain
+    both exercised); every 19th clip is digital silence (peak 0 ->
+    gain undefined, bytes NULL), every 17th a NULL payload. The DuckDB
+    twin recomputes peak, gain_ppm, and out_energy from the closed
+    form and never sees a byte."""
+    from .operators.audio import audio_codec_energy, audio_gain_normalize
+
+    fs = 8
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    nf = (e % 11 + 4).cast("int")  # 4..14 whole frames
+
+    def _le16(v):
+        u = F.when(v < 0, v + 65536).otherwise(v)
+        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    def _amp(f):
+        return F.when(e % 19 == 0, F.lit(0)).otherwise(
+            (e * 31 + f * 17) % 29000 + 1
+        )
+
+    frame_of = lambda f: F.concat(
+        _le16(_amp(f)), _le16(-_amp(f))
+    )  # 2 samples; repeated fs//2 times below
+    hexstr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nf - 1),
+            lambda f: F.repeat(frame_of(f), fs // 2),
+        ),
+        "",
+    )
+    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(hexstr, F.lit("hex"))
+    )
+    clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
+    normed = audio_gain_normalize(clips, target_peak=24000)
+    recheck = audio_codec_energy(
+        normed.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
+    ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
+    return (
+        normed.drop("bytes")
+        .join(recheck, "clip_id")
+        .select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            "n_samples",
+            "peak",
+            "gain_ppm",
+            "out_energy",
+            "recheck_energy",
+        )
+        .orderBy("clip_id")
+    )
+
+
 def _flac_variant_params(v: int) -> dict:
     """Deterministic per-variant FLAC content parameters. The DuckDB
     oracle re-derives every decoded sample from THESE formulas (see
@@ -2189,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_tone_probe": q_audio_tone_probe,
         "q_rule_decisions": q_rule_decisions,
         "q_audio_trim": q_audio_trim,
+        "q_audio_gain": q_audio_gain,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -3220,6 +3287,45 @@ ORACLE_SQL["q_audio_trim"] = """
     FROM t
     LEFT JOIN a ON a.event_id = t.event_id AND NOT t.is_null
     LEFT JOIN k ON k.event_id = t.event_id
+    ORDER BY clip_id
+"""
+
+# Gain-normalize twin: recomputes peak / gain_ppm / out_energy from the
+# frame-constant closed form; the engine's recheck (decode of the
+# OUTPUT bytes) must land on the same integers, pinning the content.
+ORACLE_SQL["q_audio_gain"] = """
+    WITH t AS (
+      SELECT event_id, CAST(event_id % 11 + 4 AS INT) AS nf,
+             (event_id % 17 = 0) AS is_null,
+             (event_id % 19 = 0) AS silent
+      FROM events),
+    a AS (
+      SELECT event_id, f,
+             CASE WHEN silent THEN 0
+                  ELSE (event_id * 31 + f * 17) % 29000 + 1 END AS amp
+      FROM t, UNNEST(range(0, nf)) AS u(f)
+      WHERE NOT is_null),
+    p AS (SELECT event_id, max(amp) AS peak FROM a GROUP BY 1),
+    oe AS (
+      SELECT a.event_id,
+             CAST(sum(8 * ((a.amp * 24000) // greatest(p.peak, 1)))
+                  AS BIGINT) AS oute
+      FROM a JOIN p USING (event_id) GROUP BY 1)
+    SELECT t.event_id AS clip_id,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE 1 END AS INT) AS decoded_ok,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE t.nf * 8 END AS BIGINT)
+             AS n_samples,
+           CAST(COALESCE(p.peak, 0) AS BIGINT) AS peak,
+           CAST(CASE WHEN COALESCE(p.peak, 0) > 0
+                     THEN 24000000000 // p.peak ELSE 0 END AS BIGINT)
+             AS gain_ppm,
+           CAST(CASE WHEN COALESCE(p.peak, 0) > 0
+                     THEN oe.oute ELSE 0 END AS BIGINT) AS out_energy,
+           CAST(CASE WHEN COALESCE(p.peak, 0) > 0
+                     THEN oe.oute ELSE 0 END AS BIGINT) AS recheck_energy
+    FROM t
+    LEFT JOIN p ON p.event_id = t.event_id
+    LEFT JOIN oe ON oe.event_id = t.event_id
     ORDER BY clip_id
 """
 

@@ -1249,3 +1249,59 @@ def test_audio_trim_edges_and_content(spark):
     assert (tp["first_voiced"], tp["last_voiced"]) == (1, 1)
     assert bytes(tp["bytes"]) == loud.tobytes()
     assert tp["n_frames"] == 2  # partial tail never counts
+
+
+def test_audio_gain_normalize_content_and_edges(spark):
+    """Gain normalization: exact integer rescale to target peak in
+    both directions, byte content verified against a NumPy replay;
+    silence has no defined gain (bytes NULL), NULL/short payloads
+    refuse, odd tail bytes truncate, int16 extremes stay in range."""
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_gain_normalize
+
+    tp = 1000
+    rows = [
+        ("up", np.array([100, -250, 50], dtype="<i2").tobytes()),
+        ("down", np.array([30000, -15000, 3], dtype="<i2").tobytes()),
+        ("extreme", np.array([-32768, 32767, 1], dtype="<i2").tobytes()),
+        ("silent", np.array([0, 0, 0, 0], dtype="<i2").tobytes()),
+        ("null", None),
+        ("short", b"\x01"),
+        ("odd_tail", np.array([200, -400], dtype="<i2").tobytes() + b"\x9f"),
+        ("exact_peak", np.array([tp, -tp], dtype="<i2").tobytes()),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {
+        r["clip_id"]: r
+        for r in audio_gain_normalize(df, target_peak=tp).collect()
+    }
+
+    def replay(x):
+        x = np.asarray(x, dtype=np.int64)
+        peak = int(np.abs(x).max())
+        y = np.sign(x) * (np.abs(x) * tp // peak)
+        return peak, y
+
+    for cid, samples in [
+        ("up", [100, -250, 50]),
+        ("down", [30000, -15000, 3]),
+        ("extreme", [-32768, 32767, 1]),
+        ("odd_tail", [200, -400]),
+        ("exact_peak", [tp, -tp]),
+    ]:
+        r = got[cid]
+        peak, y = replay(samples)
+        assert r["decoded_ok"] and r["peak"] == peak, cid
+        assert r["n_samples"] == len(samples), cid
+        assert r["gain_ppm"] == tp * 1_000_000 // peak, cid
+        assert r["out_energy"] == int(np.abs(y).sum()), cid
+        assert bytes(r["bytes"]) == y.astype("<i2").tobytes(), cid
+        assert int(np.abs(y).max()) == tp, cid  # lands exactly on target
+
+    s = got["silent"]
+    assert s["decoded_ok"] and s["peak"] == 0 and s["gain_ppm"] == 0
+    assert s["bytes"] is None and s["out_energy"] == 0
+
+    assert not got["null"]["decoded_ok"] and got["null"]["bytes"] is None
+    assert not got["short"]["decoded_ok"]
