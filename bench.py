@@ -66,6 +66,9 @@ HEADLINE = [
     "q_asof_join",
     "q_sessionize",
     "q_stratified_sample",
+    "q_priority_sample",
+    "q_proto_outlier",
+    "q_audio_gain",
     "q_repetition_filter",
     "q_decontaminate",
     "q_tfidf_top_terms",

@@ -2204,6 +2204,23 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("source", "rn")
 
 
+def q_proto_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality / semantic-outlier scoring
+    (operators/prototypes.prototype_scores — the D4/SemDeDup curation
+    signal): cosine of each quantized embedding to its label-group's
+    integer centroid-sum, ascending outlier rank per group, k=10
+    flagged. All aggregation is exact int64 (quantize floor(x*1000 +
+    0.5), centroid = element-wise SUM — same direction as the mean);
+    the only float ops are two sqrt + one division, IEEE correctly
+    rounded, so the DuckDB twin is bit-identical."""
+    from .operators.prototypes import prototype_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return prototype_scores(
+        emb, group="label", id_col="vec_id", dim=64, outlier_k=10
+    ).orderBy("label", "outlier_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2262,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_stratified_sample": q_stratified_sample,
         "q_priority_sample": q_priority_sample,
+        "q_proto_outlier": q_proto_outlier,
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -3288,6 +3306,45 @@ ORACLE_SQL["q_audio_trim"] = """
     LEFT JOIN a ON a.event_id = t.event_id AND NOT t.is_null
     LEFT JOIN k ON k.event_id = t.event_id
     ORDER BY clip_id
+"""
+
+# Prototypicality twin: identical quantization tie rule, identical
+# integer centroid sums (order-free), identical sqrt/division shape —
+# SUMs never touch a float, so the one division is bit-identical.
+ORACLE_SQL["q_proto_outlier"] = """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS xq
+      FROM embeddings),
+    flat AS (
+      SELECT vec_id, label, i, xq[i] AS v
+      FROM q, UNNEST(generate_series(1, 64)) AS t(i)),
+    s AS (SELECT label, i, CAST(SUM(v) AS BIGINT) AS sv
+          FROM flat GROUP BY 1, 2),
+    norms AS (SELECT label, CAST(SUM(sv * sv) AS BIGINT) AS ns
+              FROM s GROUP BY 1),
+    dots AS (
+      SELECT f.vec_id, f.label,
+             CAST(SUM(f.v * s.sv) AS BIGINT) AS dxs,
+             CAST(SUM(f.v * f.v) AS BIGINT) AS nx
+      FROM flat f JOIN s ON s.label = f.label AND s.i = f.i
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.vec_id, d.label,
+             CAST(d.dxs AS DOUBLE)
+               / (sqrt(CAST(d.nx AS DOUBLE)) * sqrt(CAST(n.ns AS DOUBLE)))
+               AS proto_cos
+      FROM dots d JOIN norms n USING (label)),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY label ORDER BY proto_cos, vec_id) AS outlier_rank
+      FROM scored)
+    SELECT label, vec_id, proto_cos, outlier_rank,
+           CAST(CASE WHEN outlier_rank <= 10 THEN 1 ELSE 0 END AS INT)
+             AS is_outlier
+    FROM ranked
+    ORDER BY label, outlier_rank
 """
 
 # Gain-normalize twin: recomputes peak / gain_ppm / out_energy from the

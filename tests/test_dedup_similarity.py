@@ -339,3 +339,52 @@ def test_connected_components_long_chain_log_rounds(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {v: 0 for v in range(220)}
+
+
+def test_prototype_scores_matches_numpy(spark):
+    """Engine vs independent NumPy replay: quantization, integer
+    centroid sums, IEEE-exact cosine, outlier rank and flag."""
+    import numpy as np
+
+    from ds2_spark.operators.prototypes import prototype_scores
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 120
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    labels = (np.arange(n) % 3).astype(int)
+    rows = [
+        (int(i), int(labels[i]), [float(x) for x in vecs[i]])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        (r["label"], r["vec_id"]): r
+        for r in prototype_scores(
+            df, group="label", id_col="vec_id", vec_col="embedding",
+            dim=d, outlier_k=5,
+        ).collect()
+    }
+
+    # independent replay (float32 -> float64 BEFORE the quantize mul,
+    # matching Spark's cast-to-double of a float column)
+    xq = np.floor(vecs.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    for g in range(3):
+        idx = np.flatnonzero(labels == g)
+        S = xq[idx].sum(axis=0)
+        ns = int((S * S).sum())
+        scores = []
+        for i in idx:
+            dxs = int((xq[i] * S).sum())
+            nx = int((xq[i] * xq[i]).sum())
+            scores.append(
+                (float(dxs) / (np.sqrt(float(nx)) * np.sqrt(float(ns))), i)
+            )
+        scores.sort()
+        for rk, (cos, i) in enumerate(scores, start=1):
+            r = got[(g, i)]
+            assert r["proto_cos"] == cos, (g, i)   # bit-exact
+            assert r["outlier_rank"] == rk
+            assert r["is_outlier"] == int(rk <= 5)
