@@ -68,6 +68,8 @@ HEADLINE = [
     "q_stratified_sample",
     "q_priority_sample",
     "q_proto_outlier",
+    "q_salted_join",
+    "q_upsert",
     "q_audio_gain",
     "q_repetition_filter",
     "q_decontaminate",

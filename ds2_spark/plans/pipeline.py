@@ -119,6 +119,51 @@ def rule_decisions(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+    join_hint: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a deterministic salt in
+    [0, salt_buckets), the small side is replicated salt_buckets times,
+    and the join key widens to (key, salt) — so a hot key's rows spread
+    over salt_buckets reducers instead of pinning one. Output is
+    EXACTLY the plain join (the contract oracle is the salt-blind
+    plain SQL join).
+
+    Use when the small side is too big to broadcast but the big side's
+    key distribution is skewed (AQE's skew-join split handles sort-
+    merge skew at runtime; explicit salting also covers shuffle-hash
+    joins, pinned partitioners, and engines/configs where AQE is off).
+    The replication factor multiplies the small side's shuffle volume
+    — keep salt_buckets near the hot key's needed split, not higher.
+
+    Salt is a deterministic hash of the big row's columns (no RNG —
+    resume-stable, NOTES.md #6). `how` is restricted to inner/left:
+    under right/full, unmatched SMALL rows would surface once per salt
+    replica (the replication is invisible only on the big side).
+    join_hint (e.g. "merge", "shuffle_hash") is applied to the small
+    side to steer the physical strategy; default lets Catalyst/AQE
+    pick (it may still broadcast a tiny replica table, which is fine —
+    the salt is then a no-op, not a wrong answer)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only")
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
+    )
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    if join_hint:
+        s = s.hint(join_hint)
+    return b.join(s, on=[key, "_salt"], how=how).drop("_salt")
+
+
 def salted_aggregate(
     df: DataFrame,
     key_cols: list[str],

@@ -2221,6 +2221,64 @@ def q_proto_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "outlier_rank")
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (plans/pipeline.salted_join): lineitem
+    (60k rows over only 100 suppliers — every supplier is a hot key
+    relative to the key cardinality) joined to supplier with the key
+    widened to (suppkey, salt) and the small side replicated 8x; the
+    small side is hinted "merge" so the physical plan is the salted
+    sort-merge the operator exists for (not a broadcast that would
+    make the salt a no-op). The oracle is the SALT-BLIND plain join —
+    proving the salt is invisible in the result."""
+    from .plans.pipeline import salted_join
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_suppkey").alias("suppkey"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return salted_join(
+        li, sup, key="suppkey", salt_buckets=8, join_hint="merge"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins CDC merge (operators/merge.merge_upsert — the
+    parquet twin of Iceberg MERGE INTO): a 10k-row changelog derived
+    from events (updates to existing customers, inserts past the base
+    key range, ~1% tombstones) applied to the customer snapshot.
+    Versions are the integer event ids (monotonic, no wall-clock);
+    base rows carry version -1 and lose every tie. Exact integer
+    money via the NOTES.md #7 cents recipe."""
+    from .operators.merge import merge_upsert
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        F.lit(-1).cast("long").alias("version"),
+    )
+    e = F.col("event_id")
+    upd = _t(spark, sf_dir, "events").select(
+        (e % 2200).alias("custkey"),
+        ((e * 7919) % 2000000 - 1000000).cast("long").alias("acctbal_cents"),
+        e.alias("version"),
+        (e % 97 == 0).alias("is_delete"),
+    )
+    return merge_upsert(
+        base, upd, key="custkey", version_col="version", delete_col="is_delete"
+    ).orderBy("custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2280,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_priority_sample": q_priority_sample,
         "q_proto_outlier": q_proto_outlier,
+        "q_salted_join": q_salted_join,
+        "q_upsert": q_upsert,
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -3306,6 +3366,45 @@ ORACLE_SQL["q_audio_trim"] = """
     LEFT JOIN a ON a.event_id = t.event_id AND NOT t.is_null
     LEFT JOIN k ON k.event_id = t.event_id
     ORDER BY clip_id
+"""
+
+# Salted-join twin: the plain (salt-blind) join — the whole point is
+# that the salt never shows in the result.
+ORACLE_SQL["q_salted_join"] = """
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(l.l_suppkey AS BIGINT) AS suppkey,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+           s.s_name
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE l.l_quantity > 45
+    ORDER BY l.l_orderkey, l.l_linenumber
+"""
+
+# Upsert twin: the same union + version window replayed in SQL.
+ORACLE_SQL["q_upsert"] = """
+    WITH base AS (
+      SELECT c_custkey AS custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             CAST(-1 AS BIGINT) AS version, FALSE AS is_delete, 0 AS src
+      FROM customer),
+    upd AS (
+      SELECT event_id % 2200 AS custkey,
+             CAST((event_id * 7919) % 2000000 - 1000000 AS BIGINT)
+               AS acctbal_cents,
+             event_id AS version, (event_id % 97 = 0) AS is_delete, 1 AS src
+      FROM events),
+    a AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY custkey ORDER BY version DESC, src DESC) AS rn,
+             count(*) OVER (PARTITION BY custkey) AS n_versions
+      FROM a)
+    SELECT custkey, acctbal_cents, version, CAST(n_versions AS BIGINT)
+             AS n_versions
+    FROM r WHERE rn = 1 AND NOT is_delete
+    ORDER BY custkey
 """
 
 # Prototypicality twin: identical quantization tie rule, identical

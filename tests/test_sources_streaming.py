@@ -466,3 +466,73 @@ def test_trim_stream_matches_batch(spark, tmp_path):
     assert bytes(by_id["both"]["bytes"]) == loud
     assert by_id["mid"]["kept_energy"] == 240 + 20 + 240
     assert by_id["silent"]["bytes"] is None
+
+
+def test_salted_join_equals_plain_join_and_rejects_outer(spark):
+    """The salt must be invisible: salted join == plain join on a
+    skewed dataset (one key holds half the rows); right/full refuse."""
+    import pytest as _pytest
+
+    from ds2_spark.plans.pipeline import salted_join
+
+    big = spark.createDataFrame(
+        [(i, 7 if i % 2 == 0 else i % 40, f"p{i}") for i in range(400)],
+        "row_id long, k long, payload string",
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(40)], "k long, dim string"
+    )
+    got = sorted(
+        (r["row_id"], r["k"], r["dim"])
+        for r in salted_join(big, small, key="k", salt_buckets=4).collect()
+    )
+    want = sorted(
+        (r["row_id"], r["k"], r["dim"])
+        for r in big.join(small, "k").collect()
+    )
+    assert got == want and len(got) == 400
+
+    # left join keeps unmatched big rows exactly once
+    small_missing = small.where(F.col("k") != 7)
+    left = salted_join(big, small_missing, key="k", how="left")
+    rows = {r["row_id"]: r["dim"] for r in left.collect()}
+    assert len(rows) == 400
+    assert all(v is None for i, v in rows.items() if i % 2 == 0)
+
+    with _pytest.raises(ValueError):
+        salted_join(big, small, key="k", how="full")
+
+
+def test_merge_upsert_lww_semantics(spark):
+    """LWW merge: highest version wins, update beats base on a tie,
+    tombstone drops the key (and stays dropped even with older
+    updates present), inserts appear, n_versions audits row counts."""
+    from ds2_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 10, 5), (2, 20, 5), (3, 30, 5), (4, 40, 5)],
+        "k long, v long, version long",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, 11, 3, False),   # stale: version 3 < base 5 -> base wins
+            (2, 22, 5, False),   # tie with base -> update wins
+            (3, 31, 8, False),   # older update...
+            (3, -1, 9, True),    # ...then tombstone at 9 -> key dropped
+            (5, 50, 7, False),   # insert
+            (5, 51, 6, False),   # older insert version loses
+        ],
+        "k long, v long, version long, is_delete boolean",
+    )
+    got = {
+        r["k"]: (r["v"], r["version"], r["n_versions"])
+        for r in merge_upsert(
+            base, upd, key="k", version_col="version", delete_col="is_delete"
+        ).collect()
+    }
+    assert got == {
+        1: (10, 5, 2),
+        2: (22, 5, 2),
+        4: (40, 5, 1),
+        5: (50, 7, 2),
+    }
