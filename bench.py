@@ -71,6 +71,7 @@ HEADLINE = [
     "q_salted_join",
     "q_upsert",
     "q_audio_gain",
+    "q_audio_downmix",
     "q_repetition_filter",
     "q_decontaminate",
     "q_tfidf_top_terms",

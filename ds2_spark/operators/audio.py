@@ -1686,3 +1686,82 @@ def audio_gain_normalize(clips: DataFrame, target_peak: int = 24000) -> DataFram
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_GAIN_SCHEMA)
+
+
+AUDIO_DOWNMIX_SCHEMA = (
+    "clip_id string, decoded_ok boolean, n_frames bigint, "
+    "out_energy bigint, bytes binary"
+)
+
+
+def audio_downmix(clips: DataFrame, channels: int = 2) -> DataFrame:
+    """Interleaved multichannel PCM16 -> mono PCM16 (channel average),
+    the missing half of the multichannel story: decode_wav averages
+    channels in float for FEATURE use; this operator produces exact
+    integer mono BYTES for storage/re-ingest, so the corpus
+    normalization (everything downstream assumes mono) is itself
+    oracle-checkable.
+
+    Exactness contract: y_t = sign(s_t) * (|s_t| // ch) with
+    s_t = sum of the frame's channel samples — integer magnitude
+    floor == truncation, the shared cross-engine rule (DuckDB's `//`
+    truncates toward zero while NumPy's floors, so the sign-split
+    form is the ONLY portable one — same discipline as
+    audio_gain_normalize). |y_t| <= max|s_t|/ch <= 32768, emitted
+    int16 after a clip to [-32768, 32767] (only reachable when every
+    channel sits at -32768).
+
+    Spark shape: bytes in AND out of one mapInPandas (the audio_trim
+    rule); kernel is one frombuffer + one reshape-sum per Arrow batch,
+    per-row Python only for the output slice. Payloads truncate to
+    whole channel frames (VAD convention)."""
+    if channels < 2:
+        raise ValueError("downmix needs channels >= 2")
+    pruned = clips.select("clip_id", "bytes")
+    fb = 2 * channels  # bytes per interleaved frame
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ch = channels
+        for pdf in batches:
+            nrows = len(pdf)
+            raw = list(pdf["bytes"])
+            isnull = np.fromiter(
+                (b is None or len(b) < fb for b in raw), dtype=bool,
+                count=nrows,
+            )
+            trunc = [
+                b"" if nu else bytes(b[: (len(b) // fb) * fb])
+                for nu, b in zip(isnull, raw)
+            ]
+            nframes = np.fromiter(
+                (len(b) // fb for b in trunc), dtype=np.int64, count=nrows
+            )
+            x = np.frombuffer(b"".join(trunc), dtype="<i2").astype(np.int64)
+            if len(x):
+                s = x.reshape(-1, ch).sum(axis=1)
+                y = np.sign(s) * (np.abs(s) // ch)
+                np.clip(y, -32768, 32767, out=y)
+                packed = y.astype("<i2").tobytes()
+                out_e = np.zeros(nrows, dtype=np.int64)
+                owner = np.repeat(np.arange(nrows), nframes)
+                np.add.at(out_e, owner, np.abs(y))
+            else:
+                packed = b""
+                out_e = np.zeros(nrows, dtype=np.int64)
+            ends = np.cumsum(nframes) * 2
+            starts = ends - nframes * 2
+            out_bytes = [
+                None if nu else packed[s0:e0]
+                for nu, s0, e0 in zip(isnull, starts, ends)
+            ]
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ~isnull,
+                    "n_frames": nframes,
+                    "out_energy": out_e,
+                    "bytes": out_bytes,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_DOWNMIX_SCHEMA)

@@ -2279,6 +2279,59 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("custkey")
 
 
+def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo->mono downmix (operators/audio.audio_downmix) COMPOSED
+    with a re-decode of the mono output bytes (audio_codec_energy),
+    pinning the averaged CONTENT, not just stats. Synthesis: nf
+    frame-groups of 8 interleaved (L, R) pairs with per-group constant
+    L = (e*31 + f*17) % 3001 - 1500 and R = (e*7 + f*13) % 2001 - 1000
+    (both signs exercised); y = sign(L+R) * (|L+R| // 2) replayed
+    closed-form by the DuckDB twin; every 17th clip NULL."""
+    from .operators.audio import audio_codec_energy, audio_downmix
+
+    fs = 8
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    nf = (e % 9 + 3).cast("int")  # 3..11 frame-groups
+
+    def _le16(v):
+        u = F.when(v < 0, v + 65536).otherwise(v)
+        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    lamp = lambda f: (e * 31 + f * 17) % 3001 - 1500
+    ramp = lambda f: (e * 7 + f * 13) % 2001 - 1000
+    hexstr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nf - 1),
+            lambda f: F.repeat(F.concat(_le16(lamp(f)), _le16(ramp(f))), fs),
+        ),
+        "",
+    )
+    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(hexstr, F.lit("hex"))
+    )
+    clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
+    mono = audio_downmix(clips, channels=2)
+    recheck = audio_codec_energy(
+        mono.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
+    ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
+    return (
+        mono.drop("bytes")
+        .join(recheck, "clip_id")
+        .select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            "n_frames",
+            "out_energy",
+            "recheck_energy",
+        )
+        .orderBy("clip_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2331,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rule_decisions": q_rule_decisions,
         "q_audio_trim": q_audio_trim,
         "q_audio_gain": q_audio_gain,
+        "q_audio_downmix": q_audio_downmix,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -3365,6 +3419,35 @@ ORACLE_SQL["q_audio_trim"] = """
     FROM t
     LEFT JOIN a ON a.event_id = t.event_id AND NOT t.is_null
     LEFT JOIN k ON k.event_id = t.event_id
+    ORDER BY clip_id
+"""
+
+# Downmix twin: y = sign(L+R) * (|L+R| // 2) — the sign-split form is
+# the only portable integer division (DuckDB // truncates toward zero,
+# NumPy floors); recheck_energy equals out_energy because the engine
+# re-decodes its own output bytes.
+ORACLE_SQL["q_audio_downmix"] = """
+    WITH t AS (
+      SELECT event_id, CAST(event_id % 9 + 3 AS INT) AS nf,
+             (event_id % 17 = 0) AS is_null
+      FROM events),
+    a AS (
+      SELECT event_id, f,
+             (event_id * 31 + f * 17) % 3001 - 1500 AS l,
+             (event_id * 7 + f * 13) % 2001 - 1000 AS r
+      FROM t, UNNEST(range(0, nf)) AS u(f)
+      WHERE NOT is_null),
+    y AS (
+      SELECT event_id,
+             CAST(sum(8 * (abs(l + r) // 2)) AS BIGINT) AS oute
+      FROM a GROUP BY 1)
+    SELECT t.event_id AS clip_id,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE 1 END AS INT) AS decoded_ok,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE t.nf * 8 END AS BIGINT)
+             AS n_frames,
+           CAST(COALESCE(y.oute, 0) AS BIGINT) AS out_energy,
+           CAST(COALESCE(y.oute, 0) AS BIGINT) AS recheck_energy
+    FROM t LEFT JOIN y USING (event_id)
     ORDER BY clip_id
 """
 

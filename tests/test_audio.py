@@ -1305,3 +1305,62 @@ def test_audio_gain_normalize_content_and_edges(spark):
 
     assert not got["null"]["decoded_ok"] and got["null"]["bytes"] is None
     assert not got["short"]["decoded_ok"]
+
+
+def test_audio_downmix_content_and_edges(spark):
+    """Stereo downmix: exact sign-split integer average verified
+    byte-for-byte against a NumPy replay; odd channel sums truncate
+    toward zero; NULL/short payloads refuse; partial frames drop;
+    4-channel mix works; all-(-32768) frames clip into int16."""
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_downmix
+
+    def inter(*frames):
+        return np.array(
+            [s for fr in frames for s in fr], dtype="<i2"
+        ).tobytes()
+
+    rows = [
+        ("mix", inter([100, 201], [-100, 201], [-7, -8], [32767, 32766])),
+        ("neg_odd", inter([-3, -4])),          # sum -7 -> trunc -> -3
+        ("clip_floor", inter([-32768, -32768])),
+        ("partial", inter([10, 20]) + b"\x55"),  # stray tail byte drops
+        ("null", None),
+        ("short", b"\x01\x00"),                # < one stereo frame
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {
+        r["clip_id"]: r for r in audio_downmix(df, channels=2).collect()
+    }
+
+    def replay(pairs):
+        s = np.array([a + b for a, b in pairs], dtype=np.int64)
+        y = np.sign(s) * (np.abs(s) // 2)
+        return np.clip(y, -32768, 32767)
+
+    m = got["mix"]
+    y = replay([(100, 201), (-100, 201), (-7, -8), (32767, 32766)])
+    assert m["decoded_ok"] and m["n_frames"] == 4
+    assert bytes(m["bytes"]) == y.astype("<i2").tobytes()
+    assert m["out_energy"] == int(np.abs(y).sum())
+    assert list(y) == [150, 50, -7, 32766]     # trunc + sign checks
+
+    assert bytes(got["neg_odd"]["bytes"]) == np.array(
+        [-3], dtype="<i2"
+    ).tobytes()
+    assert bytes(got["clip_floor"]["bytes"]) == np.array(
+        [-32768], dtype="<i2"
+    ).tobytes()
+    assert got["partial"]["n_frames"] == 1
+    assert not got["null"]["decoded_ok"]
+    assert not got["short"]["decoded_ok"]
+
+    # 4-channel
+    quad = spark.createDataFrame(
+        [("q", np.array([10, 20, 30, -41], dtype="<i2").tobytes())],
+        "clip_id string, bytes binary",
+    )
+    r4 = audio_downmix(quad, channels=4).collect()[0]
+    assert r4["n_frames"] == 1
+    assert bytes(r4["bytes"]) == np.array([4], dtype="<i2").tobytes()
