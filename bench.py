@@ -62,6 +62,9 @@ HEADLINE = [
     "q_bloom_decontaminate",
     "q_cms_heavy",
     "q_cube",
+    "q_pivot",
+    "q_unpivot",
+    "q_ntile",
     "q_funnel",
     "q_asof_join",
     "q_sessionize",

@@ -2332,6 +2332,79 @@ def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pivot (groupBy().pivot() — the Expand-free wide
+    reshape): per-day event counts and integer-cents value sums spread
+    across the 5 event types as columns. Values pinned by an explicit
+    pivot list (never inferred — inference is a driver-side distinct
+    scan AND a nondeterministic column order at 10^12 rows). The
+    DuckDB twin is conditional aggregation (FILTER), which is also
+    exactly what Spark compiles an explicit-list pivot into —
+    one shuffle, map-side combined."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(day.alias("day"), "event_type", cents.alias("cents"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "signup", "purchase", "error"])
+        .agg(F.sum("cents"))
+        .select(
+            "day",
+            F.col("click").alias("click_cents"),
+            F.col("view").alias("view_cents"),
+            F.col("signup").alias("signup_cents"),
+            F.col("purchase").alias("purchase_cents"),
+            F.col("error").alias("error_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (DataFrame.unpivot, Spark 3.4+): the round-trip
+    partner of q_pivot — the pivoted wide table melts back to
+    (day, event_type, cents) long form, dropping NULL cells (days
+    where a type never fired). Composing pivot -> unpivot in one plan
+    also pins that the two are mutual inverses up to NULL cells."""
+    wide = q_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "day",
+            [
+                "click_cents",
+                "view_cents",
+                "signup_cents",
+                "purchase_cents",
+                "error_cents",
+            ],
+            "event_type",
+            "cents",
+        )
+        .where(F.col("cents").isNotNull())
+        .withColumn(
+            "event_type", F.regexp_replace("event_type", "_cents$", "")
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile calibration (the equal-frequency bucketize used to
+    turn raw quality scores into rank-calibrated deciles before
+    thresholding): documents ranked by n_chars within each source,
+    NTILE(10) + the decile's row span. Deterministic because the
+    window order is made total (n_chars, doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    win = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.ntile(10).over(win).alias("decile"),
+    ).orderBy("source", "n_chars", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2394,6 +2467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_proto_outlier": q_proto_outlier,
         "q_salted_join": q_salted_join,
         "q_upsert": q_upsert,
+        "q_pivot": q_pivot,
+        "q_unpivot": q_unpivot,
+        "q_ntile": q_ntile,
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -3420,6 +3496,39 @@ ORACLE_SQL["q_audio_trim"] = """
     LEFT JOIN a ON a.event_id = t.event_id AND NOT t.is_null
     LEFT JOIN k ON k.event_id = t.event_id
     ORDER BY clip_id
+"""
+
+# Pivot twin: conditional aggregation — exactly what Spark compiles an
+# explicit-list pivot into. Integer cents; HUGEINT cast back (NOTES #12).
+ORACLE_SQL["q_pivot"] = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'click') AS BIGINT) AS click_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'view') AS BIGINT) AS view_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'signup') AS BIGINT) AS signup_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'purchase') AS BIGINT) AS purchase_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'error') AS BIGINT) AS error_cents
+    FROM events GROUP BY 1 ORDER BY day
+"""
+
+# Unpivot twin: melt(pivot(x)) minus NULL cells == the direct long-form
+# group-by.
+ORACLE_SQL["q_unpivot"] = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+ORACLE_SQL["q_ntile"] = """
+    SELECT source, doc_id, n_chars,
+           ntile(10) OVER (PARTITION BY source
+                           ORDER BY n_chars, doc_id) AS decile
+    FROM documents ORDER BY source, n_chars, doc_id
 """
 
 # Downmix twin: y = sign(L+R) * (|L+R| // 2) — the sign-split form is

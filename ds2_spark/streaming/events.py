@@ -467,3 +467,46 @@ def run_interval_join_once(
     finally:
         qr.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def enrich_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of events joins
+    the (small, slowly-changing) static dim on event_type — Spark
+    re-plans the static side per micro-batch, so a dim refresh (e.g. a
+    re-read Delta/Iceberg snapshot) is picked up without restarting
+    the stream. Broadcast is forced explicitly: a stream-static join
+    must never sort-merge (the stream side cannot be globally sorted).
+    Works identically on a batch DataFrame (the stream==batch parity
+    test drives both)."""
+    return events.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.coalesce("weight", F.lit(0)).alias("weight"),
+        (F.round(F.col("value") * 100).cast("long")
+         * F.coalesce("weight", F.lit(0))).alias("weighted_cents"),
+    )
+
+
+def run_enrich_stream_once(
+    spark: SparkSession, events_dir: str, dim: DataFrame,
+    query_name: str = "enrich_out",
+) -> DataFrame:
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(events_dir)
+    )
+    out = enrich_events_stream(stream, dim)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -536,3 +536,32 @@ def test_merge_upsert_lww_semantics(spark):
         4: (40, 5, 1),
         5: (50, 7, 2),
     }
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static broadcast join: enrichment of a micro-batched
+    event stream with a static dim equals the batch join on the same
+    data (multi-trigger replay — 6 files, 3 per trigger)."""
+    from ds2_spark.streaming.events import (
+        enrich_events_stream,
+        run_enrich_stream_once,
+    )
+
+    events_dir = str(tmp_path / "ev_enrich")
+    os.makedirs(events_dir)
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.repartition(6).write.mode("overwrite").parquet(events_dir)
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10)],
+        "event_type string, weight int",
+    )  # signup/error absent -> weight 0 via the left join
+
+    stream_out = run_enrich_stream_once(spark, events_dir, dim)
+    batch_out = enrich_events_stream(spark.read.parquet(events_dir), dim)
+    key = lambda r: r["event_id"]
+    got = {key(r): (r["weight"], r["weighted_cents"]) for r in stream_out.collect()}
+    exp = {key(r): (r["weight"], r["weighted_cents"]) for r in batch_out.collect()}
+    assert got == exp and len(got) == src.count()
+    assert any(w == 0 for w, _ in got.values())    # unmatched types kept
+    assert any(w == 10 for w, _ in got.values())
