@@ -75,6 +75,8 @@ HEADLINE = [
     "q_upsert",
     "q_audio_gain",
     "q_audio_downmix",
+    "q_audio_clipping",
+    "q_zorder",
     "q_repetition_filter",
     "q_decontaminate",
     "q_tfidf_top_terms",

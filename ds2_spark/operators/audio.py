@@ -1765,3 +1765,81 @@ def audio_downmix(clips: DataFrame, channels: int = 2) -> DataFrame:
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_DOWNMIX_SCHEMA)
+
+
+AUDIO_CLIPPING_SCHEMA = (
+    "clip_id string, decoded_ok boolean, n_samples bigint, "
+    "clipped bigint, clip_ppm bigint, max_run bigint"
+)
+
+
+def audio_clipping(clips: DataFrame, threshold: int = 32760) -> DataFrame:
+    """Clipping / saturation QC — the standard drop rule for clips
+    recorded too hot: a sample is *clipped* when |x| >= threshold
+    (near full scale; true digital clipping flat-tops at +-32767 /
+    -32768 but real ADCs rail a few codes early). Reports the clipped
+    count, clip_ppm = clipped * 10^6 // n (integer parts-per-million
+    — no float), and the longest CONSECUTIVE clipped run in samples
+    (a few isolated peaks are fine; a 100 ms flat-top is not).
+
+    Integer-exact throughout, so the DuckDB twin replays count and
+    max-run with a gaps-and-islands recompute (q_audio_clipping).
+
+    Kernel is batch-vectorized including the run detection: runs are
+    delimited where the clipped mask starts or the owning clip
+    changes, run ids come from one cumsum, per-run lengths from one
+    bincount, per-clip max via maximum.at — no per-sample Python, no
+    per-row loop (the audio_fingerprint discipline)."""
+    if not (1 <= threshold <= 32768):
+        raise ValueError("threshold must be in [1, 32768]")
+    pruned = clips.select("clip_id", "bytes")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        thr = threshold
+        for pdf in batches:
+            nrows = len(pdf)
+            raw = list(pdf["bytes"])
+            isnull = np.fromiter(
+                (b is None or len(b) < 2 for b in raw), dtype=bool,
+                count=nrows,
+            )
+            trunc = [
+                b"" if nu else bytes(b[: (len(b) // 2) * 2])
+                for nu, b in zip(isnull, raw)
+            ]
+            nsamp = np.fromiter(
+                (len(b) // 2 for b in trunc), dtype=np.int64, count=nrows
+            )
+            x = np.frombuffer(b"".join(trunc), dtype="<i2").astype(np.int64)
+            clipped = np.zeros(nrows, dtype=np.int64)
+            max_run = np.zeros(nrows, dtype=np.int64)
+            if len(x):
+                owner = np.repeat(np.arange(nrows), nsamp)
+                m = np.abs(x) >= thr
+                np.add.at(clipped, owner, m.astype(np.int64))
+                if m.any():
+                    # a run starts where m turns on or the clip changes
+                    prev_m = np.concatenate(([False], m[:-1]))
+                    same_owner = np.concatenate(
+                        ([False], owner[1:] == owner[:-1])
+                    )
+                    starts = m & ~(prev_m & same_owner)
+                    run_id = np.cumsum(starts) - 1  # valid where m
+                    lens = np.bincount(run_id[m])
+                    run_owner = owner[starts]
+                    np.maximum.at(max_run, run_owner, lens)
+            ppm = np.where(
+                nsamp > 0, clipped * 1_000_000 // np.maximum(nsamp, 1), 0
+            )
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ~isnull,
+                    "n_samples": nsamp,
+                    "clipped": clipped,
+                    "clip_ppm": ppm,
+                    "max_run": max_run,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_CLIPPING_SCHEMA)

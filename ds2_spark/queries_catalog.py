@@ -2405,6 +2405,76 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "n_chars", "doc_id")
 
 
+def q_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping/saturation QC (operators/audio.audio_clipping): count,
+    integer ppm, and longest consecutive clipped run per clip. The
+    synthesis plants clipped FRAMES (amp 32767, 8 samples) in a
+    deterministic ~22% pattern with clean clips every 19th and NULL
+    payloads every 17th; the DuckDB twin replays the run structure
+    with the classic f - row_number() gaps-and-islands."""
+    from .operators.audio import audio_clipping
+
+    fs = 8
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    nf = (e % 13 + 6).cast("int")  # 6..18 frames
+
+    def _frame_hex(amp: int) -> str:
+        pos, neg = amp, (65536 - amp) % 65536
+        le = lambda u: f"{u:04x}"[2:] + f"{u:04x}"[:2]
+        return (le(pos) + le(neg)) * (fs // 2)
+
+    frame_of = lambda f: F.when(
+        (e % 19 != 0) & ((e * 7 + f * f) % 9 < 2),
+        F.lit(_frame_hex(32767)),
+    ).otherwise(F.lit(_frame_hex(500)))
+    hexstr = F.array_join(
+        F.transform(F.sequence(F.lit(0), nf - 1), frame_of), ""
+    )
+    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(hexstr, F.lit("hex"))
+    )
+    clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
+    return (
+        audio_clipping(clips, threshold=32760)
+        .select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            "n_samples",
+            "clipped",
+            "clip_ppm",
+            "max_run",
+        )
+        .orderBy("clip_id")
+    )
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys (functions/zorder.zorder2): the
+    Delta/Iceberg ZORDER BY clustering key as a pure shift/mask JVM
+    expression over (user_id, value-cents) bucketized to 16 bits, plus
+    the 16-way range-bucket assignment (ntile over the key) a writer
+    would use to split files. Bit arithmetic has no rounding, so the
+    DuckDB twin is the same expression verbatim."""
+    from .functions.zorder import zorder2
+
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("user_id") % 65536).cast("long")
+    y = (F.round(F.col("value") * 100).cast("long") % 65536).cast("long")
+    keyed = ev.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        zorder2(x, y, bits=16).alias("zkey"),
+    )
+    w = Window.orderBy("zkey", "event_id")
+    return keyed.withColumn("file_bucket", F.ntile(16).over(w)).orderBy(
+        "event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2458,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_trim": q_audio_trim,
         "q_audio_gain": q_audio_gain,
         "q_audio_downmix": q_audio_downmix,
+        "q_audio_clipping": q_audio_clipping,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -2470,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_unpivot": q_unpivot,
         "q_ntile": q_ntile,
+        "q_zorder": q_zorder,
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -3495,6 +3567,74 @@ ORACLE_SQL["q_audio_trim"] = """
     FROM t
     LEFT JOIN a ON a.event_id = t.event_id AND NOT t.is_null
     LEFT JOIN k ON k.event_id = t.event_id
+    ORDER BY clip_id
+"""
+
+# Z-order twin: the same shift/mask interleave, generated term-by-term
+# (bit arithmetic — no rounding anywhere).
+def _spread_sql(col: str, offset: int, bits: int = 16) -> str:
+    return " + ".join(
+        f"((({col} >> {i}) & 1) << {2 * i + offset})" for i in range(bits)
+    )
+
+
+ORACLE_SQL["q_zorder"] = f"""
+    WITH k AS (
+      SELECT event_id,
+             CAST(user_id % 65536 AS BIGINT) AS x,
+             CAST(CAST(round(value * 100) AS BIGINT) % 65536 AS BIGINT) AS y
+      FROM events),
+    z AS (
+      SELECT event_id, x, y,
+             CAST({_spread_sql('x', 0)}
+                  + {_spread_sql('y', 1)} AS BIGINT) AS zkey
+      FROM k)
+    SELECT event_id, x, y, zkey,
+           ntile(16) OVER (ORDER BY zkey, event_id) AS file_bucket
+    FROM z ORDER BY event_id
+"""
+
+# Clipping twin: frame-level gaps-and-islands (f - row_number()) over
+# the planted clipped-frame pattern; counts/runs scale by fs=8 samples
+# per frame; ppm is the same integer division on both sides.
+ORACLE_SQL["q_audio_clipping"] = """
+    WITH t AS (
+      SELECT event_id, CAST(event_id % 13 + 6 AS INT) AS nf,
+             (event_id % 17 = 0) AS is_null
+      FROM events),
+    fr AS (
+      SELECT event_id, f,
+             (event_id % 19 <> 0 AND (event_id * 7 + f * f) % 9 < 2)
+               AS is_clip
+      FROM t, UNNEST(range(0, nf)) AS u(f)
+      WHERE NOT is_null),
+    isl AS (
+      SELECT event_id,
+             f - row_number() OVER (PARTITION BY event_id ORDER BY f)
+               AS grp
+      FROM fr WHERE is_clip),
+    runs AS (
+      SELECT event_id, count(*) AS run_frames
+      FROM isl GROUP BY event_id, grp),
+    agg AS (
+      SELECT event_id,
+             CAST(sum(CASE WHEN is_clip THEN 1 ELSE 0 END) AS BIGINT)
+               AS clip_frames
+      FROM fr GROUP BY 1),
+    mx AS (SELECT event_id, max(run_frames) AS max_run_frames
+           FROM runs GROUP BY 1)
+    SELECT t.event_id AS clip_id,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE 1 END AS INT) AS decoded_ok,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE t.nf * 8 END AS BIGINT)
+             AS n_samples,
+           CAST(COALESCE(a.clip_frames, 0) * 8 AS BIGINT) AS clipped,
+           CAST(CASE WHEN t.is_null THEN 0
+                     ELSE COALESCE(a.clip_frames, 0) * 8 * 1000000
+                          // (t.nf * 8) END AS BIGINT) AS clip_ppm,
+           CAST(COALESCE(m.max_run_frames, 0) * 8 AS BIGINT) AS max_run
+    FROM t
+    LEFT JOIN agg a ON a.event_id = t.event_id
+    LEFT JOIN mx m ON m.event_id = t.event_id
     ORDER BY clip_id
 """
 

@@ -1364,3 +1364,41 @@ def test_audio_downmix_content_and_edges(spark):
     r4 = audio_downmix(quad, channels=4).collect()[0]
     assert r4["n_frames"] == 1
     assert bytes(r4["bytes"]) == np.array([4], dtype="<i2").tobytes()
+
+
+def test_audio_clipping_runs_and_boundaries(spark):
+    """Clipping QC: counts, ppm, max consecutive run; a run must NOT
+    merge across clip boundaries even when adjacent clips in the same
+    Arrow batch both start/end clipped; -32768 counts; NULL refuses."""
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_clipping
+
+    C, q = 32767, 100  # clipped / quiet samples
+
+    def pcm(vals):
+        return np.array(vals, dtype="<i2").tobytes()
+
+    rows = [
+        # runs: [C,-C]=2, [C,C,-32768]=3 (max), lone C: 6 clipped of 9
+        ("runs", pcm([C, -C, q, C, C, -32768, q, q, C])),
+        # ends fully clipped -> next clip must not extend this run
+        ("tail_clip", pcm([q, C, C, C])),
+        ("head_clip", pcm([C, C, q, q])),
+        ("clean", pcm([5, -5, 7])),
+        ("all_clip", pcm([C, C, C, C])),
+        ("null", None),
+    ]
+    # single partition forces one Arrow batch -> boundary case is real
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary").coalesce(1)
+    got = {r["clip_id"]: r for r in audio_clipping(df).collect()}
+
+    r = got["runs"]
+    assert (r["clipped"], r["max_run"]) == (6, 3)
+    assert r["clip_ppm"] == 6 * 1_000_000 // 9
+    assert got["tail_clip"]["max_run"] == 3
+    assert got["head_clip"]["max_run"] == 2
+    assert got["clean"]["clipped"] == 0 and got["clean"]["max_run"] == 0
+    a = got["all_clip"]
+    assert (a["clipped"], a["max_run"], a["clip_ppm"]) == (4, 4, 1_000_000)
+    assert not got["null"]["decoded_ok"]

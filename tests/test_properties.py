@@ -110,3 +110,39 @@ def test_cosine_knn_matches_naive(nq, ni, k, seed):
         order = sorted(range(ni), key=lambda c: (float(full[r, c]), c))[:k]
         expect = order + [-1] * (k - len(order))
         assert list(i[r]) == expect, (r, list(i[r]), expect)
+
+
+def test_zorder_key_locality_and_exactness(spark):
+    """Morton key: matches a pure-Python bit interleave; preserves the
+    locality property (any aligned 2^k x 2^k tile maps to ONE
+    contiguous zkey range — that is what makes min/max file stats
+    prune on both dimensions)."""
+    from ds2_spark.functions.zorder import zorder2
+    import pyspark.sql.functions as F
+
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder2(F.col("x"), F.col("y"), 8).alias("z")).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert all(got[(x, y)] == morton(x, y) for x, y in pts)
+
+    # locality: every aligned 8x8 tile occupies exactly one contiguous
+    # 64-key range
+    for tx in range(4):
+        for ty in range(4):
+            keys = sorted(
+                got[(x, y)]
+                for x in range(tx * 8, tx * 8 + 8)
+                for y in range(ty * 8, ty * 8 + 8)
+            )
+            assert keys == list(range(keys[0], keys[0] + 64)), (tx, ty)
