@@ -76,6 +76,7 @@ HEADLINE = [
     "q_audio_gain",
     "q_audio_downmix",
     "q_audio_clipping",
+    "q_audio_compress",
     "q_zorder",
     "q_repetition_filter",
     "q_decontaminate",

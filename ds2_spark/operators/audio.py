@@ -1843,3 +1843,85 @@ def audio_clipping(clips: DataFrame, threshold: int = 32760) -> DataFrame:
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_CLIPPING_SCHEMA)
+
+
+AUDIO_COMPRESS_SCHEMA = (
+    "clip_id string, decoded_ok boolean, n_samples bigint, "
+    "reduced bigint, out_energy bigint, bytes binary"
+)
+
+
+def audio_compress_dynamics(
+    clips: DataFrame, threshold: int = 8000, ratio: int = 4
+) -> DataFrame:
+    """Hard-knee dynamic-range compression — the level-taming pass run
+    before gain normalization so one shout doesn't set the whole
+    clip's gain: samples inside [-threshold, threshold] pass through,
+    louder ones keep only 1/ratio of the overshoot:
+
+        y = x                                   if |x| <= threshold
+        y = sign(x) * (threshold + (|x| - threshold) // ratio)  else
+
+    Pure integer arithmetic (the sign-split // discipline shared with
+    audio_gain_normalize / audio_downmix — the only division form
+    NumPy, Spark and DuckDB agree on), so the contract oracle replays
+    the exact output. `reduced` counts compressed samples (an audit
+    signal: ~0 means the threshold never engaged and the stage is a
+    no-op for that clip).
+
+    Spark shape: bytes in AND out of one mapInPandas (audio_trim rule);
+    kernel is one frombuffer + one where() per Arrow batch."""
+    if not (1 <= threshold <= 32767):
+        raise ValueError("threshold must be in [1, 32767]")
+    if ratio < 1:
+        raise ValueError("ratio must be >= 1")
+    pruned = clips.select("clip_id", "bytes")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        thr, rat = threshold, ratio
+        for pdf in batches:
+            nrows = len(pdf)
+            raw = list(pdf["bytes"])
+            isnull = np.fromiter(
+                (b is None or len(b) < 2 for b in raw), dtype=bool,
+                count=nrows,
+            )
+            trunc = [
+                b"" if nu else bytes(b[: (len(b) // 2) * 2])
+                for nu, b in zip(isnull, raw)
+            ]
+            nsamp = np.fromiter(
+                (len(b) // 2 for b in trunc), dtype=np.int64, count=nrows
+            )
+            x = np.frombuffer(b"".join(trunc), dtype="<i2").astype(np.int64)
+            reduced = np.zeros(nrows, dtype=np.int64)
+            out_e = np.zeros(nrows, dtype=np.int64)
+            if len(x):
+                ax = np.abs(x)
+                over = ax > thr
+                mag = np.where(over, thr + (ax - thr) // rat, ax)
+                y = np.sign(x) * mag
+                packed = y.astype("<i2").tobytes()
+                owner = np.repeat(np.arange(nrows), nsamp)
+                np.add.at(reduced, owner, over.astype(np.int64))
+                np.add.at(out_e, owner, mag)
+            else:
+                packed = b""
+            ends = np.cumsum(nsamp) * 2
+            starts = ends - nsamp * 2
+            out_bytes = [
+                None if nu else packed[s0:e0]
+                for nu, s0, e0 in zip(isnull, starts, ends)
+            ]
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "decoded_ok": ~isnull,
+                    "n_samples": nsamp,
+                    "reduced": reduced,
+                    "out_energy": out_e,
+                    "bytes": out_bytes,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_COMPRESS_SCHEMA)

@@ -2475,6 +2475,58 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-knee dynamic-range compression
+    (operators/audio.audio_compress_dynamics) COMPOSED with a
+    re-decode of the output bytes: overshoot above 8000 keeps 1/4,
+    all integer (sign-split //), so the DuckDB twin replays mag,
+    reduced-sample count, and energy closed-form. Frame-constant amps
+    1 + (e*31 + f*17) % 29000 straddle the knee in both directions."""
+    from .operators.audio import audio_codec_energy, audio_compress_dynamics
+
+    fs = 8
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    nf = (e % 11 + 4).cast("int")
+
+    def _le16(v):
+        u = F.when(v < 0, v + 65536).otherwise(v)
+        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    amp = lambda f: (e * 31 + f * 17) % 29000 + 1
+    hexstr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nf - 1),
+            lambda f: F.repeat(F.concat(_le16(amp(f)), _le16(-amp(f))), fs // 2),
+        ),
+        "",
+    )
+    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(hexstr, F.lit("hex"))
+    )
+    clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
+    comp = audio_compress_dynamics(clips, threshold=8000, ratio=4)
+    recheck = audio_codec_energy(
+        comp.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
+    ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
+    return (
+        comp.drop("bytes")
+        .join(recheck, "clip_id")
+        .select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            "n_samples",
+            "reduced",
+            "out_energy",
+            "recheck_energy",
+        )
+        .orderBy("clip_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2529,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_gain": q_audio_gain,
         "q_audio_downmix": q_audio_downmix,
         "q_audio_clipping": q_audio_clipping,
+        "q_audio_compress": q_audio_compress,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -3567,6 +3620,38 @@ ORACLE_SQL["q_audio_trim"] = """
     FROM t
     LEFT JOIN a ON a.event_id = t.event_id AND NOT t.is_null
     LEFT JOIN k ON k.event_id = t.event_id
+    ORDER BY clip_id
+"""
+
+# Compressor twin: mag = CASE amp > thr THEN thr + (amp-thr)//4 —
+# amps are positive by construction so // needs no sign split here;
+# recheck equals out_energy because the engine re-decodes its output.
+ORACLE_SQL["q_audio_compress"] = """
+    WITH t AS (
+      SELECT event_id, CAST(event_id % 11 + 4 AS INT) AS nf,
+             (event_id % 17 = 0) AS is_null
+      FROM events),
+    a AS (
+      SELECT event_id, f,
+             (event_id * 31 + f * 17) % 29000 + 1 AS amp
+      FROM t, UNNEST(range(0, nf)) AS u(f)
+      WHERE NOT is_null),
+    m AS (
+      SELECT event_id,
+             CAST(sum(8 * CASE WHEN amp > 8000
+                               THEN 8000 + (amp - 8000) // 4
+                               ELSE amp END) AS BIGINT) AS oute,
+             CAST(sum(8 * CASE WHEN amp > 8000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS red
+      FROM a GROUP BY 1)
+    SELECT t.event_id AS clip_id,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE 1 END AS INT) AS decoded_ok,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE t.nf * 8 END AS BIGINT)
+             AS n_samples,
+           CAST(COALESCE(m.red, 0) AS BIGINT) AS reduced,
+           CAST(COALESCE(m.oute, 0) AS BIGINT) AS out_energy,
+           CAST(COALESCE(m.oute, 0) AS BIGINT) AS recheck_energy
+    FROM t LEFT JOIN m USING (event_id)
     ORDER BY clip_id
 """
 

@@ -1402,3 +1402,43 @@ def test_audio_clipping_runs_and_boundaries(spark):
     a = got["all_clip"]
     assert (a["clipped"], a["max_run"], a["clip_ppm"]) == (4, 4, 1_000_000)
     assert not got["null"]["decoded_ok"]
+
+
+def test_audio_compress_dynamics_content(spark):
+    """DRC: pass-through below the knee, 1/ratio overshoot above,
+    sign-symmetric, byte content replayed by NumPy; ratio=1 is the
+    identity; NULL refuses."""
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_compress_dynamics
+
+    thr, rat = 1000, 4
+    samples = [0, 999, 1000, 1001, -1001, 5000, -5000, 32767, -32768]
+    rows = [
+        ("a", np.array(samples, dtype="<i2").tobytes()),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = {
+        r["clip_id"]: r
+        for r in audio_compress_dynamics(
+            df, threshold=thr, ratio=rat
+        ).collect()
+    }
+
+    x = np.array(samples, dtype=np.int64)
+    ax = np.abs(x)
+    mag = np.where(ax > thr, thr + (ax - thr) // rat, ax)
+    y = np.sign(x) * mag
+    r = got["a"]
+    assert bytes(r["bytes"]) == y.astype("<i2").tobytes()
+    assert r["reduced"] == int((ax > thr).sum()) == 6
+    assert r["out_energy"] == int(mag.sum())
+    assert not got["null"]["decoded_ok"]
+
+    # ratio=1 must be the identity transform
+    ident = audio_compress_dynamics(
+        spark.createDataFrame(rows[:1], "clip_id string, bytes binary"),
+        threshold=thr, ratio=1,
+    ).collect()[0]
+    assert bytes(ident["bytes"]) == rows[0][1]
