@@ -77,6 +77,7 @@ HEADLINE = [
     "q_audio_downmix",
     "q_audio_clipping",
     "q_audio_compress",
+    "q_audio_master",
     "q_zorder",
     "q_repetition_filter",
     "q_decontaminate",

@@ -2527,6 +2527,76 @@ def q_audio_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full audio mastering chain COMPOSED end-to-end — stereo
+    downmix -> hard-knee compression -> peak normalization -> final
+    re-decode — with ONE DuckDB oracle replaying all three integer
+    stages closed-form. This pins operator CHAINING through bytes
+    (each stage's output bytes feed the next mapInPandas), not just
+    each stage alone. Stage params: downmix ch=2, knee 8000 ratio 4,
+    target peak 24000. The normalized output is lazily
+    localCheckpoint'ed before its two consumers (stats + re-decode) so
+    the 3-stage chain materializes once (the BM25 re-explode trap,
+    NOTES.md #41)."""
+    from .operators.audio import (
+        audio_codec_energy,
+        audio_compress_dynamics,
+        audio_downmix,
+        audio_gain_normalize,
+    )
+
+    fs = 8
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    nf = (e % 9 + 3).cast("int")
+
+    def _le16(v):
+        u = F.when(v < 0, v + 65536).otherwise(v)
+        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    # wider amps than q_audio_downmix so the knee (8000) engages
+    lamp = lambda f: (e * 131 + f * 37) % 30001 - 15000
+    ramp = lambda f: (e * 17 + f * 29) % 20001 - 10000
+    hexstr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nf - 1),
+            lambda f: F.repeat(F.concat(_le16(lamp(f)), _le16(ramp(f))), fs),
+        ),
+        "",
+    )
+    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(hexstr, F.lit("hex"))
+    )
+    clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
+    mono = audio_downmix(clips, channels=2).select("clip_id", "bytes")
+    comp = audio_compress_dynamics(mono, threshold=8000, ratio=4).select(
+        "clip_id", "bytes"
+    )
+    normed = audio_gain_normalize(comp, target_peak=24000).localCheckpoint(
+        eager=False
+    )
+    recheck = audio_codec_energy(
+        normed.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
+    ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
+    return (
+        normed.drop("bytes")
+        .join(recheck, "clip_id")
+        .select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            "n_samples",
+            "peak",
+            "gain_ppm",
+            "out_energy",
+            "recheck_energy",
+        )
+        .orderBy("clip_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2582,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_downmix": q_audio_downmix,
         "q_audio_clipping": q_audio_clipping,
         "q_audio_compress": q_audio_compress,
+        "q_audio_master": q_audio_master,
         "q_cube": q_cube,
         "q_dedup_clusters": q_dedup_clusters,
         "q_asof_join": q_asof_join,
@@ -3652,6 +3723,51 @@ ORACLE_SQL["q_audio_compress"] = """
            CAST(COALESCE(m.oute, 0) AS BIGINT) AS out_energy,
            CAST(COALESCE(m.oute, 0) AS BIGINT) AS recheck_energy
     FROM t LEFT JOIN m USING (event_id)
+    ORDER BY clip_id
+"""
+
+# Mastering-chain twin: all three stages replayed closed-form on the
+# per-frame constants — downmix magnitude |L+R|//2, knee, then the
+# peak-relative gain; signs cancel because every output is a
+# magnitude/energy. One oracle across three chained byte stages.
+ORACLE_SQL["q_audio_master"] = """
+    WITH t AS (
+      SELECT event_id, CAST(event_id % 9 + 3 AS INT) AS nf,
+             (event_id % 17 = 0) AS is_null
+      FROM events),
+    a AS (
+      SELECT event_id, f,
+             (event_id * 131 + f * 37) % 30001 - 15000 AS l,
+             (event_id * 17 + f * 29) % 20001 - 10000 AS r
+      FROM t, UNNEST(range(0, nf)) AS u(f)
+      WHERE NOT is_null),
+    c AS (
+      SELECT event_id, f,
+             CASE WHEN abs(l + r) // 2 > 8000
+                  THEN 8000 + (abs(l + r) // 2 - 8000) // 4
+                  ELSE abs(l + r) // 2 END AS cm
+      FROM a),
+    p AS (SELECT event_id, max(cm) AS peak FROM c GROUP BY 1),
+    g AS (
+      SELECT c.event_id,
+             CAST(sum(8 * ((c.cm * 24000) // greatest(p.peak, 1)))
+                  AS BIGINT) AS oute
+      FROM c JOIN p USING (event_id) GROUP BY 1)
+    SELECT t.event_id AS clip_id,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE 1 END AS INT) AS decoded_ok,
+           CAST(CASE WHEN t.is_null THEN 0 ELSE t.nf * 8 END AS BIGINT)
+             AS n_samples,
+           CAST(COALESCE(p.peak, 0) AS BIGINT) AS peak,
+           CAST(CASE WHEN COALESCE(p.peak, 0) > 0
+                     THEN 24000000000 // p.peak ELSE 0 END AS BIGINT)
+             AS gain_ppm,
+           CAST(CASE WHEN COALESCE(p.peak, 0) > 0
+                     THEN g.oute ELSE 0 END AS BIGINT) AS out_energy,
+           CAST(CASE WHEN COALESCE(p.peak, 0) > 0
+                     THEN g.oute ELSE 0 END AS BIGINT) AS recheck_energy
+    FROM t
+    LEFT JOIN p ON p.event_id = t.event_id
+    LEFT JOIN g ON g.event_id = t.event_id
     ORDER BY clip_id
 """
 
