@@ -79,6 +79,8 @@ HEADLINE = [
     "q_audio_compress",
     "q_audio_master",
     "q_zorder",
+    "q_full_outer",
+    "q_sentences",
     "q_repetition_filter",
     "q_decontaminate",
     "q_tfidf_top_terms",

@@ -2597,6 +2597,61 @@ def q_audio_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (completes the join matrix next to
+    inner/left/semi/anti/range/asof/salted): per-nation customer
+    counts FULL OUTER JOIN per-nation supplier counts — nations with
+    only one side present survive with the other side NULL-coalesced,
+    which is the whole point of the operator. Aggregate-then-join so
+    the outer join runs on two tiny keyed sides (the scale shape:
+    never full-outer two fact tables — reduce first)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            (F.coalesce("n_cust", F.lit(0)) - F.coalesce("n_supp", F.lit(0)))
+            .alias("imbalance"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (the text-analysis primitive under
+    readability/quality scoring): split on [.!?]+ runs, count
+    non-empty trimmed sentences and the length of the longest one.
+    Pure JVM split/transform/filter; the DuckDB twin uses its own
+    regex engine on the same pattern, so the two segmentations check
+    each other (the scrub 3-engine discipline, minus the Java-\\b trap
+    — the pattern is engine-portable by construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(sents).alias("n_sentences"),
+        F.coalesce(
+            F.array_max(F.transform(sents, lambda s: F.length(s))), F.lit(0)
+        ).alias("max_sentence_chars"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2666,6 +2721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": q_unpivot,
         "q_ntile": q_ntile,
         "q_zorder": q_zorder,
+        "q_full_outer": q_full_outer,
+        "q_sentences": q_sentences,
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -3724,6 +3781,36 @@ ORACLE_SQL["q_audio_compress"] = """
            CAST(COALESCE(m.oute, 0) AS BIGINT) AS recheck_energy
     FROM t LEFT JOIN m USING (event_id)
     ORDER BY clip_id
+"""
+
+ORACLE_SQL["q_full_outer"] = """
+    WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+               FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp,
+           CAST(COALESCE(c.n_cust, 0) - COALESCE(s.n_supp, 0) AS BIGINT)
+             AS imbalance
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+"""
+
+# Sentence twin: DuckDB's own regex split on the same class; empty
+# fragments (leading punctuation, trailing terminator) trimmed+dropped
+# on both sides.
+ORACLE_SQL["q_sentences"] = r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text,
+                         '[.!?]+'), x -> trim(x)), x -> x <> '') AS sents
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(sents) AS INT) AS n_sentences,
+           CAST(COALESCE(list_max(list_transform(sents, x -> length(x))), 0)
+                AS INT) AS max_sentence_chars
+    FROM s ORDER BY doc_id
 """
 
 # Mastering-chain twin: all three stages replayed closed-form on the
