@@ -81,6 +81,7 @@ HEADLINE = [
     "q_zorder",
     "q_full_outer",
     "q_sentences",
+    "q_pagerank",
     "q_repetition_filter",
     "q_decontaminate",
     "q_tfidf_top_terms",

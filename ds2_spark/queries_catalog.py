@@ -2652,6 +2652,25 @@ def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (operators/graph.pagerank_int —
+    the second iterative-algorithm family next to connected
+    components): 5 synchronous rounds over a 400-node graph derived
+    from events (src = event_id % 400, dst = (event_id*7 + 3) % 400,
+    distinct, provably self-loop-free: 6a+3 is odd, 400 even). Every
+    step is integer (`div`), so the DuckDB twin — the same 5 rounds
+    unrolled as CTEs — matches to the last digit. The engine loop
+    localCheckpoints per round (NOTES.md #36)."""
+    from .operators.graph import pagerank_int
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    edges = ev.select(
+        (e % 400).alias("src"), ((e * 7 + 3) % 400).alias("dst")
+    ).distinct()
+    return pagerank_int(edges, rounds=5).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2723,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder": q_zorder,
         "q_full_outer": q_full_outer,
         "q_sentences": q_sentences,
+        "q_pagerank": q_pagerank,
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -3782,6 +3802,41 @@ ORACLE_SQL["q_audio_compress"] = """
     FROM t LEFT JOIN m USING (event_id)
     ORDER BY clip_id
 """
+
+# PageRank twin: the same 5 integer rounds UNROLLED as generated CTEs
+# (one s{t}/r{t} pair per round) — aggregation over a recursive
+# reference is engine-dependent, unrolling is not. // == `div` here
+# because every operand is nonnegative.
+def _pagerank_rounds_sql(rounds: int = 5) -> str:
+    from .operators.graph import BASE, DAMP_DEN, DAMP_NUM, SCALE
+
+    parts = [
+        "e AS (SELECT DISTINCT event_id % 400 AS src,"
+        " (event_id * 7 + 3) % 400 AS dst FROM events)",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e))",
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"s{t} AS (SELECT e.dst AS node,"
+            f" SUM(r{t-1}.rank // od.outdeg) AS s"
+            f" FROM e JOIN r{t-1} ON r{t-1}.node = e.src"
+            f" JOIN od ON od.src = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"r{t} AS (SELECT n.node, CAST({BASE}"
+            f" + ({DAMP_NUM} * COALESCE(s.s, 0)) // {DAMP_DEN} AS BIGINT)"
+            f" AS rank FROM nodes n LEFT JOIN s{t} s ON s.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, rank FROM r{rounds} ORDER BY node"
+    )
+
+
+ORACLE_SQL["q_pagerank"] = _pagerank_rounds_sql(5)
 
 ORACLE_SQL["q_full_outer"] = """
     WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust

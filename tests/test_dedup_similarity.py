@@ -388,3 +388,34 @@ def test_prototype_scores_matches_numpy(spark):
             assert r["proto_cos"] == cos, (g, i)   # bit-exact
             assert r["outlier_rank"] == rk
             assert r["is_outlier"] == int(rk <= 5)
+
+
+def test_pagerank_int_matches_python_replay(spark):
+    """Integer PageRank: exact parity with a pure-Python replay on a
+    graph with a sink (dangling), a hub, and a cycle; BASE floor for
+    no-in-edge nodes; rounds=1 sanity."""
+    from ds2_spark.operators.graph import BASE, SCALE, pagerank_int
+
+    ed = [(1, 2), (2, 3), (3, 1), (4, 1), (4, 2), (5, 1)]  # 5: no inlinks
+    edges = spark.createDataFrame(ed, "src long, dst long")
+
+    def replay(rounds):
+        nodes = {n for p in ed for n in p}
+        od = {}
+        for s, _ in ed:
+            od[s] = od.get(s, 0) + 1
+        ranks = {n: SCALE for n in nodes}
+        for _ in range(rounds):
+            S = {n: 0 for n in nodes}
+            for s, d in ed:
+                S[d] += ranks[s] // od[s]
+            ranks = {n: BASE + (85 * S[n]) // 100 for n in nodes}
+        return ranks
+
+    for rounds in (1, 4):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_int(edges, rounds=rounds).collect()
+        }
+        assert got == replay(rounds), rounds
+    assert got[5] == BASE  # teleport floor for a node nobody links to
