@@ -43,7 +43,13 @@ def merge_upsert(
     Returns the merged snapshot: per key the highest-version row,
     updates winning version ties against base; keys whose winning row
     is a tombstone are dropped. Adds ``n_versions`` (rows seen for the
-    key, base included) for audit."""
+    key, base included) for audit.
+
+    Determinism requires versions to be UNIQUE per key within the
+    changelog (a CDC sequence number / commit id gives this for free);
+    two updates to one key at the same version have no defined winner
+    and resolve arbitrarily — validate upstream if the source can
+    emit such ties."""
     b = base.withColumn("_src", F.lit(0))
     u = updates.withColumn("_src", F.lit(1))
     if delete_col is None:

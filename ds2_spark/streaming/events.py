@@ -510,3 +510,49 @@ def run_enrich_stream_once(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def master_chain(clips: DataFrame) -> DataFrame:
+    """The 3-stage audio mastering chain (downmix -> hard-knee DRC ->
+    peak normalize) as one batch/stream-agnostic plan: three stateless
+    mapInPandas stages chained through the binary column, no shuffle,
+    no checkpoint (single consumer — the batch contract query
+    q_audio_master adds a localCheckpoint only because it re-decodes
+    the output a second time)."""
+    from ..operators.audio import (
+        audio_compress_dynamics,
+        audio_downmix,
+        audio_gain_normalize,
+    )
+
+    mono = audio_downmix(clips, channels=2).select("clip_id", "bytes")
+    comp = audio_compress_dynamics(mono, threshold=8000, ratio=4).select(
+        "clip_id", "bytes"
+    )
+    return audio_gain_normalize(comp, target_peak=24000)
+
+
+def run_master_stream_once(
+    spark: SparkSession, clips_dir: str, query_name: str = "clip_master"
+) -> DataFrame:
+    """Incremental twin of the full mastering chain: three chained
+    bytes-in/bytes-out Arrow stages run unchanged under Structured
+    Streaming (all stateless, so micro-batch boundaries cannot change
+    any output byte)."""
+    stream = (
+        spark.readStream.schema(CLIPS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(clips_dir)
+    )
+    out = master_chain(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -565,3 +565,45 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert got == exp and len(got) == src.count()
     assert any(w == 0 for w, _ in got.values())    # unmatched types kept
     assert any(w == 10 for w, _ in got.values())
+
+
+def test_master_chain_stream_matches_batch(spark, tmp_path):
+    """The 3-stage mastering chain (downmix -> DRC -> normalize) under
+    Structured Streaming equals the batch plan on the same clips,
+    including the output payload bytes, across micro-batch boundaries."""
+    import numpy as np
+
+    from ds2_spark.streaming.events import master_chain, run_master_stream_once
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        if i % 9 == 0:
+            rows.append((f"c{i}", None))
+        else:
+            n = int(rng.integers(2, 40))
+            pcm = rng.integers(-15000, 15000, size=2 * n).astype("<i2")
+            rows.append((f"c{i}", pcm.tobytes()))
+    clips_dir = str(tmp_path / "clips_master")
+    spark.createDataFrame(rows, "clip_id string, bytes binary").repartition(
+        5
+    ).write.mode("overwrite").parquet(clips_dir)
+
+    stream_out = run_master_stream_once(spark, clips_dir)
+    batch_out = master_chain(spark.read.parquet(clips_dir))
+
+    def snap(df):
+        return {
+            r["clip_id"]: (
+                r["decoded_ok"],
+                r["n_samples"],
+                r["peak"],
+                r["out_energy"],
+                None if r["bytes"] is None else bytes(r["bytes"]),
+            )
+            for r in df.collect()
+        }
+
+    got, exp = snap(stream_out), snap(batch_out)
+    assert got == exp and len(got) == 40
+    assert any(v[4] for v in got.values())  # real payloads flowed through
