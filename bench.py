@@ -82,6 +82,7 @@ HEADLINE = [
     "q_full_outer",
     "q_sentences",
     "q_pagerank",
+    "q_mad_outliers",
     "q_repetition_filter",
     "q_decontaminate",
     "q_tfidf_top_terms",

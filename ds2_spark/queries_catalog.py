@@ -2671,6 +2671,42 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, rounds=5).orderBy("node")
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust outliers per event_type — the
+    heavy-tail-safe alternative to mean/std z-scores for quality
+    signals (one whale order doesn't move the median). Two exact
+    percentile passes (Spark `percentile()` == DuckDB `quantile_cont`,
+    NOTES.md #7) over integer cents, then mad_z = (x - med) / mad —
+    subtraction/division of identical doubles, IEEE-exact in both
+    engines. Flag |mad_z| > 3; groups where mad = 0 (over half the
+    values identical) flag nothing (disclosed: mad-z undefined)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_id", "event_type", cents.alias("cents"))
+    stats = base.groupBy("event_type").agg(
+        F.percentile(F.col("cents").cast("double"), F.lit(0.5)).alias("med")
+    )
+    dev = base.join(F.broadcast(stats), "event_type").withColumn(
+        "adev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            ((F.col("cents").cast("double") - F.col("med")) / F.col("mad"))
+            .alias("mad_z"),
+        )
+        .where(F.abs(F.col("mad_z")) > 3)
+        .orderBy("event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2743,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_full_outer": q_full_outer,
         "q_sentences": q_sentences,
         "q_pagerank": q_pagerank,
+        "q_mad_outliers": q_mad_outliers,
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -3837,6 +3874,31 @@ def _pagerank_rounds_sql(rounds: int = 5) -> str:
 
 
 ORACLE_SQL["q_pagerank"] = _pagerank_rounds_sql(5)
+
+# MAD twin: quantile_cont == Spark percentile() exactly (NOTES #7);
+# the deviations and the division run on identical doubles.
+ORACLE_SQL["q_mad_outliers"] = """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    med AS (
+      SELECT event_type,
+             quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+      FROM base GROUP BY 1),
+    dev AS (
+      SELECT b.event_id, b.event_type, b.cents, m.med,
+             abs(CAST(b.cents AS DOUBLE) - m.med) AS adev
+      FROM base b JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.cents,
+           (CAST(d.cents AS DOUBLE) - d.med) / m.mad AS mad_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND abs((CAST(d.cents AS DOUBLE) - d.med) / m.mad) > 3
+    ORDER BY d.event_id
+"""
 
 ORACLE_SQL["q_full_outer"] = """
     WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
