@@ -83,6 +83,10 @@ AUDITED = [
     "q_audio_clipping",
     "q_audio_compress",
     "q_audio_master",
+    "q_full_outer",
+    "q_sentences",
+    "q_pagerank",
+    "q_mad_outliers",
     "flagship",
 ]
 
