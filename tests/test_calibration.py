@@ -228,3 +228,39 @@ def test_votes_exact_on_reference_score_distribution(spark, model):
     assert got == expected
     # the rare class must actually appear in the votes (not silently dropped)
     assert 5 in {labels[int(cid[1:])] for _, cid, _, _ in got}
+
+
+def test_full_pipeline_matches_oracle_alt_profile(spark, tmp_path_factory):
+    """The same end-to-end keep/drop parity on a SECOND fixture
+    profile — different seed, 3x longer clips, 3x slower speech
+    (different duration/length/rate joint distribution, different
+    language mix realization) — so the F1==1.0 result is not an
+    artifact of the default profile's parameter corner."""
+    from ds2_spark.fixtures import generate_all
+
+    alt_dir = str(tmp_path_factory.mktemp("ds2_alt_profile"))
+    paths = generate_all(
+        alt_dir, n=500, seed=20260818,
+        dur_median_ms=1500.0, dur_max_ms=6000, chars_per_sec=40.0,
+    )
+    clips = spark.read.parquet(paths["clips"])
+    scores = spark.read.parquet(paths["scores"])
+    result = curation_pipeline(spark, clips, scores, SMALL, rater="rater_a")
+    engine = {
+        r["clip_id"]: (r["keep"], r["reason"], r["final_score"])
+        for r in result["decisions"].collect()
+    }
+    noise_rates = 1.0 - np.diag(t_given_noisy(result["hoc"]))
+    oracle = ds2_oracle.curation_oracle(
+        paths["clips"], paths["scores"], noise_rates, SMALL, "rater_a"
+    )
+    exp = oracle["decisions"]
+    assert set(engine) == set(exp)
+    mismatch = [
+        (cid, engine[cid], exp[cid])
+        for cid in engine
+        if engine[cid][:2] != exp[cid][:2]
+        or (exp[cid][2] is not None and engine[cid][2] != exp[cid][2])
+    ]
+    assert not mismatch, mismatch[:5]
+    assert sum(1 for v in engine.values() if v[0]) == oracle["budget"]
