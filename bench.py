@@ -83,6 +83,7 @@ HEADLINE = [
     "q_sentences",
     "q_pagerank",
     "q_mad_outliers",
+    "q_table_diff",
     "q_repetition_filter",
     "q_decontaminate",
     "q_tfidf_top_terms",

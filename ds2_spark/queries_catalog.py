@@ -2707,6 +2707,47 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style snapshot reconciliation
+    (operators/diff.snapshot_diff): customer vs a deterministically
+    mutated twin (every 41st key removed, every 13th rebalanced, 200
+    new keys appended) — bucket digests compared first, rows joined
+    only in differing buckets. The ORACLE derives each status from
+    direct VALUE comparison, while the engine derives it from md5 row
+    digests — so the digest mechanism itself (48-bit sums, bucket
+    recipe) sits between the two derivations."""
+    from .operators.diff import snapshot_diff
+
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        cents.alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    k = F.col("custkey")
+    mutated = base.where(k % 41 != 0).select(
+        "custkey",
+        F.when(k % 13 == 0, F.col("cents") + 777)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "seg",
+    )
+    added = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("event_id") % 200 + 1500).alias("custkey"))
+        .distinct()
+        .select(
+            "custkey",
+            (F.col("custkey") * 31).alias("cents"),
+            F.lit("NEW").alias("seg"),
+        )
+    )
+    snap_b = mutated.unionByName(added)
+    return snapshot_diff(
+        base, snap_b, key="custkey", cols=["cents", "seg"], n_buckets=256
+    ).orderBy("custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2780,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sentences": q_sentences,
         "q_pagerank": q_pagerank,
         "q_mad_outliers": q_mad_outliers,
+        "q_table_diff": q_table_diff,
         "q_repetition_filter": q_repetition_filter,
         "q_decontaminate": q_decontaminate,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -3874,6 +3916,40 @@ def _pagerank_rounds_sql(rounds: int = 5) -> str:
 
 
 ORACLE_SQL["q_pagerank"] = _pagerank_rounds_sql(5)
+
+# Table-diff twin: statuses from direct VALUE comparison (the engine
+# uses md5 row digests — the digest mechanism sits between the two);
+# bucket replays the shared md5 % recipe.
+ORACLE_SQL["q_table_diff"] = """
+    WITH base AS (
+      SELECT c_custkey AS custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             c_mktsegment AS seg
+      FROM customer),
+    mut AS (
+      SELECT custkey,
+             CASE WHEN custkey % 13 = 0 THEN cents + 777 ELSE cents END
+               AS cents,
+             seg
+      FROM base WHERE custkey % 41 <> 0),
+    added AS (
+      SELECT custkey, custkey * 31 AS cents, 'NEW' AS seg
+      FROM (SELECT DISTINCT event_id % 200 + 1500 AS custkey FROM events)),
+    b AS (SELECT * FROM mut UNION ALL SELECT * FROM added),
+    d AS (
+      SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+             CASE WHEN a.custkey IS NULL THEN 'added'
+                  WHEN b.custkey IS NULL THEN 'removed'
+                  WHEN a.cents <> b.cents OR a.seg <> b.seg THEN 'changed'
+                  ELSE 'equal' END AS status
+      FROM base a FULL OUTER JOIN b ON a.custkey = b.custkey)
+    SELECT custkey,
+           CAST(CAST(concat('0x', substr(md5(CAST(custkey AS VARCHAR)), 1,
+                12)) AS BIGINT) % 256 AS BIGINT) AS bucket,
+           status
+    FROM d WHERE status <> 'equal'
+    ORDER BY custkey
+"""
 
 # MAD twin: quantile_cont == Spark percentile() exactly (NOTES #7);
 # the deviations and the division run on identical doubles.

@@ -225,3 +225,54 @@ def test_iceberg_fallback_engages(spark, clips_df, tmp_path):
     assert engine == "parquet"
     after = spark.read.parquet(path)
     assert after.filter("_wave = 1").count() == 20 - n0
+
+
+def test_snapshot_diff_merkle_equals_naive(spark):
+    """Merkle-pruned diff == the naive full-outer diff on snapshots
+    with adds/removes/changes/duplicate-able rows; equal snapshots
+    diff to zero rows and zero differing buckets."""
+    from pyspark.sql import functions as F
+
+    from ds2_spark.operators.diff import bucket_digests, snapshot_diff
+
+    a = spark.createDataFrame(
+        [(i, i * 10, f"s{i % 3}") for i in range(300)],
+        "k long, v long, tag string",
+    )
+    b = spark.createDataFrame(
+        [
+            (i, i * 10 + (5 if i % 7 == 0 else 0), f"s{i % 3}")
+            for i in range(300)
+            if i % 11 != 0
+        ]
+        + [(1000 + i, i, "new") for i in range(8)],
+        "k long, v long, tag string",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(a, b, "k", ["v", "tag"], n_buckets=32).collect()
+    }
+    exp = {}
+    av = {i: (i * 10, f"s{i % 3}") for i in range(300)}
+    bv = {
+        i: (i * 10 + (5 if i % 7 == 0 else 0), f"s{i % 3}")
+        for i in range(300)
+        if i % 11 != 0
+    }
+    bv.update({1000 + i: (i, "new") for i in range(8)})
+    for k in set(av) | set(bv):
+        if k not in av:
+            exp[k] = "added"
+        elif k not in bv:
+            exp[k] = "removed"
+        elif av[k] != bv[k]:
+            exp[k] = "changed"
+    assert got == exp and len(got) > 0
+
+    # identical snapshots: all bucket digests equal, empty diff
+    assert snapshot_diff(a, a, "k", ["v", "tag"], n_buckets=32).count() == 0
+    da = {r["bucket"]: (r["n_rows"], r["digest_sum"])
+          for r in bucket_digests(a, "k", ["v", "tag"], 32).collect()}
+    db = {r["bucket"]: (r["n_rows"], r["digest_sum"])
+          for r in bucket_digests(a, "k", ["v", "tag"], 32).collect()}
+    assert da == db
