@@ -87,6 +87,7 @@ AUDITED = [
     "q_sentences",
     "q_pagerank",
     "q_mad_outliers",
+    "q_table_diff",
     "flagship",
 ]
 
