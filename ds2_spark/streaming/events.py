@@ -556,3 +556,36 @@ def run_master_stream_once(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_filter_to_parquet(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Checkpointed exactly-once file pipeline: filter the event
+    stream and append to a parquet sink, with the offset log +
+    sink commit log under checkpoint_dir. Restarting with the SAME
+    checkpoint resumes from the recorded offsets — files already
+    committed are never reprocessed (the streaming counterpart of the
+    batch lineage/wave resume in sources/lineage.py). Runs one
+    availableNow pass and returns when the backlog is drained."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_dir)
+    )
+    out = stream.where(F.col("value") > 1.0).select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -607,3 +607,41 @@ def test_master_chain_stream_matches_batch(spark, tmp_path):
     got, exp = snap(stream_out), snap(batch_out)
     assert got == exp and len(got) == 40
     assert any(v[4] for v in got.values())  # real payloads flowed through
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Exactly-once across a stream RESTART: drain a 3-file backlog to
+    a checkpointed parquet sink, add 3 more files, restart with the
+    same checkpoint — the second run must process ONLY the new files;
+    the final sink holds every qualifying row exactly once."""
+    from ds2_spark.streaming.events import run_filter_to_parquet
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    half_a = src.where(F.col("event_id") % 2 == 0)
+    half_b = src.where(F.col("event_id") % 2 == 1)
+
+    ev_dir = str(tmp_path / "ev_ckpt")
+    out_dir = str(tmp_path / "sink")
+    ck_dir = str(tmp_path / "ckpt")
+    os.makedirs(ev_dir)
+    half_a.repartition(3).write.mode("append").parquet(ev_dir)
+    run_filter_to_parquet(spark, ev_dir, out_dir, ck_dir)
+    n_first = spark.read.parquet(out_dir).count()
+
+    half_b.repartition(3).write.mode("append").parquet(ev_dir)
+    run_filter_to_parquet(spark, ev_dir, out_dir, ck_dir)
+
+    got = {
+        r["event_id"]: (r["event_type"], r["cents"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        r["event_id"]: (
+            r["event_type"],
+            int(round(r["value"] * 100)),
+        )
+        for r in src.where(F.col("value") > 1.0).collect()
+    }
+    assert len(got) == len(exp)          # no duplicates (exactly once)
+    assert got == exp                    # no loss, values intact
+    assert 0 < n_first < len(exp)        # the restart really was partial
