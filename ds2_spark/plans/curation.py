@@ -104,6 +104,7 @@ def curation_pipeline(
     checkpoint_root: str | None = None,
     run_id: str = "run0",
     n_waves: int = 8,
+    waves_per_commit: int | None = None,
 ) -> dict:
     """Returns dict with `decisions` DataFrame + per-stage artifacts.
 
@@ -113,6 +114,10 @@ def curation_pipeline(
     With checkpoint_root set, the heavy per-row stages (rules+features,
     embedding) run through the _lineage wave-checkpoint protocol
     (sources/lineage.py) and resume exactly after failure.
+    `waves_per_commit` is passed through to run_stage: the default
+    (None) gives one input scan per stage with stage-level resume;
+    1 gives the finest failure granularity (a crash loses at most one
+    wave) at the cost of one scan per wave.
     """
     cfg = cfg or PipelineConfig()
 
@@ -150,7 +155,7 @@ def curation_pipeline(
 
         rules = run_stage(
             spark, clips, _rules_stage, checkpoint_root, run_id, "rules",
-            n_waves=n_waves,
+            n_waves=n_waves, waves_per_commit=waves_per_commit,
         )
         candidates = rules.filter(F.col("keep_rules"))
         emb_df = run_stage(
@@ -161,6 +166,7 @@ def curation_pipeline(
             run_id,
             "embed",
             n_waves=n_waves,
+            waves_per_commit=waves_per_commit,
         )
     else:
         # non-checkpointed path: persist the expensive UDF stages — the
