@@ -94,6 +94,88 @@ def calibrate_rater(
     return hoc_res, curated
 
 
+_RULE_COLS = (
+    "clip_id", "transcript", "transcript_scrubbed", "lang",
+    "lang_margin", "ppl", "n_chars", "reason", "keep_rules",
+)
+
+
+def make_rules_stage(cfg: PipelineConfig, audio: DataFrame | None = None):
+    """The per-row rules+features stage as a pure lazy transform
+    (run_stage-compatible), shared by the one-shot pipeline and the
+    incremental delta path so the two can never drift."""
+
+    def _rules_stage(c: DataFrame) -> DataFrame:
+        if audio is not None:
+            # caller supplied a separate (e.g. full-decode) sanity table:
+            # keyed join, bytes never in the shuffle
+            return rule_decisions(transcript_features(c, cfg), audio, cfg).select(
+                *_RULE_COLS
+            )
+        # Default: JVM-only metadata sanity computed IN PLACE on the same
+        # frame (audio_sanity_exprs — the streaming twin's shape). The
+        # former audio_sanity_fast(c) ⋈ features(c) form scanned clips
+        # twice and shuffled the transcript payload through the join;
+        # in-place exprs make rules ONE scan → project → (pandas UDFs)
+        # with no exchange at all — the shape that scales to 100 TB.
+        from ..operators.audio import audio_sanity_exprs
+
+        aud = audio_sanity_exprs(
+            cfg.quality.dur_tolerance, cfg.quality.pcm16_alias_codecs
+        )
+        enriched = c.withColumn("pcm_ok", aud["pcm_ok"]).withColumn(
+            "dur_ok", aud["dur_ok"]
+        )
+        feats = transcript_features(enriched, cfg, keep_cols=("pcm_ok", "dur_ok"))
+        return rule_decisions(feats, audio=None, cfg=cfg).select(*_RULE_COLS)
+
+    return _rules_stage
+
+
+def score_candidates(
+    candidates: DataFrame,
+    curated: DataFrame,
+    rater_scores: DataFrame,
+    lt: DataFrame,
+) -> DataFrame:
+    """Per-clip scored rows (clip_id, final_score, lt_score): curated
+    (pool-model) score where the calibration covered the clip, raw
+    rater score otherwise, long-tail score left-joined. Pure per-row
+    given (curated, rater_scores, lt) — the frozen-model apply path
+    (plans/incremental) relies on that purity for exact parity."""
+    return (
+        candidates.select("clip_id")
+        .join(curated.select("clip_id", "final_score"), "clip_id", "left")
+        .join(rater_scores, "clip_id", "left")
+        .withColumn(
+            "final_score",
+            F.coalesce("final_score", "raw_score", F.lit(0)).cast("int"),
+        )
+        .join(lt, "clip_id", "left")
+        .na.fill({"lt_score": 0.0})
+    )
+
+
+def attach_selection(reasons: DataFrame, selected: DataFrame) -> DataFrame:
+    """Final decisions table from rule reasons + selection output."""
+    return (
+        reasons.select("clip_id", "reason")
+        .join(
+            selected.select("clip_id", "selected", "final_score", "lt_score"),
+            "clip_id",
+            "left",
+        )
+        .withColumn(
+            "reason",
+            F.when(F.col("reason") != "candidate", F.col("reason"))
+            .when(F.col("selected"), F.lit("selected"))
+            .otherwise(F.lit("low_score")),
+        )
+        .withColumn("keep", F.col("reason") == "selected")
+        .select("clip_id", "keep", "reason", "final_score", "lt_score")
+    )
+
+
 def curation_pipeline(
     spark: SparkSession,
     clips: DataFrame,
@@ -121,34 +203,7 @@ def curation_pipeline(
     """
     cfg = cfg or PipelineConfig()
 
-    _RULE_COLS = (
-        "clip_id", "transcript", "transcript_scrubbed", "lang",
-        "lang_margin", "ppl", "n_chars", "reason", "keep_rules",
-    )
-
-    def _rules_stage(c: DataFrame) -> DataFrame:
-        if audio is not None:
-            # caller supplied a separate (e.g. full-decode) sanity table:
-            # keyed join, bytes never in the shuffle
-            return rule_decisions(transcript_features(c, cfg), audio, cfg).select(
-                *_RULE_COLS
-            )
-        # Default: JVM-only metadata sanity computed IN PLACE on the same
-        # frame (audio_sanity_exprs — the streaming twin's shape). The
-        # former audio_sanity_fast(c) ⋈ features(c) form scanned clips
-        # twice and shuffled the transcript payload through the join;
-        # in-place exprs make rules ONE scan → project → (pandas UDFs)
-        # with no exchange at all — the shape that scales to 100 TB.
-        from ..operators.audio import audio_sanity_exprs
-
-        aud = audio_sanity_exprs(
-            cfg.quality.dur_tolerance, cfg.quality.pcm16_alias_codecs
-        )
-        enriched = c.withColumn("pcm_ok", aud["pcm_ok"]).withColumn(
-            "dur_ok", aud["dur_ok"]
-        )
-        feats = transcript_features(enriched, cfg, keep_cols=("pcm_ok", "dur_ok"))
-        return rule_decisions(feats, audio=None, cfg=cfg).select(*_RULE_COLS)
+    _rules_stage = make_rules_stage(cfg, audio)
 
     if checkpoint_root:
         from ..sources.lineage import run_stage
@@ -183,41 +238,17 @@ def curation_pipeline(
 
     lt = lt_scores(emb_df, pool_emb, pool_ids, k=cfg.vote.k)
 
-    scored = (
-        candidates.select("clip_id")
-        .join(curated.select("clip_id", "final_score"), "clip_id", "left")
-        .join(
-            scores.filter(F.col("rater") == rater).select("clip_id", "raw_score"),
-            "clip_id",
-            "left",
-        )
-        .withColumn(
-            "final_score",
-            F.coalesce("final_score", "raw_score", F.lit(0)).cast("int"),
-        )
-        .join(lt, "clip_id", "left")
-        .na.fill({"lt_score": 0.0})
+    scored = score_candidates(
+        candidates,
+        curated,
+        scores.filter(F.col("rater") == rater).select("clip_id", "raw_score"),
+        lt,
     ).persist()
     n_candidates = scored.count()
     budget = max(int(round(cfg.selection.budget_frac * n_candidates)), 1)
     selected = select_subset(scored, budget)
 
-    decisions = (
-        rules.select("clip_id", "reason")
-        .join(
-            selected.select("clip_id", "selected", "final_score", "lt_score"),
-            "clip_id",
-            "left",
-        )
-        .withColumn(
-            "reason",
-            F.when(F.col("reason") != "candidate", F.col("reason"))
-            .when(F.col("selected"), F.lit("selected"))
-            .otherwise(F.lit("low_score")),
-        )
-        .withColumn("keep", F.col("reason") == "selected")
-        .select("clip_id", "keep", "reason", "final_score", "lt_score")
-    )
+    decisions = attach_selection(rules, selected)
     persisted = [scored, curated]
     if not checkpoint_root:
         persisted += [rules, emb_df]

@@ -217,9 +217,15 @@ def run_stage(
         )
 
     # partition-pruned read-back restricted to THIS run's wave range —
-    # stale partitions from a prior larger-n_waves run are excluded
-    return (
-        spark.read.parquet(out_dir)
-        .filter(F.col("_wave") < n_waves)
-        .drop("_wave")
-    )
+    # stale partitions from a prior larger-n_waves run are excluded.
+    # A stage whose output is entirely empty (e.g. a delta batch where
+    # no row survives an upstream filter) writes NO files, so the
+    # read-back cannot infer a schema; return an empty frame with the
+    # stage's analyzed schema instead (stage_fn is lazy-pure by
+    # contract, so deriving the schema is plan analysis, not work).
+    try:
+        read_back = spark.read.parquet(out_dir)
+    except Exception:
+        schema = stage_fn(input_df.limit(0)).schema
+        return spark.createDataFrame([], schema)
+    return read_back.filter(F.col("_wave") < n_waves).drop("_wave")
