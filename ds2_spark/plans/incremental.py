@@ -77,8 +77,16 @@ CAL_DIR = "calibration"
 SNAP_DIR = "scored_snapshot"
 
 # snapshot row shape: per-clip scalars only — bytes/transcripts never
-# enter the snapshot, so the LWW merge shuffles ~50 bytes/clip
-_SNAP_COLS = ("clip_id", "reason", "lang", "final_score", "lt_score", "version")
+# enter the snapshot, so the LWW merge shuffles ~50 bytes/clip.
+# `version` is the LWW rank (the batch that last WROTE the row);
+# `src_batch` is the batch whose checkpointed stage outputs (rules_b*/
+# embed_b*) produced the row's features — a recalibration re-score
+# bumps version but preserves src_batch, so a later recalibration can
+# still find every clip's stage rows on disk.
+_SNAP_COLS = (
+    "clip_id", "reason", "lang", "final_score", "lt_score",
+    "version", "src_batch",
+)
 
 
 @dataclass
@@ -216,23 +224,31 @@ def _per_clip_rows(
     frozen: FrozenCalibration,
     cfg: PipelineConfig,
     batch_id: int,
+    src: DataFrame | None = None,
 ) -> DataFrame:
     """Snapshot rows for one batch of clips under the frozen model —
     pure per-row given (frozen, curated): rule reason + langid for
     every clip; frozen-model final_score + long-tail score for
-    candidates (NULL otherwise, exactly like the one-shot decisions)."""
+    candidates (NULL otherwise, exactly like the one-shot decisions).
+    `src` (clip_id, src_batch) overrides the default src_batch ==
+    batch_id — recalibration re-scores preserve each clip's original
+    stage-output batch."""
     candidates = rules.filter(F.col("keep_rules"))
     lt = lt_scores(emb_df, frozen.pool_emb, frozen.pool_ids, k=cfg.vote.k)
     rater_scores = scores.filter(F.col("rater") == frozen.rater).select(
         "clip_id", "raw_score"
     )
     scored = score_candidates(candidates, curated, rater_scores, lt)
-    return (
+    rows = (
         rules.select("clip_id", "reason", "lang")
         .join(scored.select("clip_id", "final_score", "lt_score"), "clip_id", "left")
         .withColumn("version", F.lit(int(batch_id)))
-        .select(*_SNAP_COLS)
     )
+    if src is None:
+        rows = rows.withColumn("src_batch", F.lit(int(batch_id)))
+    else:
+        rows = rows.join(src.select("clip_id", "src_batch"), "clip_id", "inner")
+    return rows.select(*_SNAP_COLS)
 
 
 def write_snapshot_batch(rows: DataFrame, root: str, batch_id: int) -> None:
@@ -466,6 +482,91 @@ def incremental_update(
         "decisions": decisions,
         "snapshot": snapshot,
         "drift": drift,
+        "budget": budget,
+        "model_version": frozen.model_version,
+    }
+
+
+def _winning_stage_rows(
+    spark: SparkSession, root: str, prefix: str, snapshot: DataFrame
+) -> DataFrame:
+    """Union the per-batch checkpointed stage outputs (rules_b*/
+    embed_b*) and keep, per clip, the row from the batch that won the
+    snapshot's LWW merge — i.e. the stage output that produced the
+    clip's current scalar row. This is what makes recalibration cheap:
+    the expensive per-row stage outputs are already on disk, keyed by
+    batch, so a model refit never re-runs langid/ppl/embedding."""
+    parts = []
+    for name in sorted(os.listdir(root)):
+        if not name.startswith(prefix):
+            continue
+        try:
+            batch = int(name[len(prefix):])
+        except ValueError:
+            continue
+        try:
+            df = spark.read.parquet(os.path.join(root, name))
+        except Exception:
+            # a batch whose stage output was entirely empty wrote no
+            # files (see run_stage's empty-output note) — contributes
+            # no rows by definition
+            continue
+        parts.append(df.drop("_wave").withColumn("_b", F.lit(batch)))
+    if not parts:
+        raise ValueError(f"no {prefix}* stage outputs under {root}")
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    keys = snapshot.select(
+        "clip_id", F.col("src_batch").alias("_b")
+    )
+    return union.join(keys, ["clip_id", "_b"], "inner").drop("_b")
+
+
+def recalibrate(
+    spark: SparkSession,
+    scores: DataFrame,
+    root: str,
+    batch_id: int,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Refit the calibration on the CURRENT corpus and re-score the
+    snapshot — the action the drift monitor's `recalibrate` flag asks
+    for. Cost shape: the per-row UDF stages (langid/ppl/embedding —
+    the dominant compute) are NOT re-run; their checkpointed outputs
+    are joined back per clip (winning batch only), so a refit costs
+    one bounded pool fit + the long-tail/selection re-score over
+    scalar and embedding columns already on disk.
+
+    The new model is saved with model_version+1 and the re-scored
+    rows land as snapshot batch `batch_id` (must be a fresh monotonic
+    id), winning the LWW merge over every older row. Exactness
+    contract (tests/test_incremental.py): recalibrating a corpus that
+    arrived as bootstrap+deltas produces decisions identical to a
+    fresh bootstrap over the union — same pool, same solver, same
+    selection."""
+    cfg = cfg or PipelineConfig()
+    old_frozen, _old_curated = load_calibration(spark, root)
+    snapshot = read_snapshot(spark, root)
+    rules = _winning_stage_rows(spark, root, "rules_b", snapshot)
+    emb = _winning_stage_rows(spark, root, "embed_b", snapshot)
+    frozen, live_curated = fit_frozen(
+        spark, rules, emb, scores, cfg, old_frozen.rater,
+        model_version=old_frozen.model_version + 1,
+    )
+    save_calibration(frozen, live_curated, root)
+    live_curated.unpersist()
+    frozen, curated = load_calibration(spark, root)
+    rows = _per_clip_rows(
+        rules, emb, scores, curated, frozen, cfg, batch_id,
+        src=snapshot.select("clip_id", "src_batch"),
+    )
+    write_snapshot_batch(rows, root, batch_id)
+    new_snapshot = read_snapshot(spark, root)
+    decisions, budget = finalize_decisions(new_snapshot, cfg)
+    return {
+        "decisions": decisions,
+        "snapshot": new_snapshot,
         "budget": budget,
         "model_version": frozen.model_version,
     }

@@ -34,6 +34,7 @@ from ds2_spark.plans.incremental import (
     incremental_update,
     load_calibration,
     read_snapshot,
+    recalibrate,
 )
 from ds2_spark.sources.lineage import read_lineage, read_metrics
 
@@ -136,6 +137,31 @@ def test_incremental_story_exact(spark, clips_df, boot):
     assert n == clips_df.count()
     dec_after, _ = finalize_decisions(read_snapshot(spark, root), SMALL)
     assert _dec(dec_after) == _dec(res2["decisions"])
+
+    # ---- recalibration: refit on the grown corpus WITHOUT re-running
+    # the per-row UDF stages (stage outputs are joined back from the
+    # per-batch checkpoints). Must equal a fresh bootstrap over the
+    # corpus as it now stands (victim's transcript re-crawled empty).
+    rec = recalibrate(spark, scores, root, batch_id=3, cfg=SMALL)
+    assert rec["model_version"] == 1
+    current_corpus = clips_df.withColumn(
+        "transcript",
+        F.when(F.col("clip_id") == victim, F.lit("")).otherwise(
+            F.col("transcript")
+        ),
+    )
+    fresh_root = root + "_fresh"
+    fresh = bootstrap_curation(
+        spark, current_corpus, scores, fresh_root, SMALL,
+        rater="rater_a", n_waves=N_WAVES,
+    )
+    assert _dec(rec["decisions"]) == _dec(fresh["decisions"])
+    assert rec["budget"] == fresh["budget"]
+    # src_batch survives the re-score: every clip's stage rows are
+    # still discoverable for a future second recalibration
+    snap3 = read_snapshot(spark, root)
+    assert snap3.filter(F.col("version") != 3).count() == 0
+    assert snap3.filter(F.col("src_batch") > 2).count() == 0
 
 
 def test_drift_monitor_fire_and_no_fire(spark, clips_df, fixture_paths, boot):
