@@ -84,6 +84,8 @@ HEADLINE = [
     "q_pagerank",
     "q_mad_outliers",
     "q_table_diff",
+    "q_rater_agreement",
+    "q_crossmodal_dup",
     "q_repetition_filter",
     "q_decontaminate",
     "q_tfidf_top_terms",

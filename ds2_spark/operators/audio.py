@@ -882,7 +882,10 @@ AUDIO_FP_SCHEMA = "clip_id string, fp bigint, n_frames int"
 
 
 def audio_fingerprint(
-    clips: DataFrame, frame_samples: int = 8, max_bits: int = 60
+    clips: DataFrame,
+    frame_samples: int = 8,
+    max_bits: int = 60,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Energy-delta acoustic fingerprint (simplified Haitsma-Kalker
     sign-of-band-energy-difference scheme, collapsed to one band) —
@@ -907,8 +910,18 @@ def audio_fingerprint(
 
     Rows whose payload is NULL/empty get fp NULL; clips with fewer
     than 2 whole frames get fp 0 (no deltas).
+
+    `passthrough` names small scalar columns to carry through the
+    Arrow pass unchanged (e.g. a transcript hash for the cross-modal
+    consistency operator) — the alternative, joining them back on
+    clip_id afterwards, is a second scan plus an item-keyed shuffle
+    at 10^12 rows. Keep payload-sized columns out of it.
     """
-    pruned = clips.select("clip_id", "bytes")
+    pruned = clips.select("clip_id", "bytes", *passthrough)
+    pass_fields = [pruned.schema[c] for c in passthrough]
+    out_schema = AUDIO_FP_SCHEMA + "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in pass_fields
+    )
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fs = frame_samples
@@ -947,21 +960,19 @@ def audio_fingerprint(
                 rising[1:] = energy[1:] > energy[:-1]
                 sel = (local >= 1) & (local <= max_bits) & rising
                 np.add.at(fp, owner[sel], np.int64(1) << (local[sel] - 1))
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "fp": pd.array(
-                        [
-                            None if nu else int(v)
-                            for nu, v in zip(isnull, fp)
-                        ],
-                        dtype="Int64",
-                    ),
-                    "n_frames": nframes.astype(np.int32),
-                }
-            )
+            cols = {
+                "clip_id": pdf["clip_id"],
+                "fp": pd.array(
+                    [None if nu else int(v) for nu, v in zip(isnull, fp)],
+                    dtype="Int64",
+                ),
+                "n_frames": nframes.astype(np.int32),
+            }
+            for c in passthrough:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
-    return pruned.mapInPandas(_op, schema=AUDIO_FP_SCHEMA)
+    return pruned.mapInPandas(_op, schema=out_schema)
 
 
 def _concat_aranges(lengths: np.ndarray) -> np.ndarray:

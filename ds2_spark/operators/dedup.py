@@ -411,14 +411,59 @@ def canonical_docs(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Keep-one-per-cluster dedup: drop every row whose id belongs to
-    a near-dup component but is not its canonical (minimum) member.
-    One components computation + one broadcast-size semi/anti join in
-    the common case (the drop list is |dups| - |clusters| rows — tiny
-    relative to the corpus)."""
+    a near-dup component but is not its canonical member.
+
+    Default (quality_col None): canonical = minimum id — cheapest and
+    resume-stable, one components computation + one anti join (the
+    drop list is |dups| - |clusters| rows, tiny vs the corpus).
+
+    With `quality_col`: canonical = the cluster member with the
+    HIGHEST quality (ties -> lowest id), which is what production
+    dedup actually wants — near-dup clusters mix crawls of different
+    completeness/cleanliness and min-id keeps an arbitrary one. Costs
+    one extra keyed join (cluster members x their quality — |dups|
+    rows, not the corpus) + a per-component window over clusters
+    whose size is the dup population only.
+    """
     comp = connected_components(pairs)
-    drop = comp.where(F.col("comp") != F.col("id")).select(
-        F.col("id").alias(id_col)
-    )
+    if quality_col is None:
+        drop = comp.where(F.col("comp") != F.col("id")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drop, id_col, "left_anti")
+    ranked = canonical_ranks(df, comp, id_col, quality_col)
+    drop = ranked.where(F.col("kept") == 0).select(id_col)
     return df.join(drop, id_col, "left_anti")
+
+
+def canonical_ranks(
+    df: DataFrame,
+    comp: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-ranked cluster membership: for each id in `comp`
+    ((id, comp) from connected_components), its cluster size, quality
+    rank (1 = best: highest quality, ties by lowest id — a TOTAL
+    order, so both the engine and any SQL twin pick the same winner),
+    and kept flag. The window partitions by component over the dup
+    population only; quality joins in via one keyed join of ids +
+    one scalar column."""
+    q = df.select(
+        F.col(id_col).alias("id"), F.col(quality_col).alias("_q")
+    )
+    labeled = comp.join(q, "id")
+    w = Window.partitionBy("comp").orderBy(
+        F.col("_q").desc(), F.col("id").asc()
+    )
+    return labeled.select(
+        F.col("id").alias(id_col),
+        "comp",
+        F.count("*").over(Window.partitionBy("comp")).alias("cluster_size"),
+        F.col("_q").alias("quality"),
+        F.row_number().over(w).alias("q_rank"),
+        (F.row_number().over(w) == 1).cast("int").alias("kept"),
+    )

@@ -905,19 +905,21 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def _le16_hex(v):
+    """hex of one int16 sample, little-endian byte order, as a Spark
+    SQL expression (4 hex chars; caller guarantees int16 range)."""
+    u = F.when(v < 0, v + 65536).otherwise(v)
+    h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
+    return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
 def _synth_pcm16_hex(n, sample):
     """PCM16-LE payload synthesized IN SPARK SQL EXPRESSIONS from a
     closed-form per-sample function `sample(i) -> Column` (n samples),
     so a DuckDB oracle can recompute identical bytes/energies from the
     same formula while Spark exercises real binary decode kernels."""
-
-    def _le16(v):
-        u = F.when(v < 0, v + 65536).otherwise(v)
-        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
-        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
-
     hexstr = F.array_join(
-        F.transform(F.sequence(F.lit(0), n - 1), lambda i: _le16(sample(i))),
+        F.transform(F.sequence(F.lit(0), n - 1), lambda i: _le16_hex(sample(i))),
         "",
     )
     return F.to_binary(hexstr, F.lit("hex"))
@@ -2748,6 +2750,133 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("custkey")
 
 
+def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa between three deterministic LLM raters
+    (operators/agreement.py — the cheap pre-calibration diagnostic
+    for DS2-style noisy-rating curation: the rater whose kappa is low
+    against every peer is the one whose transition matrix the
+    calibration must fix). Ratings are closed-form in event_id —
+    rater llm_a is the base 1..5 label, llm_b shifts the label by one
+    on every 7th item, llm_c by two on every 3rd — so the DuckDB twin
+    rebuilds the identical rating table and recomputes confusion,
+    marginals, po and kappa natively. po and kappa are each ONE
+    IEEE-754 division of two exact int64s (NOTES.md #49), so the
+    doubles hash-match bit-for-bit with no rounding grid."""
+    from .operators.agreement import pairwise_rater_agreement
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.col("event_id") % 5 + 1
+    l_b = F.when(F.col("event_id") % 7 == 0, base % 5 + 1).otherwise(base)
+    l_c = F.when(F.col("event_id") % 3 == 0, (base + 1) % 5 + 1).otherwise(
+        base
+    )
+    parts = [
+        ev.select(
+            F.col("event_id").alias("clip_id"),
+            F.lit(name).alias("rater"),
+            lab.cast("int").alias("label"),
+        )
+        for name, lab in (("llm_a", base), ("llm_b", l_b), ("llm_c", l_c))
+    ]
+    scores = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return pairwise_rater_agreement(scores).orderBy("rater_a", "rater_b")
+
+
+def q_crossmodal_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate consistency (operators/crossmodal.py):
+    identical-audio groups with conflicting transcripts (annotation
+    inconsistency) and identical-transcript groups spanning distinct
+    audio (re-read/multi-take pattern), in one pass over the bytes.
+
+    Synthesis plants both patterns closed-form: clips sharing
+    g = event_id % 211 play the same per-frame-constant PCM16 series
+    (samples constant within each 8-sample frame — NOTES.md #33
+    discipline: the fingerprint only sees frame abs-sums, so one
+    interpreted-HOF element per FRAME synthesizes 8 samples), while
+    the transcript is 'utt <g>' with an ' alt' variant on every third
+    take (var = event_id div 211) — so every multi-take audio group
+    with an alt member is a genuine transcript conflict, and the base
+    transcript of a group spans exactly one fp (audio_variant fires
+    only where NULL-payload takes carve a transcript group in two).
+    Every 11th payload and every 13th transcript is NULL (no-group
+    paths). The DuckDB twin re-derives fingerprints from the frame
+    formula and both groupings natively."""
+    from .operators.crossmodal import crossmodal_consistency
+
+    ev = _t(spark, sf_dir, "events")
+    g = F.col("event_id") % 211
+    var = F.expr("event_id div 211")
+    nf = (61 + g % 3).cast("int")
+
+    def _frame_val(f):
+        h = g * 8191 + f
+        return ((h * h) % 2147483648 * 31 + h) % 2147483648 % 201 - 100
+
+    hexstr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nf - 1),
+            lambda f: F.repeat(_le16_hex(_frame_val(f)), 8),
+        ),
+        "",
+    )
+    payload = F.when(
+        F.col("event_id") % 11 == 0, F.lit(None).cast("binary")
+    ).otherwise(F.to_binary(hexstr, F.lit("hex")))
+    transcript = F.when(
+        F.col("event_id") % 13 == 0, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.lit("utt "),
+            g.cast("string"),
+            F.when(var % 3 == 1, F.lit(" alt")).otherwise(F.lit("")),
+        )
+    )
+    clips = ev.select(
+        F.col("event_id").cast("string").alias("clip_id"),
+        payload.alias("bytes"),
+        transcript.alias("transcript"),
+    )
+    out = crossmodal_consistency(clips)
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        "fp",
+        "t_hash",
+        "audio_dup_count",
+        "n_transcripts",
+        "transcript_conflict",
+        "text_dup_count",
+        "n_audio",
+        "audio_variant",
+    ).orderBy("clip_id")
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one dedup (operators/dedup.canonical_ranks):
+    the same SimHash-banding -> connected-components clustering as
+    q_dedup_clusters, but the kept member per cluster is the HIGHEST
+    QUALITY one (here n_chars — keep the longest crawl; ties by
+    lowest doc_id, a total order both engines replay), not min-id.
+    The DuckDB oracle recomputes reachability with its recursive CTE
+    (independent fixpoint algorithm) and applies the identical
+    row_number ranking — cross-checking both the clustering and the
+    selection."""
+    from .operators.dedup import (
+        canonical_ranks,
+        connected_components,
+        simhash64,
+        simhash_banded_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash64(docs, id_col="doc_id", text_col="text")
+    pairs = simhash_banded_pairs(sig, max_dist=3)
+    comp = connected_components(
+        pairs, vertices=docs.select(F.col("doc_id").alias("id"))
+    )
+    ranked = canonical_ranks(docs, comp, id_col="doc_id", quality_col="n_chars")
+    return ranked.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -2835,6 +2964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_funnel": q_funnel,
         "q_ivf_topk": q_ivf_topk,
+        "q_rater_agreement": q_rater_agreement,
+        "q_crossmodal_dup": q_crossmodal_dup,
+        "q_dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -5287,6 +5419,129 @@ def _flagship_oracle_sql(sf_dir: str | None = None) -> str:
                 AND CAST(m.ppl_raw AS DOUBLE) <= 40.0) AS keep
         FROM t JOIN m USING (doc_id)
     """
+
+
+# rebuilds the three closed-form rating columns, then recomputes the
+# pairwise confusion, marginals, po and kappa natively; po/kappa are
+# each one IEEE division of two exact integers so the doubles are
+# bit-identical (NOTES.md #49)
+ORACLE_SQL["q_rater_agreement"] = """
+    WITH base AS (SELECT event_id, event_id % 5 + 1 AS b FROM events),
+    r AS (
+      SELECT event_id AS clip_id, 'llm_a' AS rater, b AS label FROM base
+      UNION ALL
+      SELECT event_id, 'llm_b',
+             CASE WHEN event_id % 7 = 0 THEN b % 5 + 1 ELSE b END FROM base
+      UNION ALL
+      SELECT event_id, 'llm_c',
+             CASE WHEN event_id % 3 = 0 THEN (b + 1) % 5 + 1 ELSE b END
+      FROM base
+    ),
+    j AS (SELECT x.rater AS rater_a, y.rater AS rater_b,
+                 x.label AS la, y.label AS lb
+          FROM r x JOIN r y
+            ON x.clip_id = y.clip_id AND x.rater < y.rater),
+    conf AS (SELECT rater_a, rater_b, la, lb, count(*) AS c
+             FROM j GROUP BY 1, 2, 3, 4),
+    rm AS (SELECT rater_a, rater_b, la, CAST(sum(c) AS BIGINT) AS row_c
+           FROM conf GROUP BY 1, 2, 3),
+    cm AS (SELECT rater_a, rater_b, lb, CAST(sum(c) AS BIGINT) AS col_c
+           FROM conf GROUP BY 1, 2, 3),
+    pe AS (SELECT rm.rater_a, rm.rater_b,
+                  CAST(sum(row_c * col_c) AS BIGINT) AS pe_num
+           FROM rm JOIN cm ON rm.rater_a = cm.rater_a
+                          AND rm.rater_b = cm.rater_b AND rm.la = cm.lb
+           GROUP BY 1, 2),
+    tot AS (SELECT rater_a, rater_b, CAST(sum(c) AS BIGINT) AS n_items,
+                   CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT)
+                     AS n_agree
+            FROM conf GROUP BY 1, 2)
+    SELECT t.rater_a, t.rater_b, t.n_items, t.n_agree, p.pe_num,
+           t.n_agree / t.n_items AS po,
+           CASE WHEN t.n_items * t.n_items - p.pe_num <> 0
+                THEN (t.n_agree * t.n_items - p.pe_num)
+                     / (t.n_items * t.n_items - p.pe_num)
+           END AS kappa
+    FROM tot t JOIN pe p ON t.rater_a = p.rater_a AND t.rater_b = p.rater_b
+    ORDER BY t.rater_a, t.rater_b
+"""
+
+# re-derives the per-frame-constant fingerprints from the synthesis
+# formula (frame energy = 8*abs(c)), the md5 transcript hashes, and
+# both consistency groupings natively
+ORACLE_SQL["q_crossmodal_dup"] = """
+    WITH t AS (SELECT event_id, event_id % 211 AS g, event_id // 211 AS var,
+                      61 + (event_id % 211) % 3 AS nf
+               FROM events),
+    u AS (SELECT event_id, g, nf, unnest(range(0, nf)) AS lf FROM t),
+    e AS (SELECT event_id, lf,
+                 8 * abs((((g*8191+lf)*(g*8191+lf)) % 2147483648 * 31
+                          + g*8191+lf) % 2147483648 % 201 - 100) AS energy
+          FROM u),
+    b AS (SELECT event_id, lf,
+                 CASE WHEN energy > lag(energy) OVER (
+                        PARTITION BY event_id ORDER BY lf)
+                      THEN 1 ELSE 0 END AS bit
+          FROM e),
+    fp0 AS (SELECT event_id,
+                   CAST(coalesce(sum(CASE WHEN lf BETWEEN 1 AND 60
+                          THEN bit * (CAST(1 AS BIGINT) << CAST(lf - 1 AS INT))
+                          END), 0) AS BIGINT) AS fp
+            FROM b GROUP BY 1),
+    r AS (SELECT t.event_id AS clip_id,
+                 CASE WHEN t.event_id % 11 = 0 THEN NULL ELSE fp0.fp END AS fp,
+                 CASE WHEN t.event_id % 13 = 0 THEN NULL
+                      ELSE md5('utt ' || t.g ||
+                               CASE WHEN t.var % 3 = 1 THEN ' alt' ELSE '' END)
+                 END AS t_hash
+          FROM t JOIN fp0 ON fp0.event_id = t.event_id),
+    af AS (SELECT fp, CAST(count(*) AS BIGINT) AS audio_dup_count,
+                  CAST(count(DISTINCT t_hash) AS BIGINT) AS n_transcripts
+           FROM r WHERE fp IS NOT NULL GROUP BY 1),
+    tx AS (SELECT t_hash, CAST(count(*) AS BIGINT) AS text_dup_count,
+                  CAST(count(DISTINCT fp) AS BIGINT) AS n_audio
+           FROM r WHERE t_hash IS NOT NULL GROUP BY 1)
+    SELECT r.clip_id, r.fp, r.t_hash,
+           coalesce(af.audio_dup_count, 0) AS audio_dup_count,
+           coalesce(af.n_transcripts, 0) AS n_transcripts,
+           CAST(coalesce(af.n_transcripts, 0) > 1 AS INT)
+             AS transcript_conflict,
+           coalesce(tx.text_dup_count, 0) AS text_dup_count,
+           coalesce(tx.n_audio, 0) AS n_audio,
+           CAST(coalesce(tx.n_audio, 0) > 1 AS INT) AS audio_variant
+    FROM r
+    LEFT JOIN af ON af.fp = r.fp
+    LEFT JOIN tx ON tx.t_hash = r.t_hash
+    ORDER BY clip_id
+"""
+
+# quality-aware keep-one twin: recursive-CTE reachability (same
+# independent fixpoint as q_dedup_clusters) + the identical
+# highest-quality/lowest-id row_number selection
+ORACLE_SQL["q_dedup_keep_best"] = f"""
+    WITH RECURSIVE pairs AS (
+      {_simhash_neardup_oracle_sql(ordered=False)}
+    ),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY 1),
+    ranked AS (
+      SELECT c.doc_id, c.comp, d.n_chars AS quality,
+             count(*) OVER (PARTITION BY c.comp) AS cluster_size,
+             row_number() OVER (PARTITION BY c.comp
+                                ORDER BY d.n_chars DESC, c.doc_id)
+               AS q_rank
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT doc_id, comp, CAST(cluster_size AS BIGINT) AS cluster_size,
+           quality, CAST(q_rank AS INT) AS q_rank,
+           CAST(q_rank = 1 AS INT) AS kept
+    FROM ranked ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -328,6 +328,43 @@ def test_canonical_docs_keeps_one_per_cluster(spark):
     assert kept == [0, 1, 3, 4, 6, 8, 9]
 
 
+def test_canonical_docs_quality_aware_keeps_best(spark):
+    from ds2_spark.operators.dedup import canonical_docs, canonical_ranks
+    from ds2_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [
+            (i, f"t{i}", q)
+            for i, q in [
+                (0, 5), (1, 3), (2, 9), (3, 4), (4, 7), (5, 7), (6, 1),
+            ]
+        ],
+        "doc_id long, text string, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 6), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in canonical_docs(df, pairs, quality_col="quality").collect()
+    )
+    # {1,2,6}: best quality is doc 2 (q=9); {4,5}: tie q=7 -> lowest
+    # id wins (doc 4); singletons 0 and 3 survive untouched
+    assert kept == [0, 2, 3, 4]
+
+    comp = connected_components(
+        pairs, vertices=df.select(F.col("doc_id").alias("id"))
+    )
+    ranked = {
+        r["doc_id"]: r
+        for r in canonical_ranks(df, comp, quality_col="quality").collect()
+    }
+    assert ranked[2]["kept"] == 1 and ranked[2]["q_rank"] == 1
+    assert ranked[1]["kept"] == 0 and ranked[1]["cluster_size"] == 3
+    assert ranked[4]["kept"] == 1 and ranked[5]["q_rank"] == 2
+    assert ranked[0]["kept"] == 1 and ranked[0]["cluster_size"] == 1
+
+
 def test_connected_components_long_chain_log_rounds(spark):
     """A 220-node chain converges well inside the default round
     budget: pointer jumping gives O(log L) rounds where plain
