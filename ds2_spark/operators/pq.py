@@ -1,0 +1,191 @@
+"""Product quantization (PQ) — compressed-domain ANN for 100 TB-scale
+embedding search.
+
+Public method: Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011). Split each D-dim vector into M
+subvectors; quantize each against a per-subspace codebook of K
+centroids; a vector becomes M small codes (here M=8 bytes vs 64
+floats — 32x less memory). Queries never decompress: asymmetric
+distance computation (ADC) precomputes, per query, an M x K lookup
+table of query-subvector-to-centroid distances, and a candidate's
+approximate distance is M table lookups summed.
+
+Why this is THE scale path beyond IVF/LSH (similarity.py): at 10^12
+vectors the raw float embeddings are ~250 TB and cannot live hot;
+PQ codes are ~8 TB and scan at memory bandwidth. The operators here
+keep the Spark shapes that matter at that size:
+
+  * encode is one vectorized einsum per Arrow batch (mapInPandas) —
+    the only pass that touches raw vectors; output is (id, codes).
+  * the codes relation is the only thing downstream jobs scan/shuffle.
+  * queries ride a BROADCAST of their M x K integer LUTs; the ADC
+    scan is JVM-side array arithmetic over the codes column — no
+    Python, no shuffle of vectors; only (query_id, neighbor_id, dist)
+    ids enter the top-k exchange.
+
+Cross-engine exactness (the repo-wide recipe): embeddings and
+codebooks are quantized to integers (floor(x*scale + 0.5), the
+unified tie rule — NOTES.md #27); every distance is an int64 sum of
+squared integer diffs; argmin ties break to the LOWEST code id
+(np.argmin's first-occurrence == SQL row_number ordered by
+(dist, code)). A DuckDB oracle replays encode + LUT + ADC from the
+same codebook literals and hash-matches bit for bit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pq_train_codebooks(
+    vectors: np.ndarray, m: int, k: int, scale: int, iters: int = 10,
+    seed: int = 0,
+) -> np.ndarray:
+    """Per-subspace k-means on a (driver-side, bounded) training
+    sample -> integer codebooks (m, k, d/m). Seeded and integer-
+    rounded so a given sample always yields the same codebooks.
+    Lloyd iterations in float64, final centroids quantized once."""
+    n, d = vectors.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    sub = vectors.reshape(n, m, dsub)
+    books = np.empty((m, k, dsub), dtype=np.int64)
+    for mi in range(m):
+        x = sub[:, mi, :].astype(np.float64)
+        cents = x[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        books[mi] = np.floor(cents * scale + 0.5).astype(np.int64)
+    return books
+
+
+def _encode_batch(emb: np.ndarray, books: np.ndarray, scale: int) -> np.ndarray:
+    """(n, d) float embeddings -> (n, m) int codes; integer-exact."""
+    n = emb.shape[0]
+    m, k, dsub = books.shape
+    q = np.floor(emb.astype(np.float64) * scale + 0.5).astype(np.int64)
+    sub = q.reshape(n, m, dsub)
+    # (n, m, k) integer distances: ||x||^2 - 2 x.c + ||c||^2
+    # computed as explicit diffs to stay in exact int64
+    diffs = sub[:, :, None, :] - books[None, :, :, :]
+    d2 = (diffs * diffs).sum(axis=3)
+    return d2.argmin(axis=2).astype(np.int32)  # first min == lowest code
+
+
+def _lut_batch(emb: np.ndarray, books: np.ndarray, scale: int) -> np.ndarray:
+    """(n, d) query embeddings -> (n, m, k) int64 ADC lookup tables."""
+    n = emb.shape[0]
+    m, k, dsub = books.shape
+    q = np.floor(emb.astype(np.float64) * scale + 0.5).astype(np.int64)
+    sub = q.reshape(n, m, dsub)
+    diffs = sub[:, :, None, :] - books[None, :, :, :]
+    return (diffs * diffs).sum(axis=3)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """(id, vector) -> (id, codes array<int>). One vectorized einsum-
+    shaped pass per Arrow batch; raw vectors never leave it."""
+    books = np.ascontiguousarray(codebooks, dtype=np.int64)
+    pruned = df.select(id_col, vec_col)
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf[vec_col].to_numpy())
+            codes = _encode_batch(emb, books, quantize_scale)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return pruned.mapInPandas(_op, schema=f"{id_col} long, codes array<int>")
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 3,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """ADC top-k: for each query, the k candidates with the smallest
+    PQ-approximated squared distance (ties -> lowest neighbor id).
+
+    queries: (query_id, <vec_col>) — small (broadcast side).
+    candidates: (neighbor_id, <vec_col>) — the corpus.
+
+    Output: (query_id, neighbor_id, adc_dist, rk). adc_dist is exact
+    int64 given the integer codebooks, so the whole result is
+    hash-comparable against a SQL replay.
+    """
+    books = np.ascontiguousarray(codebooks, dtype=np.int64)
+    m, kk, _ = books.shape
+    codes = pq_encode(
+        candidates, books, vec_col=vec_col, id_col=cand_id,
+        quantize_scale=quantize_scale,
+    )
+
+    def _lut_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf[vec_col].to_numpy())
+            lut = _lut_batch(emb, books, quantize_scale)
+            yield pd.DataFrame(
+                {
+                    query_id: pdf[query_id],
+                    "lut": [
+                        [row.tolist() for row in tab] for tab in lut
+                    ],
+                }
+            )
+
+    luts = queries.select(query_id, vec_col).mapInPandas(
+        _lut_op, schema=f"{query_id} long, lut array<array<bigint>>"
+    )
+    # broadcast the tiny LUT side; ADC = M JVM array lookups per pair.
+    # The Q x N expansion is the DECLARED shape of exhaustive ADC (Q is
+    # the broadcast query batch, N the codes scan — the same scan an
+    # IVF-pruned variant would run per probed cell); no vector data is
+    # in it, only codes + id.
+    joined = codes.crossJoin(F.broadcast(luts))
+    adc = joined.select(
+        query_id,
+        cand_id,
+        F.aggregate(
+            F.zip_with(
+                "codes",
+                "lut",
+                lambda c, row: F.element_at(row, c + F.lit(1)),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(cand_id).asc()
+    )
+    return adc.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )

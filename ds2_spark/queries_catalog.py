@@ -849,6 +849,47 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+# PQ contract config: 8 subspaces x 16 codes over the 64-dim
+# embeddings; fixed integer codebooks (any fixed quantizer is a valid
+# PQ codebook — trained-codebook recall is pinned in pytest) make
+# encode + ADC exact integer arithmetic in both engines.
+_PQ_M, _PQ_K = 8, 16
+
+
+def _pq_contract_codebooks():
+    import numpy as np
+
+    rng = np.random.default_rng(_LSH_SEED + 11)
+    return np.rint(
+        rng.normal(0, 0.35, size=(_PQ_M, _PQ_K, _LSH_DIM // _PQ_M))
+        * _LSH_SCALE
+    ).astype(np.int64)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py — the
+    compressed-domain ANN scale path: vectors become 8 codes, queries
+    broadcast M x K integer lookup tables, and the scan is JVM array
+    arithmetic over the codes relation; raw embeddings are touched
+    only by the one encode pass). Deterministic integer codebooks +
+    quantized embeddings make encode, LUTs, and every ADC distance
+    exact int64 in both engines; ties break to the lowest code /
+    neighbor id (total order both engines replay)."""
+    from .operators.pq import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return pq_topk(
+        q, cand, _pq_contract_codebooks(), k=3,
+        quantize_scale=_LSH_SCALE,
+    ).orderBy("query_id", "rk")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio quality features (zcr / silence / clipping / SNR-spread)
     via the production mapInPandas operator, on synthesized PCM16
@@ -2967,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rater_agreement": q_rater_agreement,
         "q_crossmodal_dup": q_crossmodal_dup,
         "q_dedup_keep_best": q_dedup_keep_best,
+        "q_pq_topk": q_pq_topk,
     }
 
 
@@ -5542,6 +5584,58 @@ ORACLE_SQL["q_dedup_keep_best"] = f"""
            CAST(q_rank = 1 AS INT) AS kept
     FROM ranked ORDER BY doc_id
 """
+
+
+def _pq_oracle_sql() -> str:
+    """PQ twin: the codebooks as a 1024-row VALUES relation (the
+    literal-side-input pattern: LSH planes / IVF centroids / FLAC
+    bitstreams), encode as a grouped integer distance + row_number
+    argmin, ADC as an (m, c) join summed per pair — all int64-exact."""
+    books = _pq_contract_codebooks()
+    m, k, dsub = books.shape
+    rows = ", ".join(
+        f"({mi}, {c}, {d}, {int(books[mi, c, d])})"
+        for mi in range(m)
+        for c in range(k)
+        for d in range(dsub)
+    )
+    return f"""
+        WITH cb(m, c, d, v) AS (VALUES {rows}),
+        e AS (SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * {_LSH_SCALE} + 0.5) AS BIGINT)) AS q
+              FROM embeddings),
+        dist AS (
+          SELECT e.vec_id, cb.m, cb.c,
+                 sum((q[cb.m * {dsub} + cb.d + 1] - cb.v)
+                     * (q[cb.m * {dsub} + cb.d + 1] - cb.v)) AS d2
+          FROM e CROSS JOIN cb
+          GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2 ASC, c ASC) AS rk
+            FROM dist WHERE vec_id >= 5)
+          WHERE rk = 1),
+        lut AS (SELECT vec_id, m, c, d2 FROM dist WHERE vec_id < 5),
+        adc AS (
+          SELECT l.vec_id AS query_id, cd.vec_id AS neighbor_id,
+                 CAST(sum(l.d2) AS BIGINT) AS adc_dist
+          FROM codes cd JOIN lut l ON l.m = cd.m AND l.c = cd.c
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, neighbor_id ASC)
+                   AS rk
+          FROM adc)
+        SELECT query_id, neighbor_id, adc_dist, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk
+    """
+
+
+ORACLE_SQL["q_pq_topk"] = _pq_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
