@@ -128,6 +128,7 @@ def pq_topk(
     cand_id: str = "neighbor_id",
     vec_col: str = "embedding",
     quantize_scale: int = 1000,
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """ADC top-k: for each query, the k candidates with the smallest
     PQ-approximated squared distance (ties -> lowest neighbor id).
@@ -138,6 +139,14 @@ def pq_topk(
     Output: (query_id, neighbor_id, adc_dist, rk). adc_dist is exact
     int64 given the integer codebooks, so the whole result is
     hash-comparable against a SQL replay.
+
+    `rerank_k` is the production composition (PQ cannot micro-order
+    neighbors whose true gaps are below quantization error): take an
+    ADC shortlist of rerank_k (> k), join back ONLY the shortlist's
+    raw vectors (Q * rerank_k ids — the corpus-wide vector column is
+    touched by a keyed semi-join, never scanned into the ranking),
+    re-rank by exact integer squared distance, return top-k. Output
+    then carries exact_dist alongside adc_dist, ranked by exact_dist.
     """
     books = np.ascontiguousarray(codebooks, dtype=np.int64)
     m, kk, _ = books.shape
@@ -186,6 +195,44 @@ def pq_topk(
     w = Window.partitionBy(query_id).orderBy(
         F.col("adc_dist").asc(), F.col(cand_id).asc()
     )
-    return adc.withColumn("rk", F.row_number().over(w)).where(
+    if rerank_k is None:
+        return adc.withColumn("rk", F.row_number().over(w)).where(
+            F.col("rk") <= k
+        )
+    if rerank_k < k:
+        raise ValueError(f"rerank_k={rerank_k} must be >= k={k}")
+    shortlist = adc.withColumn("_ark", F.row_number().over(w)).where(
+        F.col("_ark") <= rerank_k
+    )
+
+    def _qsq(col):  # quantized integer vector (same rule as encode)
+        return F.transform(
+            col,
+            lambda x: F.floor(
+                x.cast("double") * quantize_scale + 0.5
+            ).cast("bigint"),
+        )
+
+    qv = queries.select(query_id, _qsq(F.col(vec_col)).alias("_qq"))
+    cv = candidates.select(cand_id, _qsq(F.col(vec_col)).alias("_cq"))
+    # ids-only shuffle for the shortlist; vectors join in by key
+    paired = (
+        shortlist.join(cv, cand_id)
+        .join(F.broadcast(qv), query_id)
+        .select(
+            query_id,
+            cand_id,
+            "adc_dist",
+            F.aggregate(
+                F.zip_with("_qq", "_cq", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("exact_dist"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("exact_dist").asc(), F.col(cand_id).asc()
+    )
+    return paired.withColumn("rk", F.row_number().over(w2)).where(
         F.col("rk") <= k
     )

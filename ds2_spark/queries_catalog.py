@@ -890,6 +890,29 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist + exact re-rank — the production composition
+    (PQ cannot micro-order neighbors whose true gaps are below
+    quantization error, so real systems re-rank the shortlist with
+    exact distances): ADC top-10 per query, then ONLY those 10 ids
+    join back their raw vectors for an exact integer squared-distance
+    re-rank to top-3. Both distances surface, so the oracle checks
+    the shortlist, the exact arithmetic, and the re-ordering."""
+    from .operators.pq import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return pq_topk(
+        q, cand, _pq_contract_codebooks(), k=3,
+        quantize_scale=_LSH_SCALE, rerank_k=10,
+    ).orderBy("query_id", "rk")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio quality features (zcr / silence / clipping / SNR-spread)
     via the production mapInPandas operator, on synthesized PCM16
@@ -3009,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crossmodal_dup": q_crossmodal_dup,
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_pq_topk": q_pq_topk,
+        "q_pq_rerank": q_pq_rerank,
     }
 
 
@@ -5586,11 +5610,14 @@ ORACLE_SQL["q_dedup_keep_best"] = f"""
 """
 
 
-def _pq_oracle_sql() -> str:
+def _pq_oracle_sql(rerank: bool = False) -> str:
     """PQ twin: the codebooks as a 1024-row VALUES relation (the
     literal-side-input pattern: LSH planes / IVF centroids / FLAC
     bitstreams), encode as a grouped integer distance + row_number
-    argmin, ADC as an (m, c) join summed per pair — all int64-exact."""
+    argmin, ADC as an (m, c) join summed per pair — all int64-exact.
+    With rerank: ADC top-10 shortlist, exact integer squared distance
+    via three dot products (each sum <= ~2^31, exact in float64), and
+    the re-ranked top-3."""
     books = _pq_contract_codebooks()
     m, k, dsub = books.shape
     rows = ", ".join(
@@ -5599,16 +5626,16 @@ def _pq_oracle_sql() -> str:
         for c in range(k)
         for d in range(dsub)
     )
-    return f"""
+    prefix = f"""
         WITH cb(m, c, d, v) AS (VALUES {rows}),
         e AS (SELECT vec_id,
                      list_transform(CAST(embedding AS DOUBLE[]),
-                       x -> CAST(floor(x * {_LSH_SCALE} + 0.5) AS BIGINT)) AS q
+                       x -> floor(x * {_LSH_SCALE} + 0.5)) AS q
               FROM embeddings),
         dist AS (
           SELECT e.vec_id, cb.m, cb.c,
-                 sum((q[cb.m * {dsub} + cb.d + 1] - cb.v)
-                     * (q[cb.m * {dsub} + cb.d + 1] - cb.v)) AS d2
+                 CAST(sum((q[cb.m * {dsub} + cb.d + 1] - cb.v)
+                     * (q[cb.m * {dsub} + cb.d + 1] - cb.v)) AS BIGINT) AS d2
           FROM e CROSS JOIN cb
           GROUP BY 1, 2, 3),
         codes AS (
@@ -5623,7 +5650,9 @@ def _pq_oracle_sql() -> str:
           SELECT l.vec_id AS query_id, cd.vec_id AS neighbor_id,
                  CAST(sum(l.d2) AS BIGINT) AS adc_dist
           FROM codes cd JOIN lut l ON l.m = cd.m AND l.c = cd.c
-          GROUP BY 1, 2),
+          GROUP BY 1, 2)"""
+    if not rerank:
+        return prefix + """,
         ranked AS (
           SELECT query_id, neighbor_id, adc_dist,
                  row_number() OVER (PARTITION BY query_id
@@ -5633,9 +5662,36 @@ def _pq_oracle_sql() -> str:
         SELECT query_id, neighbor_id, adc_dist, CAST(rk AS INT) AS rk
         FROM ranked WHERE rk <= 3 ORDER BY query_id, rk
     """
+    return prefix + """,
+        short AS (
+          SELECT query_id, neighbor_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, neighbor_id ASC)
+                   AS ark
+          FROM adc),
+        ex AS (
+          SELECT s.query_id, s.neighbor_id, s.adc_dist,
+                 CAST(list_dot_product(a.q, a.q)
+                      - 2 * list_dot_product(a.q, b.q)
+                      + list_dot_product(b.q, b.q) AS BIGINT) AS exact_dist
+          FROM short s
+          JOIN e a ON a.vec_id = s.query_id
+          JOIN e b ON b.vec_id = s.neighbor_id
+          WHERE s.ark <= 10),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc_dist, exact_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY exact_dist ASC, neighbor_id ASC)
+                   AS rk
+          FROM ex)
+        SELECT query_id, neighbor_id, adc_dist, exact_dist,
+               CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk
+    """
 
 
 ORACLE_SQL["q_pq_topk"] = _pq_oracle_sql()
+ORACLE_SQL["q_pq_rerank"] = _pq_oracle_sql(rerank=True)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -217,6 +217,46 @@ def test_pq_adc_recall_and_exactness(spark):
     assert hits / 40 >= 0.9, hits / 40
 
 
+def test_pq_rerank_exact_distances_and_order(spark):
+    from ds2_spark.operators.pq import pq_topk, pq_train_codebooks
+
+    rng = np.random.default_rng(23)
+    n, dim, m, k = 150, 16, 4, 8
+    centers = rng.normal(0, 1, size=(8, dim))
+    base = (
+        centers[rng.integers(0, 8, size=n)]
+        + rng.normal(0, 0.2, size=(n, dim))
+    ).astype(np.float32)
+    books = pq_train_codebooks(base, m=m, k=k, scale=1000, seed=1)
+    emb = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = emb.filter(F.col("vec_id") >= 4).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    out = pq_topk(q, cand, books, k=3, rerank_k=12).collect()
+    qz = np.floor(base.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    for r in out:
+        d = int(((qz[r["query_id"]] - qz[r["neighbor_id"]]) ** 2).sum())
+        assert r["exact_dist"] == d
+    # within each query, rk follows exact_dist (ties by id)
+    for qi in range(4):
+        rows = sorted(
+            (r for r in out if r["query_id"] == qi), key=lambda r: r["rk"]
+        )
+        assert len(rows) == 3
+        assert [
+            (r["exact_dist"], r["neighbor_id"]) for r in rows
+        ] == sorted((r["exact_dist"], r["neighbor_id"]) for r in rows)
+
+    with pytest.raises(ValueError):
+        pq_topk(q, cand, books, k=5, rerank_k=3).collect()
+
+
 def test_pq_train_rejects_indivisible_dim(spark):
     from ds2_spark.operators.pq import pq_train_codebooks
 
