@@ -43,6 +43,7 @@ HEADLINE = [
     "q_knn_topk",
     "q_ann_lsh",
     "q_pq_topk",
+    "q_ivfpq_topk",
     "q_cosine_neardup",
     "q_lsh_neardup",
     "q_rolling_fingerprint",

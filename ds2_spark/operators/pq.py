@@ -94,6 +94,137 @@ def _lut_batch(emb: np.ndarray, books: np.ndarray, scale: int) -> np.ndarray:
     return (diffs * diffs).sum(axis=3)
 
 
+def _assign_cells(q: np.ndarray, cents: np.ndarray, nprobe: int) -> np.ndarray:
+    """(n, d) int64 quantized vectors -> (n, nprobe) nearest coarse
+    cells by integer L2 (ties -> lowest cell id via stable argsort)."""
+    diffs = q[:, None, :] - cents[None, :, :]
+    d2 = (diffs * diffs).sum(axis=2)
+    return np.argsort(d2, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+
+
+def _encode_int(sub: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m, dsub) int64 subvectors -> (n, m) codes (first-min ties)."""
+    diffs = sub[:, :, None, :] - books[None, :, :, :]
+    d2 = (diffs * diffs).sum(axis=3)
+    return d2.argmin(axis=2).astype(np.int32)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 3,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the composed production index
+    (FAISS IndexIVFPQ architecture, from the same public PQ paper):
+    a coarse quantizer routes each vector to its nearest cell, PQ
+    encodes the RESIDUAL (vector minus cell centroid), and queries
+    probe only `nprobe` cells with a per-(query, cell) residual LUT.
+
+    Why residuals: within a cell the residual distribution is far
+    tighter than the raw data, so the same M x K codebook budget
+    quantizes it with much less error — and the ADC distance is
+    exact w.r.t. the residual geometry of the probed cell because
+    the query LUT is rebuilt against that cell's centroid.
+
+    Spark shapes at 10^12 vectors: candidates pass once through a
+    vectorized assign+encode mapInPandas -> (id, cell, codes) — the
+    index relation, ~9 small ints per vector; queries explode to
+    nprobe (id, cell, lut) rows and BROADCAST; the probe is an
+    equi-join on cell (the IVF pruning — only matching cells' codes
+    are scanned), ADC is JVM array arithmetic, and only
+    (query, neighbor, dist) ids reach the top-k exchange.
+
+    centroids: (C, d) int64 in the QUANTIZED domain (x * scale);
+    codebooks: (m, k, d/m) int64 in the residual domain. Integer
+    in, integer out: every distance is exact int64, ties break to
+    the lowest cell/code/neighbor id — SQL-replayable end to end.
+    """
+    cents = np.ascontiguousarray(centroids, dtype=np.int64)
+    books = np.ascontiguousarray(codebooks, dtype=np.int64)
+    m, kk, dsub = books.shape
+    d = cents.shape[1]
+    if m * dsub != d:
+        raise ValueError(f"codebooks {books.shape} do not tile dim {d}")
+
+    def _cand_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf[vec_col].to_numpy())
+            q = np.floor(
+                emb.astype(np.float64) * quantize_scale + 0.5
+            ).astype(np.int64)
+            cell = _assign_cells(q, cents, 1)[:, 0]
+            resid = (q - cents[cell]).reshape(len(q), m, dsub)
+            codes = _encode_int(resid, books)
+            yield pd.DataFrame(
+                {
+                    cand_id: pdf[cand_id],
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    index = candidates.select(cand_id, vec_col).mapInPandas(
+        _cand_op, schema=f"{cand_id} long, cell int, codes array<int>"
+    )
+
+    def _query_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf[vec_col].to_numpy())
+            q = np.floor(
+                emb.astype(np.float64) * quantize_scale + 0.5
+            ).astype(np.int64)
+            probes = _assign_cells(q, cents, min(nprobe, len(cents)))
+            ids, cells, luts = [], [], []
+            for i in range(len(q)):
+                for cell in probes[i]:
+                    resid = (q[i] - cents[cell]).reshape(1, m, dsub)
+                    diffs = resid[:, :, None, :] - books[None, :, :, :]
+                    lut = (diffs * diffs).sum(axis=3)[0]
+                    ids.append(pdf[query_id].iloc[i])
+                    cells.append(int(cell))
+                    luts.append([row.tolist() for row in lut])
+            yield pd.DataFrame(
+                {query_id: ids, "cell": cells, "lut": luts}
+            )
+
+    luts = queries.select(query_id, vec_col).mapInPandas(
+        _query_op,
+        schema=f"{query_id} long, cell int, lut array<array<bigint>>",
+    )
+    # the IVF prune: equi-join on cell — only probed cells' codes scan
+    joined = index.join(F.broadcast(luts), "cell")
+    adc = joined.select(
+        query_id,
+        cand_id,
+        F.aggregate(
+            F.zip_with(
+                "codes",
+                "lut",
+                lambda c, row: F.element_at(row, c + F.lit(1)),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(cand_id).asc()
+    )
+    return adc.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,

@@ -913,6 +913,50 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+_IVFPQ_CELLS, _IVFPQ_NPROBE = 8, 2
+
+
+def _ivfpq_contract_centroids():
+    import numpy as np
+
+    rng = np.random.default_rng(_LSH_SEED + 13)
+    return np.rint(
+        rng.normal(0, 1, size=(_IVFPQ_CELLS, _LSH_DIM)) * _LSH_SCALE
+    ).astype(np.int64)
+
+
+def _ivfpq_contract_codebooks():
+    import numpy as np
+
+    rng = np.random.default_rng(_LSH_SEED + 17)
+    return np.rint(
+        rng.normal(0, 0.5, size=(_PQ_M, _PQ_K, _LSH_DIM // _PQ_M))
+        * _LSH_SCALE
+    ).astype(np.int64)
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with residual encoding (operators/pq.ivfpq_topk — the
+    composed production ANN index: coarse cells prune the scan, PQ
+    codes compress what remains, the query LUT is rebuilt per probed
+    cell against that cell's centroid). Fixed integer centroids +
+    codebooks + quantized embeddings make assignment, residual
+    encode, and every ADC distance exact int64 in both engines."""
+    from .operators.pq import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return ivfpq_topk(
+        q, cand, _ivfpq_contract_centroids(), _ivfpq_contract_codebooks(),
+        k=3, nprobe=_IVFPQ_NPROBE, quantize_scale=_LSH_SCALE,
+    ).orderBy("query_id", "rk")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio quality features (zcr / silence / clipping / SNR-spread)
     via the production mapInPandas operator, on synthesized PCM16
@@ -3033,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
+        "q_ivfpq_topk": q_ivfpq_topk,
     }
 
 
@@ -5692,6 +5737,91 @@ def _pq_oracle_sql(rerank: bool = False) -> str:
 
 ORACLE_SQL["q_pq_topk"] = _pq_oracle_sql()
 ORACLE_SQL["q_pq_rerank"] = _pq_oracle_sql(rerank=True)
+
+
+def _ivfpq_oracle_sql() -> str:
+    """IVF-PQ twin: coarse centroids (512-row VALUES) + codebooks
+    (1024-row VALUES); cell assignment, residual encode, per-probed-
+    cell LUT, and ADC all replayed as grouped integer arithmetic with
+    row_number argmins — every tie broken by the same total order the
+    NumPy kernels use."""
+    cents = _ivfpq_contract_centroids()
+    books = _ivfpq_contract_codebooks()
+    m, k, dsub = books.shape
+    cc_rows = ", ".join(
+        f"({c}, {d}, {int(cents[c, d])})"
+        for c in range(cents.shape[0])
+        for d in range(cents.shape[1])
+    )
+    cb_rows = ", ".join(
+        f"({mi}, {c}, {d}, {int(books[mi, c, d])})"
+        for mi in range(m)
+        for c in range(k)
+        for d in range(dsub)
+    )
+    resid = f"((q[cb.m * {dsub} + cb.d + 1] - cc.v) - cb.v)"
+    return f"""
+        WITH cc(c, d, v) AS (VALUES {cc_rows}),
+        cb(m, c, d, v) AS (VALUES {cb_rows}),
+        e AS (SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> floor(x * {_LSH_SCALE} + 0.5)) AS q
+              FROM embeddings),
+        celld AS (
+          SELECT e.vec_id, cc.c,
+                 CAST(sum((q[cc.d + 1] - cc.v) * (q[cc.d + 1] - cc.v))
+                      AS BIGINT) AS d2
+          FROM e CROSS JOIN cc GROUP BY 1, 2),
+        ccell AS (
+          SELECT vec_id, c AS cell FROM (
+            SELECT vec_id, c, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rk
+            FROM celld WHERE vec_id >= 5) WHERE rk = 1),
+        qcell AS (
+          SELECT vec_id, c AS cell FROM (
+            SELECT vec_id, c, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rk
+            FROM celld WHERE vec_id < 5) WHERE rk <= {_IVFPQ_NPROBE}),
+        crd AS (
+          SELECT e.vec_id, cb.m, cb.c,
+                 CAST(sum({resid} * {resid}) AS BIGINT) AS d2
+          FROM e
+          JOIN ccell ON ccell.vec_id = e.vec_id
+          CROSS JOIN cb
+          JOIN cc ON cc.c = ccell.cell AND cc.d = cb.m * {dsub} + cb.d
+          GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c, row_number() OVER (
+                     PARTITION BY vec_id, m ORDER BY d2 ASC, c ASC) AS rk
+            FROM crd) WHERE rk = 1),
+        qrd AS (
+          SELECT e.vec_id, qcell.cell, cb.m, cb.c,
+                 CAST(sum({resid} * {resid}) AS BIGINT) AS d2
+          FROM e
+          JOIN qcell ON qcell.vec_id = e.vec_id
+          CROSS JOIN cb
+          JOIN cc ON cc.c = qcell.cell AND cc.d = cb.m * {dsub} + cb.d
+          GROUP BY 1, 2, 3, 4),
+        adc AS (
+          SELECT l.vec_id AS query_id, x.vec_id AS neighbor_id,
+                 CAST(sum(l.d2) AS BIGINT) AS adc_dist
+          FROM codes cd
+          JOIN ccell x ON x.vec_id = cd.vec_id
+          JOIN qrd l ON l.cell = x.cell AND l.m = cd.m AND l.c = cd.c
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, neighbor_id ASC)
+                   AS rk
+          FROM adc)
+        SELECT query_id, neighbor_id, adc_dist, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk
+    """
+
+
+ORACLE_SQL["q_ivfpq_topk"] = _ivfpq_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
