@@ -64,6 +64,12 @@ def crossmodal_consistency(
         max_bits=max_bits,
         passthrough=("t_hash",),
     )
+    # three consumers below (by_fp, by_text, the final join) — Catalyst
+    # does NOT dedupe common subplans, so without materialization the
+    # bytes scan + fingerprint pass would run three times (the BM25
+    # lesson, NOTES.md #41). Lazy localCheckpoint: materialized at the
+    # first action, scalars only (clip_id, fp, t_hash).
+    fp = fp.localCheckpoint(eager=False)
     by_fp = (
         fp.where(F.col("fp").isNotNull())
         .groupBy("fp")

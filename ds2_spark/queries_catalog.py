@@ -2911,25 +2911,41 @@ def q_crossmodal_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula and both groupings natively."""
     from .operators.crossmodal import crossmodal_consistency
 
-    ev = _t(spark, sf_dir, "events")
+    # spread the tiny pre-synthesis rows across all slots (NOTES #22:
+    # the small-SF events scan yields 1-2 partitions, which would
+    # serialize both the per-frame synthesis and the fingerprint pass)
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
     g = F.col("event_id") % 211
     var = F.expr("event_id div 211")
-    nf = (61 + g % 3).cast("int")
-
     def _frame_val(f):
-        h = g * 8191 + f
+        h = F.col("g") * 8191 + f
         return ((h * h) % 2147483648 * 31 + h) % 2147483648 % 201 - 100
 
+    # the payload is a function of g ALONE (that is the planted
+    # structure), so synthesize the 211 distinct payloads once and
+    # broadcast-join them back — 211 interpreted-HOF evaluations
+    # instead of one per event (the NOTES #33 discipline, taken to
+    # its limit: constant-frame chunks AND constant-group payloads)
     hexstr = F.array_join(
         F.transform(
-            F.sequence(F.lit(0), nf - 1),
+            F.sequence(F.lit(0), F.col("nf") - 1),
             lambda f: F.repeat(_le16_hex(_frame_val(f)), 8),
         ),
         "",
     )
+    by_g = (
+        ev.select(g.alias("g"))
+        .distinct()
+        .withColumn("nf", (61 + F.col("g") % 3).cast("int"))
+        .withColumn("g_payload", F.to_binary(hexstr, F.lit("hex")))
+        .drop("nf")
+    )
+    ev = ev.withColumn("g", g).join(F.broadcast(by_g), "g")
     payload = F.when(
         F.col("event_id") % 11 == 0, F.lit(None).cast("binary")
-    ).otherwise(F.to_binary(hexstr, F.lit("hex")))
+    ).otherwise(F.col("g_payload"))
     transcript = F.when(
         F.col("event_id") % 13 == 0, F.lit(None).cast("string")
     ).otherwise(

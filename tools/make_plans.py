@@ -88,6 +88,12 @@ AUDITED = [
     "q_pagerank",
     "q_mad_outliers",
     "q_table_diff",
+    "q_rater_agreement",
+    "q_crossmodal_dup",
+    "q_dedup_keep_best",
+    "q_pq_topk",
+    "q_pq_rerank",
+    "q_ivfpq_topk",
     "flagship",
 ]
 
@@ -114,6 +120,29 @@ nearly the whole table (the k passes then re-shuffle ~k times the
 data the single wide shuffle moves once). It also concentrates a
 user's full event history in one task, so a hot user needs a
 pre-cap. Both forms stay JVM-side end to end.""",
+    "q_pq_topk": """\
+**PQ scale shape:** the only pass over raw vectors is the encode
+mapInPandas (one vectorized diff+argmin per Arrow batch); the ADC
+scan joins the (id, 8-codes) relation against a BROADCAST of the
+query LUTs and runs entirely in JVM array arithmetic
+(zip_with/element_at/aggregate). At 10^12 vectors the codes relation
+is ~32x smaller than the embeddings; only (query, neighbor, dist)
+ids enter the top-k exchange. Exact ordering within quantization
+error comes from the rerank_k composition (q_pq_rerank), which
+rejoins vectors for the shortlist ids only.""",
+    "q_ivfpq_topk": """\
+**IVF-PQ scale shape:** candidates pass once through assign+encode
+(-> id, cell, 8 codes); queries explode to nprobe (id, cell, LUT)
+rows and broadcast. The equi-join on `cell` IS the IVF prune — only
+probed cells' codes are scanned, cutting the ADC work by ~C/nprobe
+vs flat PQ while the residual encoding spends the same codebook
+budget on a much tighter distribution. All distances exact int64.""",
+    "q_crossmodal_dup": """\
+**Cross-modal shape:** the transcript md5 rides the audio
+fingerprint's Arrow pass (audio_fingerprint passthrough), so clip
+bytes are read ONCE and never rescanned or shuffled; after that pass
+only (clip_id, fp, t_hash) scalars move — two scalar-key groupBys
+with map-side combine and two count-joins back.""",
 }
 
 
