@@ -75,6 +75,7 @@ HEADLINE = [
     "q_proto_outlier",
     "q_salted_join",
     "q_upsert",
+    "q_compaction_plan",
     "q_audio_gain",
     "q_audio_downmix",
     "q_audio_clipping",

@@ -72,6 +72,27 @@ def calibrate_all_raters(
     return {"t_report": t_report, "curated": curated, "noise_rates": noise_rates}
 
 
+def rater_agreement_report(scores: DataFrame) -> DataFrame:
+    """Pairwise Cohen's kappa between every rating model, on the
+    pipeline's compressed 0..5 label space — the pre-calibration
+    diagnostic that tells an operator WHICH rater's transition matrix
+    to distrust before spending the HOC+votes pass (a rater whose
+    kappa is low against every peer is the noisy one; the reference
+    diagnoses each model separately, diagnose.sh:10-26, but never
+    cross-compares them). One item-keyed join over the scores table,
+    then R²L²-bounded aggregates (operators/agreement.py).
+
+    `raw_score` here is already the 0..5 class label (the scores
+    table's contract — compress_score applies upstream where ratings
+    arrive on the reference's 1..10 JSON scale, readers.py)."""
+    from ..operators.agreement import pairwise_rater_agreement
+
+    labeled = scores.select(
+        "clip_id", "rater", F.col("raw_score").cast("int").alias("label")
+    )
+    return pairwise_rater_agreement(labeled).orderBy("rater_a", "rater_b")
+
+
 def score_error_table(curated: DataFrame) -> DataFrame:
     """The reference's detection.score_error output (report.py:14-16):
     candidates ranked by vote-average noisiness (detect.py:74

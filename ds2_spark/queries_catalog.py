@@ -2858,6 +2858,32 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("custkey")
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/maintenance.py —
+    the Iceberg rewrite_data_files / Delta OPTIMIZE planning step):
+    a synthetic file manifest (file sizes closed-form in event_id,
+    skewed like real streaming commits; table-partitioned by
+    event_type) is cut into target-size rewrite groups with a
+    per-partition window cumsum + exact integer div. The DuckDB twin
+    replays the identical manifest and binning — all int64 bytes."""
+    from .operators.maintenance import compaction_plan
+
+    ev = _t(spark, sf_dir, "events")
+    manifest = ev.select(
+        F.col("event_type").alias("pt"),
+        F.col("event_id").alias("file_id"),
+        (((F.col("event_id") * 7919) % 1000) * 131072 + 4096).alias(
+            "size_bytes"
+        ),
+    )
+    out = compaction_plan(
+        manifest,
+        target_bytes=32 * 1024 * 1024,
+        partition_cols=("pt",),
+    )
+    return out.orderBy("pt", "file_id")
+
+
 def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Cohen's kappa between three deterministic LLM raters
     (operators/agreement.py — the cheap pre-calibration diagnostic
@@ -3094,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
         "q_ivfpq_topk": q_ivfpq_topk,
+        "q_compaction_plan": q_compaction_plan,
     }
 
 
@@ -5838,6 +5865,33 @@ def _ivfpq_oracle_sql() -> str:
 
 
 ORACLE_SQL["q_ivfpq_topk"] = _ivfpq_oracle_sql()
+
+# replays the manifest synthesis and the per-partition greedy binning
+# (window cumsum + truncating integer division — values nonnegative,
+# so DuckDB's // equals Spark's div)
+ORACLE_SQL["q_compaction_plan"] = """
+    WITH manifest AS (
+      SELECT event_type AS pt, event_id AS file_id,
+             ((event_id * 7919) % 1000) * 131072 + 4096 AS size_bytes
+      FROM events
+    ),
+    eligible AS (
+      SELECT * FROM manifest WHERE size_bytes < 33554432
+    ),
+    binned AS (
+      SELECT pt, file_id, size_bytes,
+             (sum(size_bytes) OVER (PARTITION BY pt ORDER BY file_id
+                                    ROWS UNBOUNDED PRECEDING)
+              - size_bytes) // 33554432 AS grp
+      FROM eligible
+    )
+    SELECT pt, file_id, CAST(size_bytes AS BIGINT) AS size_bytes,
+           CAST(grp AS BIGINT) AS grp,
+           count(*) OVER (PARTITION BY pt, grp) AS group_files,
+           CAST(sum(size_bytes) OVER (PARTITION BY pt, grp) AS BIGINT)
+             AS group_bytes
+    FROM binned ORDER BY pt, file_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -264,3 +264,41 @@ def test_full_pipeline_matches_oracle_alt_profile(spark, tmp_path_factory):
     ]
     assert not mismatch, mismatch[:5]
     assert sum(1 for v in engine.values() if v[0]) == oracle["budget"]
+
+
+def test_rater_agreement_report_on_fixture(spark, fixture_paths):
+    """The pre-calibration kappa diagnostic over the 3-rater fixture:
+    all raters share the same transition matrix (fixtures.py applies
+    one T with different seeds), so the three pairwise kappas must be
+    (a) well above chance — the clean signal shows through the noise
+    — and (b) close to EACH OTHER; a NumPy replay pins one pair."""
+    from collections import Counter
+
+    from ds2_spark.plans.report import rater_agreement_report
+
+    scores = spark.read.parquet(fixture_paths["scores"])
+    rep = rater_agreement_report(scores).collect()
+    assert [(r["rater_a"], r["rater_b"]) for r in rep] == [
+        ("rater_a", "rater_b"),
+        ("rater_a", "rater_c"),
+        ("rater_b", "rater_c"),
+    ]
+    n = scores.where("rater = 'rater_a'").count()
+    kappas = [r["kappa"] for r in rep]
+    assert all(r["n_items"] == n for r in rep)
+    assert all(k > 0.2 for k in kappas), kappas
+    assert max(kappas) - min(kappas) < 0.2, kappas
+
+    # independent replay of the (rater_a, rater_b) pair
+    pdf = pq.read_table(fixture_paths["scores"]).to_pandas()
+    a = pdf[pdf.rater == "rater_a"].set_index("clip_id")["raw_score"]
+    b = pdf[pdf.rater == "rater_b"].set_index("clip_id")["raw_score"]
+    pairs = [(int(a[i]), int(b[i])) for i in a.index]
+    agree = sum(1 for x, y in pairs if x == y)
+    row, col = Counter(x for x, _ in pairs), Counter(y for _, y in pairs)
+    pe_num = sum(row[v] * col.get(v, 0) for v in row)
+    m = len(pairs)
+    want = (agree * m - pe_num) / (m * m - pe_num)
+    r0 = rep[0]
+    assert (r0["n_agree"], r0["pe_num"]) == (agree, pe_num)
+    assert r0["kappa"] == want
