@@ -258,6 +258,40 @@ def run_trim_stream_once(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_pq_encode_stream_once(
+    spark: SparkSession,
+    emb_dir: str,
+    codebooks,
+    query_name: str = "pq_codes",
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """Incremental twin of the PQ index build: `pq_encode`
+    (operators/pq.py) over a micro-batched embeddings file stream —
+    new vectors are compressed to codes as they land, so the ANN
+    index relation stays current without full rebuilds. Stateless
+    Arrow mapInPandas over a pruned projection: the identical encode
+    plan runs under Structured Streaming unchanged."""
+    from ..operators.pq import pq_encode
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(emb_dir)
+    )
+    out = pq_encode(stream, codebooks, quantize_scale=quantize_scale)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_rules_stream_once(
     spark: SparkSession, clips_dir: str, query_name: str = "clip_rules", cfg=None
 ) -> DataFrame:

@@ -645,3 +645,39 @@ def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
     assert len(got) == len(exp)          # no duplicates (exactly once)
     assert got == exp                    # no loss, values intact
     assert 0 < n_first < len(exp)        # the restart really was partial
+
+
+def test_pq_encode_stream_matches_batch(spark, tmp_path):
+    """The PQ index-build stage is identical under Structured
+    Streaming: codes computed micro-batch by micro-batch equal the
+    batch encode over the same vectors (stateless Arrow stage), so an
+    incremental ANN index never diverges from a full rebuild."""
+    import numpy as np
+
+    from ds2_spark.operators.pq import pq_encode, pq_train_codebooks
+    from ds2_spark.streaming.events import run_pq_encode_stream_once
+
+    rng = np.random.default_rng(41)
+    base = rng.normal(0, 1, size=(90, 16)).astype(np.float32)
+    books = pq_train_codebooks(base, m=4, k=8, scale=1000, seed=2)
+    emb_dir = str(tmp_path / "emb_stream")
+    df = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in range(90)],
+        "vec_id long, embedding array<float>",
+    )
+    # several files -> several micro-batches (maxFilesPerTrigger=2)
+    df.repartition(5).write.mode("overwrite").parquet(emb_dir)
+
+    stream_out = {
+        r["vec_id"]: list(r["codes"])
+        for r in run_pq_encode_stream_once(
+            spark, emb_dir, books, "pq_stream_test"
+        ).collect()
+    }
+    batch_out = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(
+            spark.read.parquet(emb_dir), books
+        ).collect()
+    }
+    assert stream_out == batch_out and len(stream_out) == 90
