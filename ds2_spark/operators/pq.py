@@ -94,6 +94,42 @@ def _lut_batch(emb: np.ndarray, books: np.ndarray, scale: int) -> np.ndarray:
     return (diffs * diffs).sum(axis=3)
 
 
+def ivfpq_train(
+    vectors: np.ndarray,
+    n_cells: int,
+    m: int,
+    k: int,
+    scale: int,
+    iters: int = 10,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the composed index on a (driver-side, bounded) sample:
+    coarse k-means for the cells, then PQ codebooks on the RESIDUALS
+    (vector minus its cell centroid) — training the codebooks on raw
+    vectors would spend the codebook budget re-describing the coarse
+    structure the cells already capture. Returns (centroids int64 in
+    the quantized domain, codebooks int64 in the residual domain),
+    both seeded-deterministic for a given sample."""
+    n, d = vectors.shape
+    x = vectors.astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(n, size=n_cells, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(axis=0)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = x - cents[d2.argmin(axis=1)]
+    books = pq_train_codebooks(
+        resid, m=m, k=k, scale=scale, iters=iters, seed=seed + 1
+    )
+    cents_q = np.floor(cents * scale + 0.5).astype(np.int64)
+    return cents_q, books
+
+
 def _assign_cells(q: np.ndarray, cents: np.ndarray, nprobe: int) -> np.ndarray:
     """(n, d) int64 quantized vectors -> (n, nprobe) nearest coarse
     cells by integer L2 (ties -> lowest cell id via stable argsort)."""
