@@ -71,6 +71,24 @@ def pq_train_codebooks(
     return books
 
 
+def _valid_mask(col, d: int) -> np.ndarray:
+    """True where the cell is a length-d vector (NULL rows and
+    wrong-dimension vectors are refused — codes NULL — rather than
+    silently garbled; the audio decoders' decoded_ok policy)."""
+    return np.fromiter(
+        (v is not None and len(v) == d for v in col),
+        dtype=bool,
+        count=len(col),
+    )
+
+
+def _stack_valid(col, mask: np.ndarray, d: int) -> np.ndarray:
+    vals = [v for v, ok in zip(col, mask) if ok]
+    if not vals:
+        return np.zeros((0, d), dtype=np.float64)
+    return np.stack(vals)
+
+
 def _encode_batch(emb: np.ndarray, books: np.ndarray, scale: int) -> np.ndarray:
     """(n, d) float embeddings -> (n, m) int codes; integer-exact."""
     n = emb.shape[0]
@@ -193,18 +211,27 @@ def ivfpq_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.stack(pdf[vec_col].to_numpy())
+            col = pdf[vec_col].to_numpy()
+            mask = _valid_mask(col, d)
+            emb = _stack_valid(col, mask, d)
             q = np.floor(
                 emb.astype(np.float64) * quantize_scale + 0.5
             ).astype(np.int64)
-            cell = _assign_cells(q, cents, 1)[:, 0]
+            cell = _assign_cells(q, cents, 1)[:, 0] if len(q) else (
+                np.zeros(0, dtype=np.int32)
+            )
             resid = (q - cents[cell]).reshape(len(q), m, dsub)
             codes = _encode_int(resid, books)
+            cells_out, codes_out, ci = [], [], 0
+            for ok in mask:
+                cells_out.append(int(cell[ci]) if ok else None)
+                codes_out.append(list(codes[ci]) if ok else None)
+                ci += ok
             yield pd.DataFrame(
                 {
                     cand_id: pdf[cand_id],
-                    "cell": cell.astype(np.int32),
-                    "codes": list(codes),
+                    "cell": pd.array(cells_out, dtype="Int32"),
+                    "codes": codes_out,
                 }
             )
 
@@ -216,7 +243,10 @@ def ivfpq_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.stack(pdf[vec_col].to_numpy())
+            col = pdf[vec_col].to_numpy()
+            mask = _valid_mask(col, d)
+            emb = _stack_valid(col, mask, d)
+            qids = pdf[query_id][mask].to_numpy()
             q = np.floor(
                 emb.astype(np.float64) * quantize_scale + 0.5
             ).astype(np.int64)
@@ -227,7 +257,7 @@ def ivfpq_topk(
                     resid = (q[i] - cents[cell]).reshape(1, m, dsub)
                     diffs = resid[:, :, None, :] - books[None, :, :, :]
                     lut = (diffs * diffs).sum(axis=3)[0]
-                    ids.append(pdf[query_id].iloc[i])
+                    ids.append(qids[i])
                     cells.append(int(cell))
                     luts.append([row.tolist() for row in lut])
             yield pd.DataFrame(
@@ -273,15 +303,22 @@ def pq_encode(
     books = np.ascontiguousarray(codebooks, dtype=np.int64)
     pruned = df.select(id_col, vec_col)
 
+    d = books.shape[0] * books.shape[2]
+
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.stack(pdf[vec_col].to_numpy())
-            codes = _encode_batch(emb, books, quantize_scale)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": list(codes)}
+            col = pdf[vec_col].to_numpy()
+            mask = _valid_mask(col, d)
+            codes = _encode_batch(
+                _stack_valid(col, mask, d), books, quantize_scale
             )
+            out, ci = [], 0
+            for ok in mask:
+                out.append(list(codes[ci]) if ok else None)
+                ci += ok
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": out})
 
     return pruned.mapInPandas(_op, schema=f"{id_col} long, codes array<int>")
 
@@ -322,18 +359,23 @@ def pq_topk(
         quantize_scale=quantize_scale,
     )
 
+    d = m * books.shape[2]
+
     def _lut_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.stack(pdf[vec_col].to_numpy())
-            lut = _lut_batch(emb, books, quantize_scale)
+            col = pdf[vec_col].to_numpy()
+            mask = _valid_mask(col, d)
+            lut = _lut_batch(
+                _stack_valid(col, mask, d), books, quantize_scale
+            )
+            # invalid query vectors are refused: no LUT row, so the
+            # query is absent from the result (never silently wrong)
             yield pd.DataFrame(
                 {
-                    query_id: pdf[query_id],
-                    "lut": [
-                        [row.tolist() for row in tab] for tab in lut
-                    ],
+                    query_id: pdf[query_id][mask],
+                    "lut": [[row.tolist() for row in tab] for tab in lut],
                 }
             )
 
@@ -344,8 +386,11 @@ def pq_topk(
     # The Q x N expansion is the DECLARED shape of exhaustive ADC (Q is
     # the broadcast query batch, N the codes scan — the same scan an
     # IVF-pruned variant would run per probed cell); no vector data is
-    # in it, only codes + id.
-    joined = codes.crossJoin(F.broadcast(luts))
+    # in it, only codes + id. NULL-coded rows (refused vectors) carry
+    # no usable distance and are excluded.
+    joined = codes.where(F.col("codes").isNotNull()).crossJoin(
+        F.broadcast(luts)
+    )
     adc = joined.select(
         query_id,
         cand_id,

@@ -326,6 +326,48 @@ def test_ivfpq_matches_python_replay_and_prunes(spark):
     )
 
 
+def test_pq_refuses_null_and_wrong_dim_vectors(spark):
+    """NULL / wrong-dimension vectors get codes NULL (refused, the
+    decoded_ok policy) and never enter ADC results; refused QUERY
+    vectors are absent from the output rather than silently wrong."""
+    from ds2_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(43)
+    base = rng.normal(0, 1, size=(40, 16)).astype(np.float32)
+    books = pq_train_codebooks(base, m=4, k=8, scale=1000, seed=4)
+    rows = [(int(i), base[i].tolist()) for i in range(40)]
+    rows[7] = (7, None)
+    rows[9] = (9, base[9].tolist()[:5])  # wrong dimension
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    assert codes[7] is None and codes[9] is None
+    assert all(codes[i] is not None for i in range(40) if i not in (7, 9))
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    out = pq_topk(q, cand, books, k=3).collect()
+    qids = {r["query_id"] for r in out}
+    assert 7 not in qids and 9 not in qids and 0 in qids
+    assert all(r["neighbor_id"] not in (7, 9) for r in out)
+
+    cents = np.floor(
+        base[:4].astype(np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    out2 = ivfpq_topk(q, cand, cents, books, k=3, nprobe=4).collect()
+    qids2 = {r["query_id"] for r in out2}
+    assert 7 not in qids2 and 9 not in qids2 and 0 in qids2
+
+
 def test_ivfpq_trained_recall_on_clustered_data(spark):
     """End-to-end trained path: coarse k-means cells + residual-
     trained codebooks (ivfpq_train — codebooks trained on residuals,
