@@ -88,6 +88,7 @@ AUDITED = [
     "q_pagerank",
     "q_mad_outliers",
     "q_table_diff",
+    "q_compaction_plan",
     "q_rater_agreement",
     "q_crossmodal_dup",
     "q_dedup_keep_best",
