@@ -110,9 +110,32 @@ def pairwise_rater_agreement(
             "n_agree"
         ),
     )
-    out = tot.join(pe, ["rater_a", "rater_b"])
+    # LEFT join + coalesce 0: raters with DISJOINT label sets have no
+    # matching (la == lb) marginal row, so an inner join would drop
+    # the pair entirely — and that pair (pe_num 0, kappa 0, po 0) is
+    # exactly the disagrees-with-every-peer case this diagnostic
+    # exists to surface.
+    out = tot.join(pe, ["rater_a", "rater_b"], "left").withColumn(
+        "pe_num", F.coalesce(F.col("pe_num"), F.lit(0))
+    )
     n = F.col("n_items")
-    denom = n * n - F.col("pe_num")
+    # the exact-integer kappa form overflows int64 when n_items
+    # exceeds sqrt(2^63) — fail LOUDLY there (the repo's
+    # capacity-enforced policy) instead of wrapping to garbage; at
+    # that co-rated count the caller should sample pairs anyway
+    n_guarded = F.when(
+        n <= F.lit(3_037_000_499), n
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pairwise_rater_agreement: n_items overflows the "
+                      "exact int64 kappa form for pair ("),
+                F.col("rater_a"), F.lit(", "), F.col("rater_b"),
+                F.lit(") — sample items below 3.03e9 per pair"),
+            )
+        ).cast("long")
+    )
+    denom = n_guarded * n_guarded - F.col("pe_num")
     return out.select(
         "rater_a",
         "rater_b",

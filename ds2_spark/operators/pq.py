@@ -250,18 +250,23 @@ def ivfpq_topk(
             q = np.floor(
                 emb.astype(np.float64) * quantize_scale + 0.5
             ).astype(np.int64)
-            probes = _assign_cells(q, cents, min(nprobe, len(cents)))
-            ids, cells, luts = [], [], []
-            for i in range(len(q)):
-                for cell in probes[i]:
-                    resid = (q[i] - cents[cell]).reshape(1, m, dsub)
-                    diffs = resid[:, :, None, :] - books[None, :, :, :]
-                    lut = (diffs * diffs).sum(axis=3)[0]
-                    ids.append(qids[i])
-                    cells.append(int(cell))
-                    luts.append([row.tolist() for row in lut])
+            np_eff = min(nprobe, len(cents))
+            probes = _assign_cells(q, cents, np_eff)
+            # one vectorized LUT computation for ALL (query, probe)
+            # pairs: residuals (n*nprobe, m, dsub) against the
+            # codebooks in a single diff+sum, one bulk tolist()
+            flat_cells = probes.reshape(-1)
+            resid = (
+                np.repeat(q, np_eff, axis=0) - cents[flat_cells]
+            ).reshape(-1, m, dsub)
+            diffs = resid[:, :, None, :] - books[None, :, :, :]
+            luts = (diffs * diffs).sum(axis=3)
             yield pd.DataFrame(
-                {query_id: ids, "cell": cells, "lut": luts}
+                {
+                    query_id: np.repeat(qids, np_eff),
+                    "cell": flat_cells.astype(np.int32),
+                    "lut": luts.tolist(),
+                }
             )
 
     luts = queries.select(query_id, vec_col).mapInPandas(
@@ -346,9 +351,9 @@ def pq_topk(
 
     `rerank_k` is the production composition (PQ cannot micro-order
     neighbors whose true gaps are below quantization error): take an
-    ADC shortlist of rerank_k (> k), join back ONLY the shortlist's
-    raw vectors (Q * rerank_k ids — the corpus-wide vector column is
-    touched by a keyed semi-join, never scanned into the ranking),
+    ADC shortlist of rerank_k (> k), BROADCAST it against the corpus
+    scan (a broadcast-hash join keeps raw vectors out of any shuffle
+    — only the Q * rerank_k shortlist rows survive the probe),
     re-rank by exact integer squared distance, return top-k. Output
     then carries exact_dist alongside adc_dist, ranked by exact_dist.
     """
@@ -427,9 +432,13 @@ def pq_topk(
 
     qv = queries.select(query_id, _qsq(F.col(vec_col)).alias("_qq"))
     cv = candidates.select(cand_id, _qsq(F.col(vec_col)).alias("_cq"))
-    # ids-only shuffle for the shortlist; vectors join in by key
+    # BROADCAST the Q*rerank_k shortlist against the corpus scan: the
+    # corpus vector column is filtered by a broadcast-hash join (no
+    # corpus shuffle, no sort-merge — the shortlist descends from a
+    # window over a cross join, so the static planner has no stats to
+    # discover this on its own)
     paired = (
-        shortlist.join(cv, cand_id)
+        cv.join(F.broadcast(shortlist), cand_id)
         .join(F.broadcast(qv), query_id)
         .select(
             query_id,

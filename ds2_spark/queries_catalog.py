@@ -2927,14 +2927,16 @@ def q_crossmodal_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (samples constant within each 8-sample frame — NOTES.md #33
     discipline: the fingerprint only sees frame abs-sums, so one
     interpreted-HOF element per FRAME synthesizes 8 samples), while
-    the transcript is 'utt <g>' with an ' alt' variant on every third
-    take (var = event_id div 211) — so every multi-take audio group
-    with an alt member is a genuine transcript conflict, and the base
-    transcript of a group spans exactly one fp (audio_variant fires
-    only where NULL-payload takes carve a transcript group in two).
-    Every 11th payload and every 13th transcript is NULL (no-group
-    paths). The DuckDB twin re-derives fingerprints from the frame
-    formula and both groupings natively."""
+    the transcript is 'utt <g mod 97>' with an ' alt' variant on
+    every third take (var = event_id div 211) — so every multi-take
+    audio group with an alt member is a genuine transcript conflict,
+    AND each base transcript is shared by two or three distinct
+    audio groups (g, g+97, g+194 all collide mod 97), so the
+    audio_variant (re-read / multi-take) flag genuinely fires —
+    both flag paths are live in the contract data, not just in the
+    operator pytest. Every 11th payload and every 13th transcript is
+    NULL (no-group paths). The DuckDB twin re-derives fingerprints
+    from the frame formula and both groupings natively."""
     from .operators.crossmodal import crossmodal_consistency
 
     # spread the tiny pre-synthesis rows across all slots (NOTES #22:
@@ -2977,7 +2979,7 @@ def q_crossmodal_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.concat(
             F.lit("utt "),
-            g.cast("string"),
+            (g % 97).cast("string"),
             F.when(var % 3 == 1, F.lit(" alt")).otherwise(F.lit("")),
         )
     )
@@ -5610,13 +5612,15 @@ ORACLE_SQL["q_rater_agreement"] = """
                    CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT)
                      AS n_agree
             FROM conf GROUP BY 1, 2)
-    SELECT t.rater_a, t.rater_b, t.n_items, t.n_agree, p.pe_num,
+    SELECT t.rater_a, t.rater_b, t.n_items, t.n_agree,
+           coalesce(p.pe_num, 0) AS pe_num,
            t.n_agree / t.n_items AS po,
-           CASE WHEN t.n_items * t.n_items - p.pe_num <> 0
-                THEN (t.n_agree * t.n_items - p.pe_num)
-                     / (t.n_items * t.n_items - p.pe_num)
+           CASE WHEN t.n_items * t.n_items - coalesce(p.pe_num, 0) <> 0
+                THEN (t.n_agree * t.n_items - coalesce(p.pe_num, 0))
+                     / (t.n_items * t.n_items - coalesce(p.pe_num, 0))
            END AS kappa
-    FROM tot t JOIN pe p ON t.rater_a = p.rater_a AND t.rater_b = p.rater_b
+    FROM tot t LEFT JOIN pe p
+      ON t.rater_a = p.rater_a AND t.rater_b = p.rater_b
     ORDER BY t.rater_a, t.rater_b
 """
 
@@ -5645,7 +5649,7 @@ ORACLE_SQL["q_crossmodal_dup"] = """
     r AS (SELECT t.event_id AS clip_id,
                  CASE WHEN t.event_id % 11 = 0 THEN NULL ELSE fp0.fp END AS fp,
                  CASE WHEN t.event_id % 13 = 0 THEN NULL
-                      ELSE md5('utt ' || t.g ||
+                      ELSE md5('utt ' || (t.g % 97) ||
                                CASE WHEN t.var % 3 = 1 THEN ' alt' ELSE '' END)
                  END AS t_hash
           FROM t JOIN fp0 ON fp0.event_id = t.event_id),

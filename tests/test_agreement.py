@@ -86,6 +86,22 @@ def test_kappa_textbook_values(spark):
     assert out["kappa"] is None and out["po"] == 1.0
 
 
+def test_kappa_disjoint_label_sets_pair_survives(spark):
+    """Raters with DISJOINT label sets (one rater stuck on labels the
+    other never uses) must still produce a row — pe_num 0, po 0,
+    kappa 0 — not silently vanish from the diagnostic; this is
+    exactly the disagrees-with-every-peer rater the report exists to
+    expose."""
+    rows = [(i, "x", 1) for i in range(20)] + [
+        (i, "y", 2) for i in range(20)
+    ]
+    out = pairwise_rater_agreement(_scores_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_items"], r["n_agree"], r["pe_num"]) == (20, 0, 0)
+    assert r["po"] == 0.0 and r["kappa"] == 0.0
+
+
 def test_kappa_partial_overlap_counts_shared_items_only(spark):
     rows = [(i, "x", 1) for i in range(10)] + [
         (i, "y", 1) for i in range(5, 20)
@@ -161,3 +177,21 @@ def test_crossmodal_no_groups_all_zero_flags(spark):
         == 0
     )
     assert out.where(F.col("audio_dup_count") != 1).count() == 0
+
+
+def test_crossmodal_contract_query_flags_not_vacuous(spark):
+    """Both consistency flags must be LIVE in the contract synthesis
+    (NOTES.md #45: a green oracle row over all-zero flag columns
+    proves nothing about the flag arithmetic) — transcripts span
+    multiple audio groups (g mod 97 collisions) and multi-take groups
+    carry ' alt' variants."""
+    from pyspark.sql import functions as F
+
+    from ds2_spark.queries_catalog import q_crossmodal_dup
+
+    out = q_crossmodal_dup(spark, "/root/testdata/sf0.001")
+    r = out.agg(
+        F.sum("audio_variant").alias("av"),
+        F.sum("transcript_conflict").alias("tc"),
+    ).collect()[0]
+    assert r["av"] > 0 and r["tc"] > 0, (r["av"], r["tc"])
