@@ -1,0 +1,159 @@
+"""Exact substring-span deduplication: remove duplicated k-token
+spans from all but one copy, corpus-wide.
+
+The missing granularity between the repo's document-level dedup
+(exact md5 / MinHash / SimHash — whole docs) and decontamination
+(corpus vs a small external benchmark): boilerplate, licence
+headers, and quoted passages repeat *inside otherwise-unique
+documents*, and training on them measurably hurts LMs (Lee et al.
+2021, "Deduplicating Training Data Makes Language Models Better" —
+their ExactSubstr variant; Dolma's paragraph-level dedup is the
+same idea at paragraph granularity). Reference analog: DS2 scores
+and filters whole samples (LLM_scoring/data_process.py); span-level
+scrubbing is the complementary hygiene step a 10^12-clip transcript
+corpus needs, because near-identical boilerplate inflates both
+perplexity-based quality scores and n-gram diversity estimates.
+
+Semantics (token-level, mirrored exactly by the contract oracle):
+
+* words = whitespace-split, empties dropped (the corpus-wide
+  convention of operators/decontam.py).
+* every k-token window (1-based start positions 1..m-k+1) is keyed
+  by the first 16 hex chars of md5 of the space-joined gram.
+* a key occurring in >= 2 *distinct* docs is duplicated; the doc
+  with the smallest doc_id is the OWNER and keeps its copy
+  (keep-first, as in Lee et al.); every other occurrence marks the
+  token interval [pos, pos+k-1] for removal.
+* per doc, marked intervals that overlap or touch (next start <=
+  current end + 1) merge into maximal spans; the rewrite drops all
+  tokens inside any span and space-joins the survivors.
+
+Spark shape at 10^12 rows: the only wide op is the groupBy on the
+16-hex gram key — ids + fixed-width keys, the transcript payload
+never shuffles (grams are hashed where they are read, the rewrite
+joins the bounded spans array back to the doc scan by doc_id).
+Interval merge is a window over (doc_id, start) — one shuffle on
+doc_id, partition-local after that. At extreme scale the key
+groupBy supports the standard refinement (a Bloom/count prefilter
+so singleton grams — the vast majority — never shuffle; see
+functions/sketches.py), which changes constants, not shape.
+Everything below is JVM expression / window code — zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        ).alias("_w"),
+    )
+
+
+def gram_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, key): every k-token window with its 64-bit md5
+    prefix key. Docs shorter than k tokens emit nothing (guarded —
+    sequence(1, m) descends for m < 1, NOTES #37)."""
+    grams = F.when(
+        F.size("_w") >= k,
+        F.expr(
+            f"transform(sequence(1, size(_w) - {k - 1}), "
+            f"i -> struct(i as pos, substring(md5("
+            f"array_join(slice(_w, i, {k}), ' ')), 1, 16) as key))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,key:string>>"))
+    return (
+        _tokens(df, id_col, text_col)
+        .select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.key").alias("key"))
+    )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-wide span dedup. Returns one row per input doc:
+
+      (id_col, n_tokens, n_spans, tokens_removed, dedup_text)
+
+    n_spans counts maximal merged spans (0 for untouched docs and
+    for each duplicated key's owner), tokens_removed their total
+    token mass, dedup_text the space-joined surviving tokens (the
+    full original token join when nothing was removed)."""
+    g = gram_positions(docs, id_col, text_col, k)
+
+    # duplicated keys with their keep-first owner: ids-only shuffle.
+    dup = (
+        g.groupBy("key")
+        .agg(
+            F.min(id_col).alias("_owner"),
+            F.count_distinct(id_col).alias("_nd"),
+        )
+        .filter(F.col("_nd") >= 2)
+        .select("key", "_owner")
+    )
+
+    marked = (
+        g.join(dup, "key")
+        .filter(F.col(id_col) != F.col("_owner"))
+        .select(
+            id_col,
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(k - 1)).alias("e"),
+        )
+    )
+
+    # gaps-and-islands: a new span starts where this interval leaves
+    # a gap of at least one kept token after everything before it.
+    w_order = Window.partitionBy(id_col).orderBy("s")
+    run_max = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        marked.withColumn(
+            "_brk",
+            (F.col("s") > F.coalesce(run_max, F.lit(-1)) + 1).cast("int"),
+        )
+        .withColumn("_iid", F.sum("_brk").over(w_order))
+        .groupBy(id_col, "_iid")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("tokens_removed"),
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_spans"),
+        )
+    )
+
+    toks = _tokens(docs, id_col, text_col)
+    joined = toks.join(spans, id_col, "left")
+    kept = F.when(
+        F.col("n_spans").isNull(), F.col("_w")
+    ).otherwise(
+        F.expr(
+            "transform("
+            "  filter("
+            "    transform(_w, (x, j) -> struct(x as t, j + 1 as p)),"
+            "    s -> !exists(_spans, iv -> s.p >= iv.s and s.p <= iv.e)"
+            "  ), s -> s.t)"
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("tokens_removed"), F.lit(0))
+        .cast("long")
+        .alias("tokens_removed"),
+        F.array_join(kept, " ").alias("dedup_text"),
+    )

@@ -3029,6 +3029,22 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.orderBy("doc_id")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (operators/spandedup.py, Lee et al.
+    2021 ExactSubstr at token granularity): duplicated 8-token spans
+    are removed from every doc except the lowest-doc_id owner,
+    overlapping/touching marks merged into maximal spans, and the
+    text rewritten from the surviving tokens. The corpus's planted
+    near-dup clusters make this genuinely non-vacuous: ~24 docs lose
+    spans at sf0.01 AND sf0.001. The oracle replays key extraction,
+    keep-first ownership, the gaps-and-islands merge, and the token
+    rewrite in SQL windows — text equality pins the rewrite exactly."""
+    from .operators.spandedup import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_spans(docs, k=8).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3119,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rater_agreement": q_rater_agreement,
         "q_crossmodal_dup": q_crossmodal_dup,
         "q_dedup_keep_best": q_dedup_keep_best,
+        "q_span_dedup": q_span_dedup,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
         "q_ivfpq_topk": q_ivfpq_topk,
@@ -5895,6 +5912,80 @@ ORACLE_SQL["q_compaction_plan"] = """
            CAST(sum(size_bytes) OVER (PARTITION BY pt, grp) AS BIGINT)
              AS group_bytes
     FROM binned ORDER BY pt, file_id
+"""
+
+# Exact substring-span dedup: same key/ownership/merge/rewrite
+# semantics as operators/spandedup.py, re-derived in SQL windows.
+# Touching intervals (s = run_max + 1) merge — the removal set is
+# identical either way but n_spans must agree between engines.
+ORACLE_SQL["q_span_dedup"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+               AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS key
+      FROM w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
+    ),
+    dup AS (
+      SELECT key, min(doc_id) AS owner
+      FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+      FROM g JOIN dup USING (key) WHERE g.doc_id <> dup.owner
+    ),
+    brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM marked
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS iid
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, iid, min(s) AS s, max(e) AS e
+      FROM isl GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_spans,
+             sum(e - s + 1) AS tokens_removed
+      FROM spans GROUP BY 1
+    ),
+    removed AS (
+      SELECT DISTINCT doc_id, u.p
+      FROM spans, unnest(generate_series(s, e)) AS u(p)
+    ),
+    tok AS (
+      SELECT w.doc_id, u.p, w.w[u.p] AS tok
+      FROM w, unnest(generate_series(1, greatest(len(w.w), 0))) AS u(p)
+    ),
+    kept AS (
+      SELECT t.doc_id,
+             string_agg(t.tok, ' ' ORDER BY t.p) AS dedup_text
+      FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.p = r.p
+      WHERE r.p IS NULL
+      GROUP BY 1
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+           coalesce(k.dedup_text, '') AS dedup_text
+    FROM w
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+    ORDER BY w.doc_id
 """
 
 

@@ -1,0 +1,95 @@
+"""Span dedup vs an independent pure-Python replay + adversarial
+planted cases (owner retention, island merge, full-doc removal)."""
+
+import hashlib
+
+from ds2_spark.operators.spandedup import dedup_spans
+
+
+def _py_span_dedup(rows, k):
+    """Independent reference: dict/set implementation, no windows."""
+    toks = {i: [w for w in t.split() if w] for i, t in rows}
+    where = {}
+    for i, ws in toks.items():
+        for p in range(len(ws) - k + 1):
+            key = hashlib.md5(
+                " ".join(ws[p:p + k]).encode()
+            ).hexdigest()[:16]
+            where.setdefault(key, []).append((i, p + 1))
+    removed = {i: set() for i in toks}
+    for key, occ in where.items():
+        docs = {i for i, _ in occ}
+        if len(docs) < 2:
+            continue
+        owner = min(docs)
+        for i, p in occ:
+            if i != owner:
+                removed[i].update(range(p, p + k))
+    out = {}
+    for i, ws in toks.items():
+        rem = sorted(removed[i])
+        spans = []
+        for p in rem:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p)
+            else:
+                spans.append([p, p])
+        kept = [w for j, w in enumerate(ws, start=1) if j not in removed[i]]
+        out[i] = (
+            len(ws),
+            len(spans),
+            len(removed[i]),
+            " ".join(kept),
+        )
+    return out
+
+
+def _run(spark, rows, k):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["tokens_removed"], r["dedup_text"]
+        )
+        for r in dedup_spans(df, k=k).collect()
+    }
+    assert got == _py_span_dedup(rows, k)
+    return got
+
+
+def test_matches_python_replay_on_corpus_slice(spark):
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text").limit(200).collect()
+    ]
+    got = _run(spark, rows, 8)
+    # non-vacuous: the corpus's planted near-dups must lose spans
+    assert sum(1 for v in got.values() if v[2] > 0) > 0
+
+
+def test_owner_keeps_copy_and_merge_semantics(spark):
+    boiler = "all rights reserved contact the site admin for removal"
+    rows = [
+        (10, f"alpha beta {boiler} gamma delta"),
+        (20, f"epsilon {boiler} zeta"),          # loses the span
+        (30, f"{boiler} {boiler}"),              # touching spans merge to 1
+        (40, boiler),                            # fully removed -> ''
+        (50, "too short"),                       # < k tokens, untouched
+    ]
+    got = _run(spark, rows, 8)
+    assert got[10][2] == 0                       # owner untouched
+    assert got[20][2] > 0 and boiler not in got[20][3]
+    assert got[30] == (18, 1, 18, "")            # one merged island
+    assert got[40][3] == ""
+    assert got[50] == (2, 0, 0, "too short")
+
+
+def test_overlapping_marks_merge_into_one_span(spark):
+    # doc 2 contains a 10-token run shared with doc 1 -> three
+    # overlapping 8-gram marks, one island, 10 tokens removed
+    run = "a b c d e f g h i j"
+    rows = [(1, f"x {run} y"), (2, f"p q r {run} s t")]
+    got = _run(spark, rows, 8)
+    assert got[2][1] == 1 and got[2][2] == 10
+    assert got[2][3] == "p q r s t"
