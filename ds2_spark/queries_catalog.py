@@ -3045,6 +3045,48 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(docs, k=8).orderBy("doc_id")
 
 
+_BPE_N_MERGES = 10
+_BPE_MAX_WORDS = 500
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (operators/bpe.py): the distributed
+    step is the word-frequency groupBy; the merge loop runs over the
+    collected top-N word list with a (count DESC, pair ASC) total
+    order. The oracle replays all 10 rounds as unrolled CTEs — pair
+    counting, argmax selection, and the terminator-encoded replace —
+    so every intermediate vocabulary state is cross-checked, not
+    just the final table (the NOTES #51 PageRank unrolling pattern
+    applied to tokenizer training)."""
+    from .operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(
+        docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+    )
+    rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank long, lhs string, rhs string, pair_count long"
+    ).orderBy("merge_rank")
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the trained BPE table: per-doc token
+    count, single-char residue count, and a 64-bit hash of the exact
+    token stream. Engine side is the unique-word-memoized mapInPandas
+    kernel; the oracle re-trains via the unrolled CTEs and re-encodes
+    every distinct word with a recursive CTE applying the merges in
+    rank order — the token_hash equality pins the full tokenization
+    of every document."""
+    from .operators.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(
+        docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+    )
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3136,6 +3178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crossmodal_dup": q_crossmodal_dup,
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_span_dedup": q_span_dedup,
+        "q_bpe_train": q_bpe_train,
+        "q_bpe_encode": q_bpe_encode,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
         "q_ivfpq_topk": q_ivfpq_topk,
@@ -5987,6 +6031,129 @@ ORACLE_SQL["q_span_dedup"] = """
     LEFT JOIN kept k USING (doc_id)
     ORDER BY w.doc_id
 """
+
+
+# BPE training replay: n unrolled rounds. Round j derives symbol
+# lists from the terminator encoding of round j-1, counts OVERLAPPING
+# adjacent pairs weighted by word frequency, picks the (count DESC,
+# lhs, rhs) argmax, and applies it with replace() — whose
+# resume-after-replacement scan is exactly the engine's left-to-right
+# non-overlapping merge pass (operators/bpe.py module docstring).
+def _bpe_train_ctes(n: int) -> str:
+    parts = [
+        """
+    tw AS MATERIALIZED (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY 1 ORDER BY cnt DESC, word LIMIT 500
+    ),
+    w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS enc
+      FROM tw
+    )"""
+    ]
+    for j in range(1, n + 1):
+        parts.append(f"""
+    p{j} AS MATERIALIZED (
+      SELECT s.ls[u.i] AS lhs, s.ls[u.i + 1] AS rhs, sum(s.cnt) AS c
+      FROM (SELECT cnt,
+                   list_filter(string_split(enc, chr(31)), x -> x <> '')
+                     AS ls
+            FROM w{j - 1}) s,
+           unnest(generate_series(1, greatest(len(s.ls) - 1, 0))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    b{j} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{j} ORDER BY c DESC, lhs, rhs LIMIT 1),
+    w{j} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(enc,
+                     (SELECT lhs FROM b{j}) || chr(31) ||
+                     (SELECT rhs FROM b{j}) || chr(31),
+                     (SELECT lhs FROM b{j}) ||
+                     (SELECT rhs FROM b{j}) || chr(31)) AS enc
+      FROM w{j - 1}
+    )""")
+    return ",".join(parts)
+
+
+def _bpe_train_oracle_sql(n: int) -> str:
+    union = "\n      UNION ALL ".join(
+        f"SELECT {j} AS merge_rank, lhs, rhs, CAST(c AS BIGINT) "
+        f"AS pair_count FROM b{j}"
+        for j in range(1, n + 1)
+    )
+    return (
+        "WITH " + _bpe_train_ctes(n)
+        + f"\n    SELECT * FROM ({union}) ORDER BY merge_rank"
+    )
+
+
+def _bpe_encode_oracle_sql(n: int) -> str:
+    return (
+        "WITH RECURSIVE " + _bpe_train_ctes(n) + f""",
+    merges AS (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS merge_rank, lhs, rhs FROM b{j}"
+          for j in range(1, n + 1)
+      )}
+    ),
+    dw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+               AS ws
+      FROM documents
+    ),
+    uw AS (SELECT DISTINCT unnest(ws) AS word FROM dw),
+    rec AS (
+      SELECT word,
+             regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS enc,
+             0 AS r
+      FROM uw
+      UNION ALL
+      SELECT rec.word,
+             replace(rec.enc,
+                     m.lhs || chr(31) || m.rhs || chr(31),
+                     m.lhs || m.rhs || chr(31)),
+             rec.r + 1
+      FROM rec JOIN merges m ON m.merge_rank = rec.r + 1
+    ),
+    encf AS (SELECT word, enc FROM rec WHERE r = {n}),
+    dpos AS (
+      SELECT doc_id, u.i AS i, d.ws[u.i] AS word
+      FROM dw d,
+           unnest(generate_series(1, greatest(len(d.ws), 0))) AS u(i)
+    ),
+    dtok AS (
+      SELECT dpos.doc_id, dpos.i, e.enc
+      FROM dpos JOIN encf e USING (word)
+    ),
+    dagg AS (
+      SELECT doc_id, string_agg(enc, '' ORDER BY i) AS encdoc
+      FROM dtok GROUP BY 1
+    ),
+    fin AS (
+      SELECT doc_id,
+             rtrim(replace(encdoc, chr(31), ' ')) AS token_str,
+             len(encdoc) - len(replace(encdoc, chr(31), '')) AS n_tokens
+      FROM dagg
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(f.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(list_filter(string_split(f.token_str, ' '),
+                                         t -> len(t) = 1)), 0) AS BIGINT)
+             AS n_singles,
+           substring(md5(coalesce(f.token_str, '')), 1, 16) AS token_hash
+    FROM dw d LEFT JOIN fin f USING (doc_id)
+    ORDER BY d.doc_id
+"""
+    )
+
+
+ORACLE_SQL["q_bpe_train"] = _bpe_train_oracle_sql(_BPE_N_MERGES)
+ORACLE_SQL["q_bpe_encode"] = _bpe_encode_oracle_sql(_BPE_N_MERGES)
 
 
 def oracle_sql() -> dict[str, str]:
