@@ -82,6 +82,8 @@ def generate_clips(
     dur_max_ms: int = 2000,
     chars_per_sec: float = 120.0,
     with_audio: bool = True,
+    lang_weights: dict[str, float] | None = None,
+    long_tail_frac: float = 0.005,
 ) -> dict[str, str]:
     """Write clips.parquet + clips_truth.parquet under out_dir.
 
@@ -93,8 +95,10 @@ def generate_clips(
     """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    langs = list(LANG_WEIGHTS)
-    lang_p = np.array([LANG_WEIGHTS[l] for l in langs])
+    weights = LANG_WEIGHTS if lang_weights is None else lang_weights
+    langs = list(weights)
+    lang_p = np.array([weights[l] for l in langs])
+    lang_p = lang_p / lang_p.sum()
 
     clip_ids = np.array([f"clip_{i:012d}" for i in range(n)])
     lang_idx = rng.choice(len(langs), size=n, p=lang_p)
@@ -110,7 +114,7 @@ def generate_clips(
     has_pii = (u >= 0.03) & (u < 0.06)
     has_tox = (u >= 0.06) & (u < 0.08)
     dur_corrupt = rng.random(n) < 0.01
-    long_tail = rng.random(n) < 0.005
+    long_tail = rng.random(n) < long_tail_frac
 
     transcripts: list[str] = []
     for i in range(n):

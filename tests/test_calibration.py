@@ -302,3 +302,78 @@ def test_rater_agreement_report_on_fixture(spark, fixture_paths):
     r0 = rep[0]
     assert (r0["n_agree"], r0["pe_num"]) == (agree, pe_num)
     assert r0["kappa"] == want
+
+
+def test_full_pipeline_matches_oracle_skew_profile(spark, tmp_path_factory):
+    """End-to-end keep/drop parity on a SKEW-STRESSED profile — the
+    north rule's named hazard: one hot language (92% en) and 10x the
+    long-transcript tail (5% of clips at 50x length). Parity must
+    hold because every pipeline stage is keyed by clip_id or salted,
+    never by language; the companion assertion pins that the salted
+    scatter actually balances this skew (max/mean partition load)."""
+    from pyspark.sql import functions as F
+
+    from ds2_spark.fixtures import generate_all
+    from ds2_spark.plans.pipeline import salted_repartition
+
+    skew_dir = str(tmp_path_factory.mktemp("ds2_skew_profile"))
+    paths = generate_all(
+        skew_dir, n=500, seed=20260819,
+        lang_weights={"en": 0.92, "es": 0.02, "de": 0.02,
+                      "fr": 0.02, "zh": 0.02},
+        long_tail_frac=0.05,
+    )
+    clips = spark.read.parquet(paths["clips"])
+    scores = spark.read.parquet(paths["scores"])
+
+    # the skew is real: en dominates and the long tail is heavy
+    truth = spark.read.parquet(paths["truth"])
+    n_en = truth.filter("lang_true = 'en'").count()
+    assert n_en > 0.85 * 500
+    tail = clips.filter(F.length("transcript") > 2000).count()
+    assert tail >= 10
+
+    result = curation_pipeline(spark, clips, scores, SMALL, rater="rater_a")
+    engine = {
+        r["clip_id"]: (r["keep"], r["reason"], r["final_score"])
+        for r in result["decisions"].collect()
+    }
+    noise_rates = 1.0 - np.diag(t_given_noisy(result["hoc"]))
+    oracle = ds2_oracle.curation_oracle(
+        paths["clips"], paths["scores"], noise_rates, SMALL, "rater_a"
+    )
+    exp = oracle["decisions"]
+    assert set(engine) == set(exp)
+    mismatch = [
+        (cid, engine[cid], exp[cid])
+        for cid in engine
+        if engine[cid][:2] != exp[cid][:2]
+        or (exp[cid][2] is not None and engine[cid][2] != exp[cid][2])
+    ]
+    assert not mismatch, mismatch[:5]
+    assert sum(1 for v in engine.values() if v[0]) == oracle["budget"]
+
+    # salted scatter vs the naive language-keyed scatter: the hot
+    # language would put >= 85% of rows on one partition; the salt
+    # must cut the max partition load to a small multiple of uniform
+    # (not exactly uniform — 64 salt buckets over 8 partitions leave
+    # binomial lumpiness at n=500)
+    with_lang = clips.join(
+        truth.select("clip_id", "lang_true"), "clip_id"
+    )
+    by_lang = (
+        with_lang.repartition(8, "lang_true")
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    salted = (
+        salted_repartition(with_lang, 8)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    max_lang = max(r["count"] for r in by_lang)
+    loads = [r["count"] for r in salted]
+    assert max_lang >= n_en  # the hazard is real without salting
+    assert len(loads) == 8
+    assert max(loads) <= 2.0 * (sum(loads) / len(loads)), loads
+    assert max(loads) < 0.4 * max_lang, (max(loads), max_lang)
