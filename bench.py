@@ -92,6 +92,9 @@ HEADLINE = [
     "q_repetition_filter",
     "q_decontaminate",
     "q_tfidf_top_terms",
+    "q_span_dedup",
+    "q_bpe_train",
+    "q_bpe_encode",
     "flagship",
 ]
 

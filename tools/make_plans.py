@@ -95,6 +95,8 @@ AUDITED = [
     "q_pq_topk",
     "q_pq_rerank",
     "q_ivfpq_topk",
+    "q_span_dedup",
+    "q_bpe_encode",
     "flagship",
 ]
 
@@ -144,6 +146,24 @@ fingerprint's Arrow pass (audio_fingerprint passthrough), so clip
 bytes are read ONCE and never rescanned or shuffled; after that pass
 only (clip_id, fp, t_hash) scalars move — two scalar-key groupBys
 with map-side combine and two count-joins back.""",
+    "q_span_dedup": """\
+**Span-dedup scale shape:** the text payload is hashed where it is
+scanned — only (doc_id, pos, 16-hex key) rows enter the key groupBy,
+and the marked-interval stream that comes back is (doc_id, s, e)
+triples. The rewrite joins the bounded per-doc spans ARRAY to a
+second pruned scan by doc_id (broadcast-ready: touched docs are a
+small fraction of the corpus). Standard 100TB refinement, same as
+decontaminate: a Bloom/count prefilter so singleton grams (the vast
+majority under Zipf) never shuffle at all — constants, not shape.""",
+    "q_bpe_encode": """\
+**BPE scale shape:** training's distributed half is one map-side
+combined word-frequency groupBy whose key space is the VOCABULARY
+(Zipf-bounded), not the corpus; the merge loop runs driver-side on
+the bounded top-N list (collect_pool discipline). Encoding is a
+single mapInPandas pass whose unit of work is the unique word per
+partition (memoized — the standard tokenizer word cache), so
+per-batch cost is O(unique words), a small fraction of rows. Only
+fixed-width count/hash scalars leave the pass.""",
 }
 
 
