@@ -198,3 +198,55 @@ def priority_sample(
             F.greatest(F.col("w").cast("double"), F.col("tau")).alias("est_w"),
         )
     )
+
+
+def token_budget_plan(
+    doc_tokens: DataFrame,
+    stratum: str,
+    token_col: str,
+    alpha: float = 0.5,
+    token_budget: int = 60_000,
+) -> list[tuple]:
+    """Token-weighted mixture budgeting: given per-doc token counts
+    (e.g. operators/bpe.bpe_encode output joined to its source), plan
+    per-source sampling rates hitting a TOKEN budget — the form
+    corpus mixing actually takes for LM training, where budgets are
+    tokens, not documents (mT5/XLM-R balance by example count;
+    Chinchilla-style planning needs tokens).
+
+    Per stratum s with token mass t_s: weight ∝ t_s^alpha, rate =
+    round(min(1, B * (w_s / Σw) / t_s), 6); the 6-dp grid then turns
+    into an integer ppm threshold and expected_tokens = t_s *
+    rate_ppm // 1e6 — both integer-exact, so the whole plan replays
+    bit-identically in SQL (the temperature_rates discipline, applied
+    to token mass). Returns rows
+    (stratum, n_docs, n_tokens, rate_ppm, expected_tokens) sorted by
+    stratum; driver-side cost is one per-stratum aggregate row (the
+    collect_pool bound — strata are sources/languages, not docs).
+    The rates feed `stratified_sample` unchanged: membership stays
+    the shuffle-free md5-bucket filter."""
+    import math
+
+    agg = (
+        doc_tokens.groupBy(stratum)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(token_col)).alias("n_tokens"),
+        )
+        .collect()
+    )
+    stats = {r[stratum]: (int(r["n_docs"]), int(r["n_tokens"])) for r in agg}
+    weights = {s: float(t) ** alpha for s, (_, t) in stats.items()}
+    wsum = sum(weights.values())
+    out = []
+    for s in sorted(stats):
+        n_docs, toks = stats[s]
+        if toks <= 0 or wsum <= 0:
+            rate_ppm = 0
+        else:
+            rate = round(
+                min(1.0, (token_budget * (weights[s] / wsum)) / toks), 6
+            )
+            rate_ppm = math.floor(rate * 1_000_000)
+        out.append((s, n_docs, toks, rate_ppm, toks * rate_ppm // 1_000_000))
+    return out

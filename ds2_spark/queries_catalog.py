@@ -3087,6 +3087,36 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).orderBy("doc_id")
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted corpus mixture plan: BPE token counts
+    (q_bpe_encode's tokenizer) aggregated per source, temperature
+    weights over TOKEN mass (alpha=0.5), rates scaled to a 60k-token
+    budget — the Chinchilla-style form of mixing where the budget is
+    tokens, not documents. The whole plan is per-source scalars; the
+    oracle re-derives token counts from the unrolled-CTE tokenizer
+    replay and applies the identical float-expression order + integer
+    ppm/expected-token arithmetic (operators/sampling.
+    token_budget_plan)."""
+    from .operators.bpe import bpe_encode, train_bpe
+    from .operators.sampling import token_budget_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(
+        docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
+    )
+    per_doc = bpe_encode(docs, merges).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    rows = token_budget_plan(
+        per_doc, "source", "n_tokens", alpha=0.5, token_budget=60_000
+    )
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs long, n_tokens long, rate_ppm long, "
+        "expected_tokens long",
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3180,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
+        "q_token_budget": q_token_budget,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
         "q_ivfpq_topk": q_ivfpq_topk,
@@ -6091,9 +6122,12 @@ def _bpe_train_oracle_sql(n: int) -> str:
     )
 
 
-def _bpe_encode_oracle_sql(n: int) -> str:
-    return (
-        "WITH RECURSIVE " + _bpe_train_ctes(n) + f""",
+def _bpe_doc_tokens_ctes(n: int) -> str:
+    """Training + re-encode CTE chain ending in fin(doc_id,
+    token_str, n_tokens); callers prepend WITH RECURSIVE and append
+    their own final SELECT (per-doc for q_bpe_encode, per-source
+    aggregate for q_token_budget)."""
+    return _bpe_train_ctes(n) + f""",
     merges AS (
       {" UNION ALL ".join(
           f"SELECT {j} AS merge_rank, lhs, rhs FROM b{j}"
@@ -6139,7 +6173,12 @@ def _bpe_encode_oracle_sql(n: int) -> str:
              rtrim(replace(encdoc, chr(31), ' ')) AS token_str,
              len(encdoc) - len(replace(encdoc, chr(31), '')) AS n_tokens
       FROM dagg
-    )
+    )"""
+
+
+def _bpe_encode_oracle_sql(n: int) -> str:
+    return (
+        "WITH RECURSIVE " + _bpe_doc_tokens_ctes(n) + """
     SELECT d.doc_id,
            CAST(coalesce(f.n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(coalesce(len(list_filter(string_split(f.token_str, ' '),
@@ -6152,8 +6191,43 @@ def _bpe_encode_oracle_sql(n: int) -> str:
     )
 
 
+# Token-weighted mixture budgeting: identical float expression order
+# as operators/sampling.token_budget_plan (budget * (w / wsum) / t,
+# round 6 dp), then integer ppm threshold and integer expected-token
+# mass — the temperature_mix portability recipe over BPE token counts.
+def _token_budget_oracle_sql(n: int, alpha: float, budget: int) -> str:
+    return (
+        "WITH RECURSIVE " + _bpe_doc_tokens_ctes(n) + f""",
+    srctok AS (
+      SELECT d.source, count(*) AS n_docs,
+             sum(coalesce(f.n_tokens, 0)) AS n_tokens
+      FROM documents d LEFT JOIN fin f USING (doc_id)
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(pow(n_tokens, {alpha})) AS wsum FROM srctok),
+    rates AS (
+      SELECT source, n_docs, n_tokens,
+             CASE WHEN n_tokens <= 0 OR wsum <= 0 THEN 0
+                  ELSE CAST(floor(round(least(1.0,
+                         ({budget} * (pow(n_tokens, {alpha}) / wsum))
+                           / n_tokens), 6) * 1000000) AS BIGINT)
+             END AS rate_ppm
+      FROM srctok CROSS JOIN tot
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens, rate_ppm,
+           CAST(n_tokens * rate_ppm // 1000000 AS BIGINT)
+             AS expected_tokens
+    FROM rates ORDER BY source
+"""
+    )
+
+
 ORACLE_SQL["q_bpe_train"] = _bpe_train_oracle_sql(_BPE_N_MERGES)
 ORACLE_SQL["q_bpe_encode"] = _bpe_encode_oracle_sql(_BPE_N_MERGES)
+ORACLE_SQL["q_token_budget"] = _token_budget_oracle_sql(
+    _BPE_N_MERGES, 0.5, 60_000
+)
 
 
 def oracle_sql() -> dict[str, str]:

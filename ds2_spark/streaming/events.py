@@ -292,6 +292,40 @@ def run_pq_encode_stream_once(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_bpe_encode_stream_once(
+    spark: SparkSession,
+    docs_dir: str,
+    merges,
+    query_name: str = "bpe_tokens",
+) -> DataFrame:
+    """Incremental twin of corpus tokenization: `bpe_encode`
+    (operators/bpe.py) over a micro-batched documents file stream —
+    newly-landed docs get token counts/hashes under a FROZEN merge
+    table (the production pattern: the tokenizer is versioned and
+    pinned while the corpus grows). Stateless Arrow mapInPandas over
+    the pruned (doc_id, text) projection; the identical encode plan
+    runs under Structured Streaming unchanged."""
+    from ..operators.bpe import bpe_encode
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(docs_dir)
+    )
+    out = bpe_encode(stream, merges)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_rules_stream_once(
     spark: SparkSession, clips_dir: str, query_name: str = "clip_rules", cfg=None
 ) -> DataFrame:

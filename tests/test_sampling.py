@@ -177,3 +177,73 @@ def test_priority_sample_small_group_keeps_all(spark):
     assert len(got) == 5
     for r in got:
         assert r["est_w"] == float(r["w"])  # tau == 0 when |group| <= k
+
+
+def test_token_budget_plan_matches_reference_and_caps(spark):
+    """token_budget_plan vs a from-scratch float replay; a tiny
+    stratum must CAP at rate 1.0 (ppm exactly 1000000) and a
+    zero-token stratum must plan rate 0, not NaN."""
+    import math
+
+    from ds2_spark.operators.sampling import token_budget_plan
+
+    rows = (
+        [("big", i, 400) for i in range(50)]
+        + [("mid", 100 + i, 250) for i in range(20)]
+        + [("tiny", 200 + i, 30) for i in range(3)]
+        + [("empty", 300 + i, 0) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    plan = token_budget_plan(
+        df, "source", "n_tokens", alpha=0.5, token_budget=8_000
+    )
+
+    # independent replay
+    agg = {}
+    for s, _, t in rows:
+        n, tot = agg.get(s, (0, 0))
+        agg[s] = (n + 1, tot + t)
+    wsum = sum(t ** 0.5 for _, t in agg.values())
+    exp = []
+    for s in sorted(agg):
+        n, t = agg[s]
+        rate = round(min(1.0, (8_000 * (t ** 0.5 / wsum)) / t), 6) if t else 0.0
+        ppm = math.floor(rate * 1_000_000)
+        exp.append((s, n, t, ppm, t * ppm // 1_000_000))
+    assert plan == exp
+
+    got = {p[0]: p for p in plan}
+    assert got["tiny"][3] == 1_000_000          # capped: keep all 90 tokens
+    assert got["tiny"][4] == got["tiny"][2]
+    assert got["empty"][3] == 0 and got["empty"][4] == 0
+    assert 0 < got["big"][3] < 1_000_000        # genuinely downsampled
+    # alpha<1 up-weights the small stratum: higher rate than the big one
+    assert got["mid"][3] > got["big"][3]
+
+
+def test_token_budget_rates_feed_stratified_sample(spark):
+    """The planned ppm rates ARE stratified_sample thresholds: actual
+    sampled token mass lands near expected_tokens (md5 buckets are
+    uniform, so within a loose binomial band)."""
+    from ds2_spark.operators.sampling import (
+        stratified_sample,
+        token_budget_plan,
+    )
+
+    rows = [
+        (f"s{i % 4}", i, 50 + (i * 7) % 90) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    plan = token_budget_plan(
+        df, "source", "n_tokens", alpha=0.5, token_budget=60_000
+    )
+    rates = {s: ppm / 1_000_000 for s, _, _, ppm, _ in plan}
+    kept = stratified_sample(df, "source", "doc_id", rates)
+    kept_tok = {
+        r["source"]: r["t"]
+        for r in kept.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    for s, _, _, _, expected in plan:
+        assert abs(kept_tok[s] - expected) < 0.2 * expected + 500, (
+            s, kept_tok[s], expected
+        )

@@ -681,3 +681,33 @@ def test_pq_encode_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert stream_out == batch_out and len(stream_out) == 90
+
+
+def test_bpe_encode_stream_matches_batch(spark, tmp_path):
+    """Tokenization under a frozen merge table is identical under
+    Structured Streaming: counts/hashes computed micro-batch by
+    micro-batch equal the batch encode over the same docs (stateless
+    Arrow stage, per-partition word cache rebuilt per task without
+    affecting results)."""
+    from ds2_spark.operators.bpe import bpe_encode, train_bpe
+    from ds2_spark.streaming.events import run_bpe_encode_stream_once
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(120)
+    merges = [(l, r) for l, r, _ in train_bpe(docs, n_merges=8)]
+    docs_dir = str(tmp_path / "docs_stream")
+    # several files -> several micro-batches (maxFilesPerTrigger=2)
+    docs.repartition(5).write.mode("overwrite").parquet(docs_dir)
+
+    stream_out = {
+        r["doc_id"]: (r["n_tokens"], r["n_singles"], r["token_hash"])
+        for r in run_bpe_encode_stream_once(
+            spark, docs_dir, merges, "bpe_stream_test"
+        ).collect()
+    }
+    batch_out = {
+        r["doc_id"]: (r["n_tokens"], r["n_singles"], r["token_hash"])
+        for r in bpe_encode(spark.read.parquet(docs_dir), merges).collect()
+    }
+    assert stream_out == batch_out and len(stream_out) == 120
