@@ -172,7 +172,10 @@ def bpe_encode(
             return got
 
         for pdf in batches:
-            texts = pdf[text_col]
+            # NULL text tokenizes as empty (0 tokens, empty-stream
+            # hash) rather than crashing the batch — hostile-input
+            # policy matching the span-dedup NULL passthrough
+            texts = pdf[text_col].fillna("")
             if texts.str.contains(SEP).any():
                 raise ValueError(
                     "bpe_encode: text contains the reserved "

@@ -89,7 +89,9 @@ def dedup_spans(
     n_spans counts maximal merged spans (0 for untouched docs and
     for each duplicated key's owner), tokens_removed their total
     token mass, dedup_text the space-joined surviving tokens (the
-    full original token join when nothing was removed)."""
+    full original token join when nothing was removed). NULL text
+    passes through as NULL tokens/text with zero span counts —
+    hostile rows neither crash nor silently drop."""
     g = gram_positions(docs, id_col, text_col, k)
 
     # duplicated keys with their keep-first owner: ids-only shuffle.

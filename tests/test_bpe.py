@@ -131,3 +131,17 @@ def test_corpus_tokens_never_exceed_chars(spark):
         F.sum("n_tokens").alias("t"), F.sum("n_chars").alias("c")
     ).first()
     assert agg["t"] < agg["c"]
+
+
+def test_null_text_tokenizes_as_empty(spark):
+    """Hostile input: NULL transcript yields 0 tokens + the
+    empty-stream hash (the span-dedup NULL-passthrough policy), not a
+    worker crash."""
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bpe_encode(docs, [("h", "e")]).collect()}
+    assert rows[1]["n_tokens"] == 0
+    assert rows[1]["token_hash"] == hashlib.md5(b"").hexdigest()[:16]
+    assert rows[2]["n_tokens"] == 0
+    assert rows[0]["n_tokens"] == 9  # he,l,l,o + w,o,r,l,d

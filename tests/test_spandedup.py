@@ -93,3 +93,14 @@ def test_overlapping_marks_merge_into_one_span(spark):
     got = _run(spark, rows, 8)
     assert got[2][1] == 1 and got[2][2] == 10
     assert got[2][3] == "p q r s t"
+
+
+def test_null_text_passes_through_as_null(spark):
+    """Hostile input: NULL text rows survive with NULL tokens/text
+    and zero span counts — no crash, no silent drop."""
+    rows = [(0, "a b c d"), (1, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_spans(df, k=2).collect()}
+    assert got[1]["n_tokens"] is None and got[1]["dedup_text"] is None
+    assert got[1]["n_spans"] == 0 and got[1]["tokens_removed"] == 0
+    assert got[0]["dedup_text"] == "a b c d"
