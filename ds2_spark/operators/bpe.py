@@ -13,13 +13,28 @@ replayable by the DuckDB contract oracle:
   reference `get_stats` does the same);
 * a chosen merge is applied as ONE left-to-right non-overlapping
   pass over each word, and encoding applies the merge table in rank
-  order, one such pass per merge. On the terminator encoding
-  `c1␟c2␟…cn␟` this is exactly SQL `replace(enc, l||␟||r||␟,
-  l||r||␟)` — scanning resumes after each replacement — so both
-  engines walk bit-identical states. (Sennrich's encoder loops
-  until fixpoint; for merges learned BY this trainer the single
-  rank-ordered pass is self-consistent: training state after j
-  rounds == encoding with the first j merges, pinned by test.)
+  order, one such pass per merge. On the bracketed encoding
+  `␞c1␟␞c2␟…␞cn␟` (START marker U+001E before and END marker
+  U+001F after every symbol) this is exactly SQL
+  `replace(enc, ␞l␟␞r␟, ␞lr␟)` — scanning resumes after each
+  replacement — so both engines walk bit-identical states. The
+  START marker is load-bearing: a trailing-marker-only encoding
+  (`c1␟c2␟…`) admits MID-SYMBOL matches — with symbols (ca, b) the
+  pattern `a␟b␟` matches inside `ca␟b␟`, merging across a symbol
+  boundary the engine never would. With both markers a match must
+  begin at a ␞, i.e. at a symbol start, and l/r must each span a
+  whole symbol (symbols contain no marker chars — enforced by the
+  encode-time refusal below), so every match is exactly an
+  adjacent symbol pair. (Sennrich's encoder loops until fixpoint;
+  for merges learned BY this trainer the single rank-ordered pass
+  is self-consistent: training state after j rounds == encoding
+  with the first j merges, pinned by test.)
+
+Word splitting matches the JVM side byte-for-byte: the kernel
+splits on the explicit class [ \\t\\n\\x0b\\f\\r] — Java's ASCII
+`\\s` — not pandas' default Unicode whitespace, so a U+00A0 inside
+a transcript is (part of) a word in the trainer, the encoder, and
+the oracle alike.
 
 Spark shape at 10^12 rows: training's distributed half is one
 word-frequency groupBy (map-side combined, key space = vocabulary,
@@ -43,7 +58,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SEP = "\x1f"  # unit separator: symbol terminator in encoded form
+SEP = "\x1f"    # unit separator: END marker after each symbol
+START = "\x1e"  # record separator: START marker before each symbol
 
 
 def word_frequencies(
@@ -67,7 +83,7 @@ def word_frequencies(
 
 def merge_pass(symbols: list[str], left: str, right: str) -> list[str]:
     """One left-to-right non-overlapping merge pass — the Python twin
-    of `replace(enc, l␟r␟, lr␟)` on the terminator encoding."""
+    of `replace(enc, ␞l␟␞r␟, ␞lr␟)` on the bracketed encoding."""
     out: list[str] = []
     i = 0
     n = len(symbols)
@@ -176,12 +192,17 @@ def bpe_encode(
             # hash) rather than crashing the batch — hostile-input
             # policy matching the span-dedup NULL passthrough
             texts = pdf[text_col].fillna("")
-            if texts.str.contains(SEP).any():
+            if texts.str.contains(SEP).any() or texts.str.contains(
+                START
+            ).any():
                 raise ValueError(
-                    "bpe_encode: text contains the reserved "
-                    "separator U+001F"
+                    "bpe_encode: text contains a reserved marker "
+                    "(U+001E/U+001F)"
                 )
-            words = texts.str.split()
+            # Java-ASCII \s, NOT pandas/Python Unicode whitespace —
+            # keeps the word population identical to the Spark-side
+            # trainer and the RE2/DuckDB oracle (module docstring)
+            words = texts.str.findall(r"[^ \t\n\x0b\f\r]+")
             lens = words.str.len().to_numpy()
             owner = np.repeat(np.arange(len(pdf)), lens)
             flat = pd.Series(

@@ -237,7 +237,12 @@ def token_budget_plan(
     )
     stats = {r[stratum]: (int(r["n_docs"]), int(r["n_tokens"])) for r in agg}
     weights = {s: float(t) ** alpha for s, (_, t) in stats.items()}
-    wsum = sum(weights.values())
+    # sum in sorted-stratum order: collect() row order varies with
+    # partitioning, and float addition order can move the last ulp —
+    # a fixed order keeps the plan deterministic run-to-run (the 6-dp
+    # grid then absorbs the remaining engine-internal-order ulp, as
+    # in temperature_rates)
+    wsum = sum(weights[s] for s in sorted(weights))
     out = []
     for s in sorted(stats):
         n_docs, toks = stats[s]

@@ -6056,7 +6056,10 @@ ORACLE_SQL["q_span_dedup"] = """
            CAST(len(w.w) AS BIGINT) AS n_tokens,
            CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
            CAST(coalesce(p.tokens_removed, 0) AS BIGINT) AS tokens_removed,
-           coalesce(k.dedup_text, '') AS dedup_text
+           -- NULL text passes through as NULL (the engine's hostile-
+           -- input policy); '' is reserved for fully-removed docs
+           CASE WHEN w.w IS NULL THEN NULL
+                ELSE coalesce(k.dedup_text, '') END AS dedup_text
     FROM w
     LEFT JOIN per_doc p USING (doc_id)
     LEFT JOIN kept k USING (doc_id)
@@ -6065,11 +6068,16 @@ ORACLE_SQL["q_span_dedup"] = """
 
 
 # BPE training replay: n unrolled rounds. Round j derives symbol
-# lists from the terminator encoding of round j-1, counts OVERLAPPING
-# adjacent pairs weighted by word frequency, picks the (count DESC,
-# lhs, rhs) argmax, and applies it with replace() — whose
-# resume-after-replacement scan is exactly the engine's left-to-right
-# non-overlapping merge pass (operators/bpe.py module docstring).
+# lists from the BRACKETED encoding (chr(30) START marker + chr(31)
+# END marker around every symbol — the start marker pins replace()
+# matches to symbol boundaries; see operators/bpe.py module
+# docstring) of round j-1, counts OVERLAPPING adjacent pairs weighted
+# by word frequency, picks the (count DESC, lhs, rhs) argmax, and
+# applies it with replace() — whose resume-after-replacement scan is
+# exactly the engine's left-to-right non-overlapping merge pass.
+# If pair counts run dry before round n (degenerate corpus), b{j} is
+# empty and the CASE guard carries w{j-1} forward unchanged instead
+# of NULLing every encoding through a NULL replace pattern.
 def _bpe_train_ctes(n: int) -> str:
     parts = [
         """
@@ -6082,7 +6090,8 @@ def _bpe_train_ctes(n: int) -> str:
     ),
     w0 AS MATERIALIZED (
       SELECT word, cnt,
-             regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS enc
+             regexp_replace(word, '(.)', chr(30) || '\\1' || chr(31), 'g')
+               AS enc
       FROM tw
     )"""
     ]
@@ -6091,7 +6100,8 @@ def _bpe_train_ctes(n: int) -> str:
     p{j} AS MATERIALIZED (
       SELECT s.ls[u.i] AS lhs, s.ls[u.i + 1] AS rhs, sum(s.cnt) AS c
       FROM (SELECT cnt,
-                   list_filter(string_split(enc, chr(31)), x -> x <> '')
+                   list_filter(string_split(replace(enc, chr(30), ''),
+                                            chr(31)), x -> x <> '')
                      AS ls
             FROM w{j - 1}) s,
            unnest(generate_series(1, greatest(len(s.ls) - 1, 0))) AS u(i)
@@ -6100,11 +6110,13 @@ def _bpe_train_ctes(n: int) -> str:
     b{j} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{j} ORDER BY c DESC, lhs, rhs LIMIT 1),
     w{j} AS MATERIALIZED (
       SELECT word, cnt,
-             replace(enc,
-                     (SELECT lhs FROM b{j}) || chr(31) ||
-                     (SELECT rhs FROM b{j}) || chr(31),
-                     (SELECT lhs FROM b{j}) ||
-                     (SELECT rhs FROM b{j}) || chr(31)) AS enc
+             CASE WHEN (SELECT count(*) FROM b{j}) = 0 THEN enc
+                  ELSE replace(enc,
+                       chr(30) || (SELECT lhs FROM b{j}) || chr(31) ||
+                       chr(30) || (SELECT rhs FROM b{j}) || chr(31),
+                       chr(30) || (SELECT lhs FROM b{j}) ||
+                       (SELECT rhs FROM b{j}) || chr(31))
+             END AS enc
       FROM w{j - 1}
     )""")
     return ",".join(parts)
@@ -6143,18 +6155,23 @@ def _bpe_doc_tokens_ctes(n: int) -> str:
     uw AS (SELECT DISTINCT unnest(ws) AS word FROM dw),
     rec AS (
       SELECT word,
-             regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS enc,
+             regexp_replace(word, '(.)', chr(30) || '\\1' || chr(31), 'g')
+               AS enc,
              0 AS r
       FROM uw
       UNION ALL
       SELECT rec.word,
              replace(rec.enc,
-                     m.lhs || chr(31) || m.rhs || chr(31),
-                     m.lhs || m.rhs || chr(31)),
+                     chr(30) || m.lhs || chr(31) ||
+                     chr(30) || m.rhs || chr(31),
+                     chr(30) || m.lhs || m.rhs || chr(31)),
              rec.r + 1
       FROM rec JOIN merges m ON m.merge_rank = rec.r + 1
     ),
-    encf AS (SELECT word, enc FROM rec WHERE r = {n}),
+    -- max(r), not the literal round count: with a degenerate corpus
+    -- the merges relation is short and recursion stops early
+    encf AS (SELECT word, enc FROM rec
+             WHERE r = (SELECT max(r) FROM rec)),
     dpos AS (
       SELECT doc_id, u.i AS i, d.ws[u.i] AS word
       FROM dw d,
@@ -6170,7 +6187,8 @@ def _bpe_doc_tokens_ctes(n: int) -> str:
     ),
     fin AS (
       SELECT doc_id,
-             rtrim(replace(encdoc, chr(31), ' ')) AS token_str,
+             rtrim(replace(replace(encdoc, chr(30), ''), chr(31), ' '))
+               AS token_str,
              len(encdoc) - len(replace(encdoc, chr(31), '')) AS n_tokens
       FROM dagg
     )"""

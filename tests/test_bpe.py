@@ -145,3 +145,93 @@ def test_null_text_tokenizes_as_empty(spark):
     assert rows[1]["token_hash"] == hashlib.md5(b"").hexdigest()[:16]
     assert rows[2]["n_tokens"] == 0
     assert rows[0]["n_tokens"] == 9  # he,l,l,o + w,o,r,l,d
+
+
+def _duck_oracle(rows, sql):
+    """Run a catalog BPE oracle against an in-memory documents table."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en', 'src0', 0)", rows
+    )
+    return con.sql(sql).fetchall()
+
+
+def test_oracle_parity_on_mid_symbol_adversarial_corpus(spark):
+    """The bracketed-encoding regression case: this corpus learns
+    merges [(c,a),(a,b)] and contains 'cab', where a trailing-marker-
+    only encoding lets SQL replace() match 'a␟b␟' INSIDE the symbol
+    'ca' and produce the token 'cab' while the engine (correctly)
+    yields ca|b. Engine and oracle must agree on every doc — beyond
+    the small-vocab sf fixtures that can't trigger the case. Also
+    plants a U+00A0 word (pandas-vs-Java whitespace) and single-char
+    residue."""
+    from ds2_spark.queries_catalog import (
+        _BPE_N_MERGES,
+        _bpe_encode_oracle_sql,
+        _bpe_train_oracle_sql,
+    )
+
+    rows = [
+        (0, "ca ca ca ca ca ca ca ca ca ca"),
+        (1, "xab xab xab xab xab xab xab xab"),
+        (2, "cab cab cab cab cab"),
+        (3, "hello world plain words"),
+        (4, "z q v"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=_BPE_N_MERGES, max_words=500)
+    engine_train = [
+        (i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)
+    ]
+    assert _duck_oracle(rows, _bpe_train_oracle_sql(_BPE_N_MERGES)) == engine_train
+    # the adversarial pair really is in the table
+    learned = [(l, r) for _, l, r, _ in engine_train]
+    assert ("c", "a") in learned and ("a", "b") in learned
+
+    engine_enc = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_singles"], r["token_hash"])
+        for r in bpe_encode(docs, [(l, r) for l, r, _ in merges]).collect()
+    )
+    oracle_enc = sorted(
+        tuple(t) for t in _duck_oracle(rows, _bpe_encode_oracle_sql(_BPE_N_MERGES))
+    )
+    assert engine_enc == oracle_enc
+    # the boundary case itself: at the round where (a,b) applies,
+    # 'cab' is ca|b and the (a,b) merge must NOT fire across the
+    # symbol boundary (a later legitimate (ca,b) merge may still
+    # fully merge the word — that's fine and symbol-aligned)
+    pairs = [(l, r) for l, r, _ in merges]
+    j = pairs.index(("a", "b")) + 1
+    assert encode_word("cab", pairs[:j]) == ["ca", "b"]
+
+
+def test_oracle_parity_when_merges_run_dry(spark):
+    """Degenerate corpus: single-char vocabulary dries pair counts
+    before round n. The training oracle must emit exactly the learned
+    merges (not NULL-poisoned rounds) and the encode oracle must use
+    the last reached recursion depth, not the literal round count."""
+    from ds2_spark.queries_catalog import (
+        _BPE_N_MERGES,
+        _bpe_encode_oracle_sql,
+        _bpe_train_oracle_sql,
+    )
+
+    rows = [(0, "a b a b ab"), (1, "b a q")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=_BPE_N_MERGES, max_words=500)
+    assert 0 < len(merges) < _BPE_N_MERGES
+    engine_train = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    assert _duck_oracle(rows, _bpe_train_oracle_sql(_BPE_N_MERGES)) == engine_train
+
+    engine_enc = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_singles"], r["token_hash"])
+        for r in bpe_encode(docs, [(l, r) for l, r, _ in merges]).collect()
+    )
+    oracle_enc = sorted(
+        tuple(t) for t in _duck_oracle(rows, _bpe_encode_oracle_sql(_BPE_N_MERGES))
+    )
+    assert engine_enc == oracle_enc
