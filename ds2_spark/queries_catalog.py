@@ -3117,6 +3117,110 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the full corpus-construction chain a
+    training-data team actually runs, as ONE verified plan:
+
+      1. span scrub   (operators/spandedup, k=8: boilerplate out)
+      2. exact dedup  (keep-first on md5 of the SCRUBBED text — the
+                       scrub makes more near-dups collapse to exact)
+      3. decontaminate (5-gram overlap vs the doc_id % 37 benchmark
+                        split, on scrubbed text)
+      4. tokenize     (operators/bpe trained ON THE SURVIVORS)
+      5. token budget (alpha=0.5, 40k-token target) + md5-bucket
+                       sampling membership
+
+    Output: every original doc with its first-failing drop reason
+    ('benchmark', 'empty_after_scrub', 'exact_dup', 'contaminated',
+    'not_sampled', '' = kept), kept flag, and BPE token count (NULL
+    before stage 4). Every stage is individually oracle-verified
+    elsewhere; this query pins that they COMPOSE — the oracle replays
+    the whole chain in one SQL statement."""
+    from .operators.bpe import bpe_encode, train_bpe
+    from .operators.decontam import contamination_report
+    from .operators.sampling import hash_bucket, token_budget_plan
+    from .operators.spandedup import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+
+    # lazy localCheckpoints at stage boundaries: the reason ladder
+    # re-joins each stage's output at the end, and Catalyst does NOT
+    # dedupe common subplans (NOTES #41) — without these the span
+    # chain re-executes once per downstream consumer
+    scrubbed = (
+        dedup_spans(corpus, k=8)
+        .select("doc_id", F.col("dedup_text").alias("text"))
+        .join(corpus.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    nonempty = scrubbed.filter(F.col("text") != "")
+    keeper = nonempty.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("_keeper")
+    )
+    s2 = (
+        nonempty.join(
+            keeper,
+            (F.md5(nonempty["text"]) == keeper["_h"])
+            & (nonempty["doc_id"] == keeper["_keeper"]),
+        )
+        .select("doc_id", "text", "source")
+        .localCheckpoint(eager=False)
+    )
+    hits = contamination_report(s2, bench, n=5).select(
+        "doc_id"
+    ).localCheckpoint(eager=False)
+    s3 = s2.join(hits, "doc_id", "left_anti").localCheckpoint(eager=False)
+
+    merges = train_bpe(s3, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS)
+    toks = (
+        bpe_encode(s3, merges)
+        .select("doc_id", "n_tokens")
+        .join(s3.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    plan = token_budget_plan(
+        toks, "source", "n_tokens", alpha=0.5, token_budget=40_000
+    )
+    ppm = {s: int(rate_ppm) for s, _, _, rate_ppm, _ in plan}
+    thr = F.lit(0)
+    for s in sorted(ppm):
+        thr = F.when(F.col("source") == s, F.lit(ppm[s])).otherwise(thr)
+    sampled = toks.filter(hash_bucket(F.col("doc_id")) < thr).select("doc_id")
+
+    reason = (
+        F.when(F.col("doc_id") % 37 == 0, "benchmark")
+        .when(F.col("_sc_text") == "", "empty_after_scrub")
+        .when(F.col("_s2").isNull(), "exact_dup")
+        .when(F.col("_hit").isNotNull(), "contaminated")
+        .when(F.col("_samp").isNull(), "not_sampled")
+        .otherwise("")
+    )
+    out = (
+        docs.join(
+            scrubbed.select("doc_id", F.col("text").alias("_sc_text")),
+            "doc_id",
+            "left",
+        )
+        .join(s2.select("doc_id", F.lit(1).alias("_s2")), "doc_id", "left")
+        .join(hits.select("doc_id", F.lit(1).alias("_hit")), "doc_id", "left")
+        .join(
+            toks.select("doc_id", F.col("n_tokens").alias("_ntok")),
+            "doc_id",
+            "left",
+        )
+        .join(sampled.select("doc_id", F.lit(1).alias("_samp")), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        reason.alias("drop_reason"),
+        (reason == "").cast("int").alias("kept"),
+        F.col("_ntok").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3211,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
         "q_token_budget": q_token_budget,
+        "q_corpus_build": q_corpus_build,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
         "q_ivfpq_topk": q_ivfpq_topk,
@@ -6078,14 +6183,14 @@ ORACLE_SQL["q_span_dedup"] = """
 # If pair counts run dry before round n (degenerate corpus), b{j} is
 # empty and the CASE guard carries w{j-1} forward unchanged instead
 # of NULLing every encoding through a NULL replace pattern.
-def _bpe_train_ctes(n: int) -> str:
+def _bpe_train_ctes(n: int, src: str = "documents") -> str:
     parts = [
-        """
+        f"""
     tw AS MATERIALIZED (
       SELECT word, count(*) AS cnt
       FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                                       x -> x <> '')) AS word
-            FROM documents)
+            FROM {src})
       GROUP BY 1 ORDER BY cnt DESC, word LIMIT 500
     ),
     w0 AS MATERIALIZED (
@@ -6134,12 +6239,13 @@ def _bpe_train_oracle_sql(n: int) -> str:
     )
 
 
-def _bpe_doc_tokens_ctes(n: int) -> str:
+def _bpe_doc_tokens_ctes(n: int, src: str = "documents") -> str:
     """Training + re-encode CTE chain ending in fin(doc_id,
     token_str, n_tokens); callers prepend WITH RECURSIVE and append
     their own final SELECT (per-doc for q_bpe_encode, per-source
-    aggregate for q_token_budget)."""
-    return _bpe_train_ctes(n) + f""",
+    aggregate for q_token_budget, post-filter corpus for
+    q_corpus_build via `src`). `src` must expose (doc_id, text)."""
+    return _bpe_train_ctes(n, src) + f""",
     merges AS (
       {" UNION ALL ".join(
           f"SELECT {j} AS merge_rank, lhs, rhs FROM b{j}"
@@ -6150,7 +6256,7 @@ def _bpe_doc_tokens_ctes(n: int) -> str:
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
                AS ws
-      FROM documents
+      FROM {src}
     ),
     uw AS (SELECT DISTINCT unnest(ws) AS word FROM dw),
     rec AS (
@@ -6245,6 +6351,165 @@ ORACLE_SQL["q_bpe_train"] = _bpe_train_oracle_sql(_BPE_N_MERGES)
 ORACLE_SQL["q_bpe_encode"] = _bpe_encode_oracle_sql(_BPE_N_MERGES)
 ORACLE_SQL["q_token_budget"] = _token_budget_oracle_sql(
     _BPE_N_MERGES, 0.5, 60_000
+)
+
+
+# Capstone: the whole corpus-construction chain replayed in ONE SQL
+# statement — span scrub (sd_*), exact dedup on scrubbed text,
+# 5-gram benchmark decontamination, BPE tokenization of the
+# survivors (the shared builder with src=cb_s3), token-budget rates,
+# and md5-bucket sampling membership, assembled into the per-doc
+# first-failing-reason ladder.
+def _corpus_build_oracle_sql(n: int, alpha: float, budget: int) -> str:
+    return (
+        "WITH RECURSIVE "
+        + """
+    cb_bench AS (SELECT doc_id, text, source FROM documents
+                 WHERE doc_id % 37 = 0),
+    cb_corpus AS MATERIALIZED (SELECT doc_id, text, source FROM documents
+                  WHERE doc_id % 37 <> 0),
+    sd_w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+               AS w
+      FROM cb_corpus
+    ),
+    sd_g AS (
+      SELECT doc_id, i AS pos,
+             substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS key
+      FROM sd_w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
+    ),
+    sd_dup AS (
+      SELECT key, min(doc_id) AS owner
+      FROM sd_g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    sd_marked AS (
+      SELECT sd_g.doc_id, sd_g.pos AS s, sd_g.pos + 7 AS e
+      FROM sd_g JOIN sd_dup USING (key) WHERE sd_g.doc_id <> sd_dup.owner
+    ),
+    sd_brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM sd_marked
+    ),
+    sd_isl AS (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS iid
+      FROM sd_brk
+    ),
+    sd_spans AS (
+      SELECT doc_id, iid, min(s) AS s, max(e) AS e FROM sd_isl GROUP BY 1, 2
+    ),
+    sd_removed AS (
+      SELECT DISTINCT doc_id, u.p
+      FROM sd_spans, unnest(generate_series(s, e)) AS u(p)
+    ),
+    sd_tok AS (
+      SELECT sd_w.doc_id, u.p, sd_w.w[u.p] AS tok
+      FROM sd_w, unnest(generate_series(1, greatest(len(sd_w.w), 0))) AS u(p)
+    ),
+    sd_kept AS (
+      SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text
+      FROM sd_tok t
+      LEFT JOIN sd_removed r ON t.doc_id = r.doc_id AND t.p = r.p
+      WHERE r.p IS NULL GROUP BY 1
+    ),
+    cb_scrubbed AS MATERIALIZED (
+      SELECT w.doc_id, c.source, coalesce(k.text, '') AS text
+      FROM sd_w w
+      JOIN cb_corpus c USING (doc_id)
+      LEFT JOIN sd_kept k ON k.doc_id = w.doc_id
+    ),
+    cb_nonempty AS (SELECT * FROM cb_scrubbed WHERE text <> ''),
+    cb_keeper AS (
+      SELECT md5(text) AS h, min(doc_id) AS keeper
+      FROM cb_nonempty GROUP BY 1
+    ),
+    cb_s2 AS MATERIALIZED (
+      SELECT ne.doc_id, ne.text, ne.source
+      FROM cb_nonempty ne JOIN cb_keeper k
+        ON md5(ne.text) = k.h AND ne.doc_id = k.keeper
+    ),
+    cb_bg AS (
+      SELECT DISTINCT substring(md5(g), 1, 16) AS key
+      FROM (
+        SELECT array_to_string(w[i:i+4], ' ') AS g
+        FROM (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS w FROM cb_bench) bw,
+             unnest(generate_series(1, greatest(len(bw.w) - 4, 0))) AS u(i)
+      )
+    ),
+    cb_cg AS (
+      SELECT DISTINCT doc_id, substring(md5(g), 1, 16) AS key
+      FROM (
+        SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS w FROM cb_s2) cw,
+             unnest(generate_series(1, greatest(len(cw.w) - 4, 0))) AS u(i)
+      )
+    ),
+    cb_hits AS (SELECT DISTINCT doc_id FROM cb_cg JOIN cb_bg USING (key)),
+    cb_s3 AS MATERIALIZED (
+      SELECT s.doc_id, s.text, s.source FROM cb_s2 s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM cb_hits)
+    ),"""
+        + _bpe_doc_tokens_ctes(n, src="cb_s3")
+        + f""",
+    cb_tok AS (
+      SELECT s.doc_id, s.source, coalesce(f.n_tokens, 0) AS n_tokens
+      FROM cb_s3 s LEFT JOIN fin f USING (doc_id)
+    ),
+    cb_srctok AS (
+      SELECT source, sum(n_tokens) AS t FROM cb_tok GROUP BY 1
+    ),
+    cb_tot AS (SELECT sum(pow(t, {alpha})) AS wsum FROM cb_srctok),
+    cb_rates AS (
+      SELECT source,
+             CASE WHEN t <= 0 OR wsum <= 0 THEN 0
+                  ELSE CAST(floor(round(least(1.0,
+                         ({budget} * (pow(t, {alpha}) / wsum)) / t), 6)
+                       * 1000000) AS BIGINT)
+             END AS rate_ppm
+      FROM cb_srctok CROSS JOIN cb_tot
+    ),
+    cb_sampled AS (
+      SELECT k.doc_id
+      FROM cb_tok k JOIN cb_rates r USING (source)
+      WHERE CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 12))
+                 AS BIGINT) % 1000000 < r.rate_ppm
+    ),
+    cb_reason AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN d.doc_id % 37 = 0 THEN 'benchmark'
+                  WHEN sc.text = '' THEN 'empty_after_scrub'
+                  WHEN s2.doc_id IS NULL THEN 'exact_dup'
+                  WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+                  WHEN sm.doc_id IS NULL THEN 'not_sampled'
+                  ELSE '' END AS drop_reason,
+             t.n_tokens AS n_tokens
+      FROM documents d
+      LEFT JOIN cb_scrubbed sc ON sc.doc_id = d.doc_id
+      LEFT JOIN cb_s2 s2 ON s2.doc_id = d.doc_id
+      LEFT JOIN cb_hits h ON h.doc_id = d.doc_id
+      LEFT JOIN cb_tok t ON t.doc_id = d.doc_id
+      LEFT JOIN cb_sampled sm ON sm.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, drop_reason,
+           CAST(drop_reason = '' AS INT) AS kept,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM cb_reason ORDER BY doc_id
+"""
+    )
+
+
+ORACLE_SQL["q_corpus_build"] = _corpus_build_oracle_sql(
+    _BPE_N_MERGES, 0.5, 40_000
 )
 
 

@@ -97,6 +97,7 @@ AUDITED = [
     "q_ivfpq_topk",
     "q_span_dedup",
     "q_bpe_encode",
+    "q_corpus_build",
     "flagship",
 ]
 
@@ -164,6 +165,15 @@ single mapInPandas pass whose unit of work is the unique word per
 partition (memoized — the standard tokenizer word cache), so
 per-batch cost is O(unique words), a small fraction of rows. Only
 fixed-width count/hash scalars leave the pass.""",
+    "q_corpus_build": """\
+**Capstone composition shape:** five individually-verified stages
+chained as one job — span scrub, exact dedup on scrubbed text,
+benchmark decontamination, BPE tokenization of survivors, token-
+budget sampling. Lazy localCheckpoints at each stage boundary stop
+Catalyst re-executing the upstream chain once per reason-ladder
+consumer (NOTES #41; 19s -> 6.5s warm at sf0.1). On a cluster the
+checkpoints become real checkpoint()s over the lineage store —
+which the pipeline's resume machinery already provides.""",
 }
 
 
