@@ -3191,15 +3191,24 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reason = (
         F.when(F.col("doc_id") % 37 == 0, "benchmark")
-        .when(F.col("_sc_text") == "", "empty_after_scrub")
+        .when(F.col("_empty") == 1, "empty_after_scrub")
         .when(F.col("_s2").isNull(), "exact_dup")
         .when(F.col("_hit").isNotNull(), "contaminated")
         .when(F.col("_samp").isNull(), "not_sampled")
         .otherwise("")
     )
+    # a 1-bit emptiness flag, not the scrubbed text itself, rides the
+    # reason-ladder join (the payload never re-shuffles); coalesce
+    # folds NULL text — which dedup_spans passes through as NULL —
+    # into 'empty_after_scrub', matching the oracle's coalesce
     out = (
         docs.join(
-            scrubbed.select("doc_id", F.col("text").alias("_sc_text")),
+            scrubbed.select(
+                "doc_id",
+                (F.coalesce(F.col("text"), F.lit("")) == "")
+                .cast("int")
+                .alias("_empty"),
+            ),
             "doc_id",
             "left",
         )
@@ -6098,78 +6107,90 @@ ORACLE_SQL["q_compaction_plan"] = """
 # semantics as operators/spandedup.py, re-derived in SQL windows.
 # Touching intervals (s = run_max + 1) merge — the removal set is
 # identical either way but n_spans must agree between engines.
-ORACLE_SQL["q_span_dedup"] = """
-    WITH w AS (
+def _span_dedup_ctes(src: str = "documents") -> str:
+    """Span-dedup CTE chain (sd_*-prefixed) over `src` (must expose
+    doc_id, text), ending in sd_w / sd_per_doc / sd_kept — shared by
+    ORACLE_SQL["q_span_dedup"] and the q_corpus_build capstone so the
+    two replays cannot drift."""
+    return f"""
+    sd_w AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
                AS w
-      FROM documents
+      FROM {src}
     ),
-    g AS (
+    sd_g AS (
       SELECT doc_id, i AS pos,
              substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS key
-      FROM w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
+      FROM sd_w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
     ),
-    dup AS (
+    sd_dup AS (
       SELECT key, min(doc_id) AS owner
-      FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+      FROM sd_g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
     ),
-    marked AS (
-      SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
-      FROM g JOIN dup USING (key) WHERE g.doc_id <> dup.owner
+    sd_marked AS (
+      SELECT sd_g.doc_id, sd_g.pos AS s, sd_g.pos + 7 AS e
+      FROM sd_g JOIN sd_dup USING (key) WHERE sd_g.doc_id <> sd_dup.owner
     ),
-    brk AS (
+    sd_brk AS (
       SELECT doc_id, s, e,
              CASE WHEN s > coalesce(max(e) OVER (
                       PARTITION BY doc_id ORDER BY s
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                     -1) + 1
                   THEN 1 ELSE 0 END AS brk
-      FROM marked
+      FROM sd_marked
     ),
-    isl AS (
+    sd_isl AS (
       SELECT doc_id, s, e,
              sum(brk) OVER (PARTITION BY doc_id ORDER BY s
                             ROWS UNBOUNDED PRECEDING) AS iid
-      FROM brk
+      FROM sd_brk
     ),
-    spans AS (
+    sd_spans AS (
       SELECT doc_id, iid, min(s) AS s, max(e) AS e
-      FROM isl GROUP BY 1, 2
+      FROM sd_isl GROUP BY 1, 2
     ),
-    per_doc AS (
+    sd_per_doc AS (
       SELECT doc_id, count(*) AS n_spans,
              sum(e - s + 1) AS tokens_removed
-      FROM spans GROUP BY 1
+      FROM sd_spans GROUP BY 1
     ),
-    removed AS (
+    sd_removed AS (
       SELECT DISTINCT doc_id, u.p
-      FROM spans, unnest(generate_series(s, e)) AS u(p)
+      FROM sd_spans, unnest(generate_series(s, e)) AS u(p)
     ),
-    tok AS (
-      SELECT w.doc_id, u.p, w.w[u.p] AS tok
-      FROM w, unnest(generate_series(1, greatest(len(w.w), 0))) AS u(p)
+    sd_tok AS (
+      SELECT sd_w.doc_id, u.p, sd_w.w[u.p] AS tok
+      FROM sd_w,
+           unnest(generate_series(1, greatest(len(sd_w.w), 0))) AS u(p)
     ),
-    kept AS (
+    sd_kept AS (
       SELECT t.doc_id,
              string_agg(t.tok, ' ' ORDER BY t.p) AS dedup_text
-      FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.p = r.p
+      FROM sd_tok t
+      LEFT JOIN sd_removed r ON t.doc_id = r.doc_id AND t.p = r.p
       WHERE r.p IS NULL
       GROUP BY 1
-    )
-    SELECT w.doc_id,
-           CAST(len(w.w) AS BIGINT) AS n_tokens,
+    )"""
+
+
+ORACLE_SQL["q_span_dedup"] = (
+    "WITH " + _span_dedup_ctes("documents") + """
+    SELECT sd_w.doc_id,
+           CAST(len(sd_w.w) AS BIGINT) AS n_tokens,
            CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
            CAST(coalesce(p.tokens_removed, 0) AS BIGINT) AS tokens_removed,
            -- NULL text passes through as NULL (the engine's hostile-
            -- input policy); '' is reserved for fully-removed docs
-           CASE WHEN w.w IS NULL THEN NULL
+           CASE WHEN sd_w.w IS NULL THEN NULL
                 ELSE coalesce(k.dedup_text, '') END AS dedup_text
-    FROM w
-    LEFT JOIN per_doc p USING (doc_id)
-    LEFT JOIN kept k USING (doc_id)
-    ORDER BY w.doc_id
+    FROM sd_w
+    LEFT JOIN sd_per_doc p USING (doc_id)
+    LEFT JOIN sd_kept k USING (doc_id)
+    ORDER BY sd_w.doc_id
 """
+)
 
 
 # BPE training replay: n unrolled rounds. Round j derives symbol
@@ -6368,59 +6389,10 @@ def _corpus_build_oracle_sql(n: int, alpha: float, budget: int) -> str:
                  WHERE doc_id % 37 = 0),
     cb_corpus AS MATERIALIZED (SELECT doc_id, text, source FROM documents
                   WHERE doc_id % 37 <> 0),
-    sd_w AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
-               AS w
-      FROM cb_corpus
-    ),
-    sd_g AS (
-      SELECT doc_id, i AS pos,
-             substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS key
-      FROM sd_w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
-    ),
-    sd_dup AS (
-      SELECT key, min(doc_id) AS owner
-      FROM sd_g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-    ),
-    sd_marked AS (
-      SELECT sd_g.doc_id, sd_g.pos AS s, sd_g.pos + 7 AS e
-      FROM sd_g JOIN sd_dup USING (key) WHERE sd_g.doc_id <> sd_dup.owner
-    ),
-    sd_brk AS (
-      SELECT doc_id, s, e,
-             CASE WHEN s > coalesce(max(e) OVER (
-                      PARTITION BY doc_id ORDER BY s
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    -1) + 1
-                  THEN 1 ELSE 0 END AS brk
-      FROM sd_marked
-    ),
-    sd_isl AS (
-      SELECT doc_id, s, e,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY s
-                            ROWS UNBOUNDED PRECEDING) AS iid
-      FROM sd_brk
-    ),
-    sd_spans AS (
-      SELECT doc_id, iid, min(s) AS s, max(e) AS e FROM sd_isl GROUP BY 1, 2
-    ),
-    sd_removed AS (
-      SELECT DISTINCT doc_id, u.p
-      FROM sd_spans, unnest(generate_series(s, e)) AS u(p)
-    ),
-    sd_tok AS (
-      SELECT sd_w.doc_id, u.p, sd_w.w[u.p] AS tok
-      FROM sd_w, unnest(generate_series(1, greatest(len(sd_w.w), 0))) AS u(p)
-    ),
-    sd_kept AS (
-      SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text
-      FROM sd_tok t
-      LEFT JOIN sd_removed r ON t.doc_id = r.doc_id AND t.p = r.p
-      WHERE r.p IS NULL GROUP BY 1
-    ),
+"""
+        + _span_dedup_ctes("cb_corpus") + """,
     cb_scrubbed AS MATERIALIZED (
-      SELECT w.doc_id, c.source, coalesce(k.text, '') AS text
+      SELECT w.doc_id, c.source, coalesce(k.dedup_text, '') AS text
       FROM sd_w w
       JOIN cb_corpus c USING (doc_id)
       LEFT JOIN sd_kept k ON k.doc_id = w.doc_id
@@ -6439,7 +6411,7 @@ def _corpus_build_oracle_sql(n: int, alpha: float, budget: int) -> str:
       SELECT DISTINCT substring(md5(g), 1, 16) AS key
       FROM (
         SELECT array_to_string(w[i:i+4], ' ') AS g
-        FROM (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+        FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                  x -> x <> '') AS w FROM cb_bench) bw,
              unnest(generate_series(1, greatest(len(bw.w) - 4, 0))) AS u(i)
       )
@@ -6449,7 +6421,7 @@ def _corpus_build_oracle_sql(n: int, alpha: float, budget: int) -> str:
       FROM (
         SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
         FROM (SELECT doc_id,
-                     list_filter(regexp_split_to_array(text, '\\s+'),
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                  x -> x <> '') AS w FROM cb_s2) cw,
              unnest(generate_series(1, greatest(len(cw.w) - 4, 0))) AS u(i)
       )
