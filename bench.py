@@ -95,6 +95,7 @@ HEADLINE = [
     "q_span_dedup",
     "q_bpe_train",
     "q_bpe_encode",
+    "q_token_budget",
     "q_corpus_build",
     "flagship",
 ]
