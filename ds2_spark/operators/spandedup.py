@@ -159,3 +159,81 @@ def dedup_spans(
         .alias("tokens_removed"),
         F.array_join(kept, " ").alias("dedup_text"),
     )
+
+
+def dedup_spans_incremental(
+    delta: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Incremental span dedup: scrub a DELTA batch against a FROZEN
+    base corpus — the shape a growing corpus actually runs (full
+    corpus-wide re-dedup per ingest is O(corpus), this is O(delta)).
+
+    A delta span is removed iff its k-gram key exists ANYWHERE in the
+    base (the base is immutable and always the owner — matching the
+    batch operator's keep-first rule under "base ids < delta ids");
+    delta-vs-delta duplicates are deliberately NOT considered (they
+    belong to the next full-corpus pass, exactly like incremental
+    curation defers re-calibration — plans/incremental.py). Same
+    output schema as `dedup_spans`.
+
+    Scale shape: the base side reduces to DISTINCT gram keys — a
+    16-hex-per-gram relation buildable once and reusable across
+    ingests (persist or write it as the index table); the delta side
+    explodes, joins on the key (ids-only), and rewrites exactly as
+    the batch operator does. The base TEXT is never read again."""
+    base_keys = (
+        gram_positions(base, id_col, text_col, k).select("key").distinct()
+    )
+    g = gram_positions(delta, id_col, text_col, k)
+    marked = g.join(base_keys, "key").select(
+        id_col,
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(k - 1)).alias("e"),
+    )
+
+    w_order = Window.partitionBy(id_col).orderBy("s")
+    run_max = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        marked.withColumn(
+            "_brk",
+            (F.col("s") > F.coalesce(run_max, F.lit(-1)) + 1).cast("int"),
+        )
+        .withColumn("_iid", F.sum("_brk").over(w_order))
+        .groupBy(id_col, "_iid")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("tokens_removed"),
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_spans"),
+        )
+    )
+
+    toks = _tokens(delta, id_col, text_col)
+    joined = toks.join(spans, id_col, "left")
+    kept = F.when(
+        F.col("n_spans").isNull(), F.col("_w")
+    ).otherwise(
+        F.expr(
+            "transform("
+            "  filter("
+            "    transform(_w, (x, j) -> struct(x as t, j + 1 as p)),"
+            "    s -> !exists(_spans, iv -> s.p >= iv.s and s.p <= iv.e)"
+            "  ), s -> s.t)"
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("tokens_removed"), F.lit(0))
+        .cast("long")
+        .alias("tokens_removed"),
+        F.array_join(kept, " ").alias("dedup_text"),
+    )

@@ -3117,6 +3117,25 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup (operators/spandedup.
+    dedup_spans_incremental): the doc_id % 5 == 0 slice plays a new
+    ingest batch scrubbed against the frozen % 5 != 0 base — the
+    O(delta) shape a growing corpus runs instead of corpus-wide
+    re-dedup. The base reduces to a distinct-gram-key index; ~13
+    delta docs genuinely lose spans at sf0.01 (9 at sf0.001). The
+    oracle re-derives the index, the base-hit marks, the island
+    merge, and the rewrite."""
+    from .operators.spandedup import dedup_spans_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_spans_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        k=8,
+    ).orderBy("doc_id")
+
+
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the full corpus-construction chain a
     training-data team actually runs, as ONE verified plan:
@@ -3325,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_token_budget": q_token_budget,
         "q_corpus_build": q_corpus_build,
+        "q_span_incremental": q_span_incremental,
         "q_pq_topk": q_pq_topk,
         "q_pq_rerank": q_pq_rerank,
         "q_ivfpq_topk": q_ivfpq_topk,
@@ -6483,6 +6503,91 @@ def _corpus_build_oracle_sql(n: int, alpha: float, budget: int) -> str:
 ORACLE_SQL["q_corpus_build"] = _corpus_build_oracle_sql(
     _BPE_N_MERGES, 0.5, 40_000
 )
+
+# Incremental span dedup: the %5==0 slice scrubbed against the
+# frozen %5!=0 base's distinct-gram index. Mark condition differs
+# from the corpus-wide builder (ANY base hit, no ownership among
+# delta docs), so this one is standalone (si_-prefixed).
+ORACLE_SQL["q_span_incremental"] = """
+    WITH si_bw AS (
+      SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+               AS w
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    si_bk AS (
+      SELECT DISTINCT
+             substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS key
+      FROM si_bw,
+           unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
+    ),
+    si_dw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+               AS w
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    si_dg AS (
+      SELECT doc_id, i AS pos,
+             substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS key
+      FROM si_dw,
+           unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
+    ),
+    si_marked AS (
+      SELECT si_dg.doc_id, si_dg.pos AS s, si_dg.pos + 7 AS e
+      FROM si_dg JOIN si_bk USING (key)
+    ),
+    si_brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM si_marked
+    ),
+    si_isl AS (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS iid
+      FROM si_brk
+    ),
+    si_spans AS (
+      SELECT doc_id, iid, min(s) AS s, max(e) AS e
+      FROM si_isl GROUP BY 1, 2
+    ),
+    si_per_doc AS (
+      SELECT doc_id, count(*) AS n_spans,
+             sum(e - s + 1) AS tokens_removed
+      FROM si_spans GROUP BY 1
+    ),
+    si_removed AS (
+      SELECT DISTINCT doc_id, u.p
+      FROM si_spans, unnest(generate_series(s, e)) AS u(p)
+    ),
+    si_tok AS (
+      SELECT si_dw.doc_id, u.p, si_dw.w[u.p] AS tok
+      FROM si_dw,
+           unnest(generate_series(1, greatest(len(si_dw.w), 0))) AS u(p)
+    ),
+    si_kept AS (
+      SELECT t.doc_id,
+             string_agg(t.tok, ' ' ORDER BY t.p) AS dedup_text
+      FROM si_tok t
+      LEFT JOIN si_removed r ON t.doc_id = r.doc_id AND t.p = r.p
+      WHERE r.p IS NULL
+      GROUP BY 1
+    )
+    SELECT si_dw.doc_id,
+           CAST(len(si_dw.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+           CASE WHEN si_dw.w IS NULL THEN NULL
+                ELSE coalesce(k.dedup_text, '') END AS dedup_text
+    FROM si_dw
+    LEFT JOIN si_per_doc p USING (doc_id)
+    LEFT JOIN si_kept k USING (doc_id)
+    ORDER BY si_dw.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -104,3 +104,68 @@ def test_null_text_passes_through_as_null(spark):
     assert got[1]["n_tokens"] is None and got[1]["dedup_text"] is None
     assert got[1]["n_spans"] == 0 and got[1]["tokens_removed"] == 0
     assert got[0]["dedup_text"] == "a b c d"
+
+
+def test_incremental_matches_python_replay_and_batch_relation(spark):
+    """dedup_spans_incremental vs a dict replay, plus the relation to
+    the batch operator: when delta docs share grams ONLY with the
+    base (no delta-delta or base-base duplication), a full-corpus
+    batch run must scrub the delta docs identically (base ids < delta
+    ids makes the base the keep-first owner either way)."""
+    from ds2_spark.operators.spandedup import dedup_spans_incremental
+
+    boiler = "terms of service apply to all content on this site"
+    base_rows = [
+        (0, f"original article text {boiler} more original prose"),
+        (1, "completely unrelated base document about other things"),
+    ]
+    delta_rows = [
+        (10, f"fresh crawl intro {boiler} fresh crawl outro"),
+        (11, "novel delta content with no duplication at all"),
+        (12, boiler),                      # fully duplicated vs base
+        (13, "short doc"),                 # < k tokens
+    ]
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    delta = spark.createDataFrame(delta_rows, ["doc_id", "text"])
+    inc = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["tokens_removed"],
+                      r["dedup_text"])
+        for r in dedup_spans_incremental(delta, base, k=8).collect()
+    }
+
+    # python replay: mark delta windows whose key is any base window's
+    base_keys = set()
+    for _, t in base_rows:
+        ws = t.split()
+        for p in range(len(ws) - 7):
+            base_keys.add(" ".join(ws[p:p + 8]))
+    exp = {}
+    for i, t in delta_rows:
+        ws = t.split()
+        removed = set()
+        for p in range(len(ws) - 7):
+            if " ".join(ws[p:p + 8]) in base_keys:
+                removed.update(range(p + 1, p + 9))
+        spans = []
+        for p in sorted(removed):
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        kept = [w for j, w in enumerate(ws, 1) if j not in removed]
+        exp[i] = (len(ws), len(spans), len(removed), " ".join(kept))
+    assert inc == exp
+    assert inc[10][2] > 0 and boiler not in inc[10][3]
+    assert inc[11] == (8, 0, 0, delta_rows[1][1])
+    assert inc[12][3] == ""
+    assert inc[13] == (2, 0, 0, "short doc")
+
+    # batch relation on the union (delta shares grams only with base)
+    both = base.unionByName(delta)
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["tokens_removed"],
+                      r["dedup_text"])
+        for r in dedup_spans(both, k=8).collect()
+    }
+    for i, _ in delta_rows:
+        assert batch[i] == inc[i], i
