@@ -93,6 +93,10 @@ HEADLINE = [
     "q_decontaminate",
     "q_tfidf_top_terms",
     "q_span_dedup",
+    "q_span_incremental",
+    "q_auc_scores",
+    "q_calibration_bins",
+    "q_wer_pairs",
     "q_bpe_train",
     "q_bpe_encode",
     "q_token_budget",

@@ -3249,6 +3249,100 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Mann-Whitney AUC per cohort
+    (operators/evalmetrics.auc_by_group): does the quality score
+    separate keep from drop? — the measurement a DS2-style curation
+    loop runs after every calibration pass. Scores are the pipeline's
+    0..100 integer quantization, so the rank window runs over <= 101
+    DISTINCT scores per cohort regardless of row count; the 2*rank-sum
+    form keeps everything integral until one final division, so the
+    DuckDB twin (identical closed-form score/label synthesis, same
+    average-rank algebra) is bit-exact. Labels are synthesized
+    positively correlated with the score (label = 1 iff an independent
+    hash draw < score) so the AUC is a real ~0.66, not a degenerate
+    0.5/1.0, and ties occur at every score level."""
+    from .operators.evalmetrics import auc_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    scored = ev.select(
+        (e % 5).cast("int").alias("cohort"),
+        ((e * 7919) % 101).cast("int").alias("score"),
+        (((e * 104729) % 100) < ((e * 7919) % 101)).cast("int").alias(
+            "label"
+        ),
+    )
+    return auc_by_group(scored, "cohort", "score", "label").orderBy(
+        "cohort"
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier decomposition
+    (operators/evalmetrics.calibration_bins) over the same synthetic
+    score/label population as q_auc_scores: per decile bin of the
+    0..100 integer score, row count, mean predicted probability,
+    empirical positive rate, summed Brier contribution and
+    |gap|. Single map-side-combined aggregation; every statistic is a
+    ratio of exact integer sums ((p - 100*y)^2 stays integral), so
+    the twin matches bit-for-bit with zero rounding."""
+    from .operators.evalmetrics import calibration_bins
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    scored = ev.select(
+        ((e * 7919) % 101).cast("int").alias("score"),
+        (((e * 104729) % 100) < ((e * 7919) % 101)).cast("int").alias(
+            "label"
+        ),
+    )
+    return calibration_bins(
+        scored, "score", "label", n_bins=10, scale=100
+    ).orderBy("bin")
+
+
+def q_wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level word error rate between candidate transcript pairs
+    (operators/evalmetrics.wer_pairs) — the ASR-version-comparison /
+    near-dup-adjudication metric. Tokens come from the established
+    lower+\\s+ split on a 160-char transcript prefix; candidates are
+    adjacent-id pairs (a stand-in for any blocked/capped generator —
+    the operator never forms pairs itself); pairs whose UNION vocab
+    exceeds 126 distinct tokens are excluded on BOTH sides (disclosed
+    cap). The engine runs a row-vectorized NumPy Wagner-Fischer DP
+    over Arrow batches; the DuckDB twin maps each pair's union vocab
+    to single ASCII BYTES (chr(1..126)) and uses byte-based
+    levenshtein — two genuinely independent algorithms that must
+    agree integer-exactly (DuckDB's levenshtein is byte-based, which
+    is exactly why the per-pair single-byte dictionary makes it a
+    valid token-DP oracle)."""
+    from .operators.evalmetrics import wer_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.substring("text", 1, 160)), r"\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("w"),
+    )
+    a = toks.select(
+        F.col("doc_id").alias("id_a"), F.col("w").alias("tokens_a")
+    ).where(F.col("id_a") % 17 == 0)
+    b = toks.select(
+        F.col("doc_id").alias("id_b"), F.col("w").alias("tokens_b")
+    )
+    pairs = a.join(b, a.id_a + 1 == b.id_b).where(
+        (
+            F.size(F.array_distinct(F.concat("tokens_a", "tokens_b")))
+            <= 126
+        )
+        & (F.size("tokens_a") > 0)
+    )
+    return wer_pairs(pairs).orderBy("id_a")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3349,6 +3443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_rerank": q_pq_rerank,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_compaction_plan": q_compaction_plan,
+        "q_auc_scores": q_auc_scores,
+        "q_calibration_bins": q_calibration_bins,
+        "q_wer_pairs": q_wer_pairs,
     }
 
 
@@ -6587,6 +6684,100 @@ ORACLE_SQL["q_span_incremental"] = """
     LEFT JOIN si_per_doc p USING (doc_id)
     LEFT JOIN si_kept k USING (doc_id)
     ORDER BY si_dw.doc_id
+"""
+
+# identical closed-form score/label synthesis, then the same
+# average-rank algebra: distinct (cohort, score) cells, cumulative
+# count strictly below, 2*rank-sum kept integral, ONE final float
+# division — bit-exact vs the engine (event_id is BIGINT; the 104729
+# multiplier peaks ~1e10, far inside int64)
+ORACLE_SQL["q_auc_scores"] = """
+    WITH s AS (
+      SELECT (event_id % 5) AS cohort,
+             ((event_id * 7919) % 101) AS score,
+             CASE WHEN ((event_id * 104729) % 100)
+                       < ((event_id * 7919) % 101)
+                  THEN 1 ELSE 0 END AS label
+      FROM events),
+    cells AS (
+      SELECT cohort, score, count(*) AS cnt, sum(label) AS pos
+      FROM s GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, coalesce(sum(cnt) OVER (
+               PARTITION BY cohort ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum
+      FROM cells),
+    agg AS (
+      SELECT cohort,
+             sum(pos * (2 * cum + cnt + 1)) AS r2,
+             sum(pos) AS n_pos,
+             sum(cnt - pos) AS n_neg
+      FROM ranked GROUP BY 1)
+    SELECT CAST(cohort AS INT) AS cohort,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN (r2 - n_pos * (n_pos + 1))
+                     / (2.0 * n_pos * n_neg) END AS auc
+    FROM agg ORDER BY cohort
+"""
+
+# same synthesis; per-decile integer sums ((p-100y)^2 integral), one
+# division per output column — zero rounding needed
+ORACLE_SQL["q_calibration_bins"] = """
+    WITH s AS (
+      SELECT ((event_id * 7919) % 101) AS p,
+             CASE WHEN ((event_id * 104729) % 100)
+                       < ((event_id * 7919) % 101)
+                  THEN 1 ELSE 0 END AS y
+      FROM events),
+    b AS (
+      SELECT least(CAST(floor(p * 10 / 101) AS INT), 9) AS bin,
+             count(*) AS n, sum(p) AS sp, sum(y) AS sy,
+             sum((p - 100 * y) * (p - 100 * y)) AS ssq
+      FROM s GROUP BY 1)
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           sp / (100.0 * n) AS mean_pred,
+           sy / CAST(n AS DOUBLE) AS frac_pos,
+           ssq / 10000.0 AS brier_sum,
+           abs(100 * sy - sp) / (100.0 * n) AS gap
+    FROM b ORDER BY bin
+"""
+
+# independent algorithm: per-pair union vocab -> single ASCII bytes
+# (chr(1..126)), then DuckDB's BYTE-based levenshtein — on a
+# one-byte-per-token encoding, byte edit distance IS token edit
+# distance, so this cross-checks the engine's NumPy token DP exactly;
+# the 126-distinct-token cap is applied identically on both sides
+ORACLE_SQL["q_wer_pairs"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(
+               lower(substr(text, 1, 160)), '\s+'), x -> x <> '') AS w
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.w AS wa, b.w AS wb
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 17 = 0),
+    pc AS (
+      SELECT *, list_sort(list_distinct(list_concat(wa, wb))) AS v
+      FROM p
+      WHERE len(list_distinct(list_concat(wa, wb))) <= 126
+        AND len(wa) > 0),
+    enc AS (
+      SELECT id_a, id_b, len(wa) AS n_ref, len(wb) AS n_hyp,
+             array_to_string(list_transform(
+               wa, t -> chr(list_indexof(v, t))), '') AS ea,
+             array_to_string(list_transform(
+               wb, t -> chr(list_indexof(v, t))), '') AS eb
+      FROM pc)
+    SELECT id_a, id_b,
+           CAST(n_ref AS INT) AS n_ref, CAST(n_hyp AS INT) AS n_hyp,
+           CAST(levenshtein(ea, eb) AS INT) AS dist,
+           levenshtein(ea, eb) / CAST(n_ref AS DOUBLE) AS wer
+    FROM enc ORDER BY id_a
 """
 
 

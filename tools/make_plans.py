@@ -96,6 +96,9 @@ AUDITED = [
     "q_pq_rerank",
     "q_ivfpq_topk",
     "q_span_dedup",
+    "q_span_incremental",
+    "q_auc_scores",
+    "q_wer_pairs",
     "q_bpe_encode",
     "q_corpus_build",
     "flagship",
