@@ -239,3 +239,77 @@ def wer_pairs(
             yield res
 
     return pairs.select(*cols).mapInPandas(compute, schema=_WER_SCHEMA)
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[int],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Keep/drop confusion matrix + precision/recall/F1 per threshold.
+
+    The measurement behind this pipeline's own acceptance gate
+    (BASELINE north rule: keep/drop F1 >= 0.99 vs reference labels):
+    sweep the keep rule `score >= t` over candidate thresholds and
+    report, per threshold (and optional group), the exact confusion
+    counts and the three derived ratios. This is how an operator picks
+    the production threshold after each DS2-style recalibration pass
+    (reference: score_curation/ re-selects on the curated score).
+
+    Scale shape: rows first collapse to DISTINCT (group, score) cells
+    with (cnt, pos) — ONE map-side-combined groupBy, so the frame that
+    meets the thresholds has at most |groups| x |score quantization|
+    rows no matter how many clips exist (<= 101 per group for this
+    pipeline's 0..100 integer scores). The broadcast threshold list
+    then fans each cell out |T| ways and a second groupBy sums
+    conditionally — never a pass over raw rows per threshold. All
+    counts stay integral; precision/recall/F1 are each ONE division of
+    exact integers (F1 via the 2tp/(2tp+fp+fn) form, no intermediate
+    rounding), so a SQL twin agrees bit-for-bit. Degenerate cases
+    yield NULL: precision when nothing is kept, recall when there are
+    no positives, F1 when both are zero.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be a non-empty list")
+    s = F.col(score_col)
+    keys = ([F.col(group_col).alias("_g")] if group_col else []) + [
+        s.alias("_s")
+    ]
+    cells = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+    )
+    spark = df.sparkSession
+    th = spark.createDataFrame(
+        [(int(t),) for t in sorted(set(thresholds))], "t int"
+    )
+    crossed = cells.join(F.broadcast(th))
+    kept = (F.col("_s") >= F.col("t")).cast("long")
+    gcols = (["_g"] if group_col else []) + ["t"]
+    agg = crossed.groupBy(*gcols).agg(
+        F.sum(kept * F.col("_pos")).alias("tp"),
+        F.sum(kept * (F.col("_cnt") - F.col("_pos"))).alias("fp"),
+        F.sum((1 - kept) * F.col("_pos")).alias("fn"),
+        F.sum((1 - kept) * (F.col("_cnt") - F.col("_pos"))).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    out = ([F.col("_g").alias(group_col)] if group_col else []) + [
+        "t",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(tp + fp > 0, tp / (tp + fp).cast("double")).alias(
+            "precision"
+        ),
+        F.when(tp + fn > 0, tp / (tp + fn).cast("double")).alias(
+            "recall"
+        ),
+        F.when(
+            2 * tp + fp + fn > 0,
+            (2 * tp) / (2 * tp + fp + fn).cast("double"),
+        ).alias("f1"),
+    ]
+    return agg.select(*out)

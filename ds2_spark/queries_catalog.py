@@ -3343,6 +3343,39 @@ def q_wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wer_pairs(pairs).orderBy("id_a")
 
 
+def q_f1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop threshold sweep (operators/evalmetrics.threshold_sweep)
+    — the measurement behind this pipeline's own acceptance gate (the
+    north rule's keep/drop F1 >= 0.99): per cohort and candidate
+    threshold `score >= t`, the exact confusion matrix plus
+    precision/recall/F1. Same synthetic score/label population as
+    q_auc_scores. The engine collapses rows to DISTINCT (cohort,
+    score) cells before meeting the broadcast threshold list (two
+    map-side-combined aggregations, no per-threshold pass over raw
+    rows); the DuckDB twin aggregates the RAW rows conditionally per
+    threshold — a genuinely different plan that must agree
+    bit-for-bit because every count stays integral and each ratio is
+    one IEEE division of the same integers."""
+    from .operators.evalmetrics import threshold_sweep
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    scored = ev.select(
+        (e % 5).cast("int").alias("cohort"),
+        ((e * 7919) % 101).cast("int").alias("score"),
+        (((e * 104729) % 100) < ((e * 7919) % 101)).cast("int").alias(
+            "label"
+        ),
+    )
+    return threshold_sweep(
+        scored,
+        "score",
+        "label",
+        thresholds=list(range(0, 101, 5)),
+        group_col="cohort",
+    ).orderBy("cohort", "t")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3446,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_auc_scores": q_auc_scores,
         "q_calibration_bins": q_calibration_bins,
         "q_wer_pairs": q_wer_pairs,
+        "q_f1_sweep": q_f1_sweep,
     }
 
 
@@ -6691,6 +6725,42 @@ ORACLE_SQL["q_span_incremental"] = """
 # count strictly below, 2*rank-sum kept integral, ONE final float
 # division — bit-exact vs the engine (event_id is BIGINT; the 104729
 # multiplier peaks ~1e10, far inside int64)
+ORACLE_SQL["q_f1_sweep"] = """
+    WITH s AS (
+      SELECT (event_id % 5) AS cohort,
+             ((event_id * 7919) % 101) AS score,
+             CASE WHEN ((event_id * 104729) % 100)
+                       < ((event_id * 7919) % 101)
+                  THEN 1 ELSE 0 END AS label
+      FROM events),
+    th AS (SELECT CAST(g.t AS INT) AS t
+           FROM generate_series(0, 100, 5) AS g(t)),
+    agg AS (
+      SELECT CAST(cohort AS INT) AS cohort, th.t,
+             CAST(sum(CASE WHEN score >= th.t THEN label
+                           ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score >= th.t THEN 1 - label
+                           ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN score < th.t THEN label
+                           ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN score < th.t THEN 1 - label
+                           ELSE 0 END) AS BIGINT) AS tn
+      FROM s CROSS JOIN th GROUP BY 1, 2)
+    SELECT cohort, t, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+           END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+           END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp AS DOUBLE)
+                     / CAST(2 * tp + fp + fn AS DOUBLE)
+           END AS f1
+    FROM agg ORDER BY cohort, t
+"""
+
+
 ORACLE_SQL["q_auc_scores"] = """
     WITH s AS (
       SELECT (event_id % 5) AS cohort,

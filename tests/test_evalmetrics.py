@@ -12,6 +12,7 @@ import pandas as pd
 import pytest
 
 from ds2_spark.operators.evalmetrics import (
+    threshold_sweep,
     _lev_tokens,
     auc_by_group,
     calibration_bins,
@@ -151,3 +152,76 @@ def test_wer_pairs_match_naive_dp(spark):
             assert r["wer"] == pytest.approx(want / len(ta))
         else:
             assert r["wer"] is None
+
+
+def _sweep_oracle(scores, labels, t):
+    s = np.asarray(scores)
+    y = np.asarray(labels)
+    keep = s >= t
+    tp = int((keep & (y == 1)).sum())
+    fp = int((keep & (y == 0)).sum())
+    fn = int((~keep & (y == 1)).sum())
+    tn = int((~keep & (y == 0)).sum())
+    prec = tp / (tp + fp) if tp + fp else None
+    rec = tp / (tp + fn) if tp + fn else None
+    f1 = 2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else None
+    return tp, fp, fn, tn, prec, rec, f1
+
+
+def test_threshold_sweep_matches_naive_oracle(spark):
+    rng = np.random.default_rng(23)
+    n = 600
+    scores = rng.integers(0, 101, size=n)
+    labels = (rng.integers(0, 100, size=n) < scores).astype(int)
+    groups = rng.integers(0, 3, size=n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": groups, "s": scores, "y": labels})
+    )
+    ts = [0, 25, 50, 75, 100]
+    got = {
+        (r["g"], r["t"]): r
+        for r in threshold_sweep(df, "s", "y", ts, group_col="g").collect()
+    }
+    assert len(got) == 3 * len(ts)
+    for g in range(3):
+        m = groups == g
+        for t in ts:
+            tp, fp, fn, tn, prec, rec, f1 = _sweep_oracle(
+                scores[m], labels[m], t
+            )
+            r = got[(g, t)]
+            assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+            for k, want in (("precision", prec), ("recall", rec), ("f1", f1)):
+                if want is None:
+                    assert r[k] is None
+                else:
+                    assert r[k] == pytest.approx(want, abs=0)
+
+
+def test_threshold_sweep_degenerate_and_monotone(spark):
+    # all-negative population: recall NULL everywhere; precision NULL
+    # once the threshold keeps nothing
+    df = spark.createDataFrame(
+        [(10, 0), (20, 0), (30, 0)], "s int, y int"
+    )
+    rows = {r["t"]: r for r in
+            threshold_sweep(df, "s", "y", [0, 50]).collect()}
+    assert rows[0]["recall"] is None and rows[0]["precision"] == 0.0
+    assert rows[50]["precision"] is None and rows[50]["f1"] is None
+    # recall is non-increasing and kept-count non-increasing in t
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 101, size=400)
+    y = (rng.integers(0, 100, size=400) < s).astype(int)
+    df2 = spark.createDataFrame(pd.DataFrame({"s": s, "y": y}))
+    ts = list(range(0, 101, 10))
+    out = sorted(
+        threshold_sweep(df2, "s", "y", ts).collect(),
+        key=lambda r: r["t"],
+    )
+    recalls = [r["recall"] for r in out]
+    keeps = [r["tp"] + r["fp"] for r in out]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    assert all(a >= b for a, b in zip(keeps, keeps[1:]))
+
+    with pytest.raises(ValueError):
+        threshold_sweep(df2, "s", "y", [])
