@@ -467,3 +467,66 @@ def canonical_ranks(
         F.row_number().over(w).alias("q_rank"),
         (F.row_number().over(w) == 1).cast("int").alias("kept"),
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    den: int = 1_000_000,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Leakage-safe train/eval/test split: assign whole NEAR-DUP
+    CLUSTERS to splits, never individual rows.
+
+    Splitting a corpus row-wise after (or worse, without) dedup leaks
+    near-duplicates of training documents into the eval set — the
+    classic contamination path benchmark decontamination
+    (operators/decontam.py) exists to close, reopened from inside
+    one's own corpus. The guard is structural: hash the near-dup
+    COMPONENT label, not the row id, so every member of a cluster
+    lands on the same side by construction.
+
+    `weights` maps split name -> positive integer weight, in
+    PRECEDENCE ORDER (insertion order is the ladder order; e.g.
+    {"train": 8, "eval": 1, "test": 1}). Boundaries are exact
+    integers b_k = den * cumsum(w)_k // total over the md5 hash
+    bucket in [0, den) (operators/sampling.hash_bucket — the
+    engine-portable idiom every sampling oracle already mirrors), so
+    a SQL twin reproduces the assignment bit-for-bit and the split is
+    resume-stable: re-running on the same corpus, or on a grown
+    corpus whose new docs don't merge old clusters, never moves an
+    already-assigned cluster.
+
+    Cost on top of connected_components (O(log diameter) rounds over
+    the PAIR population): one projection on the label table + one
+    keyed equi-join back to the corpus. Output: df's columns +
+    `comp` + `split`.
+    """
+    from .sampling import hash_bucket
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    total = sum(weights.values())
+    comp = connected_components(
+        pairs,
+        vertices=df.select(F.col(id_col).alias("id")),
+        max_iter=max_iter,
+    )
+    bucket = hash_bucket(F.col("comp"), den)
+    cum = 0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        b = den * cum // total
+        cond = bucket < F.lit(b)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    labeled = comp.select(
+        F.col("id").alias(id_col), "comp", split.alias("split")
+    )
+    return df.join(labeled, id_col)

@@ -3376,6 +3376,33 @@ def q_f1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort", "t")
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval/test split
+    (operators/dedup.cluster_split): whole near-dup CLUSTERS are
+    hashed to a split, so no eval document has a near-duplicate in
+    train — the contamination path row-wise splitting leaves open.
+    Pairs come from the SimHash banding scale path (same as
+    q_dedup_clusters); the assignment is the md5-bucket ladder over
+    the component label with integer boundaries 8/1/1. The DuckDB
+    twin recomputes the components with a recursive CTE (different
+    fixpoint algorithm) and the identical bucket arithmetic, so the
+    split assignment itself is cross-checked end to end."""
+    from .operators.dedup import cluster_split, simhash64, simhash_banded_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash64(docs, id_col="doc_id", text_col="text")
+    pairs = simhash_banded_pairs(sig, max_dist=3)
+    return (
+        cluster_split(
+            docs.select("doc_id"),
+            pairs,
+            weights={"train": 8, "eval": 1, "test": 1},
+        )
+        .select("doc_id", "comp", "split")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3480,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calibration_bins": q_calibration_bins,
         "q_wer_pairs": q_wer_pairs,
         "q_f1_sweep": q_f1_sweep,
+        "q_cluster_split": q_cluster_split,
     }
 
 
@@ -6760,6 +6788,30 @@ ORACLE_SQL["q_f1_sweep"] = """
     FROM agg ORDER BY cohort, t
 """
 
+
+ORACLE_SQL["q_cluster_split"] = f"""
+    WITH RECURSIVE pairs AS (
+      {_simhash_neardup_oracle_sql(ordered=False)}
+    ),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY 1),
+    b AS (
+      SELECT doc_id, comp,
+             CAST(concat('0x', substr(md5(CAST(comp AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 1000000 AS bucket
+      FROM comp)
+    SELECT doc_id, comp,
+           CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'eval'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+"""
 
 ORACLE_SQL["q_auc_scores"] = """
     WITH s AS (

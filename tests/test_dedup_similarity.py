@@ -781,3 +781,76 @@ def test_pagerank_int_matches_python_replay(spark):
         }
         assert got == replay(rounds), rounds
     assert got[5] == BASE  # teleport floor for a node nobody links to
+
+
+def test_cluster_split_no_leakage_and_proportions(spark):
+    from ds2_spark.operators.dedup import cluster_split
+
+    n = 2000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    # chains of 3 among the first 300 ids (0-1-2, 3-4-5, ...) plus a
+    # 50-member clique-by-chain at the top; everything else singleton
+    edges = [(i, i + 1) for i in range(0, 300, 3)] + [
+        (i + 1, i + 2) for i in range(0, 300, 3)
+    ]
+    edges += [(1900 + i, 1900 + i + 1) for i in range(49)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = cluster_split(
+        docs, pairs, weights={"train": 8, "eval": 1, "test": 1}
+    )
+    rows = out.collect()
+    assert len(rows) == n
+    # leakage guard: one split per component, including the big chain
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["comp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    assert (
+        len({r["split"] for r in rows if 1900 <= r["doc_id"] <= 1949}) == 1
+    )
+    # proportions over ~1800 independent clusters near 80/10/10
+    n_comp = len(by_comp)
+    frac_train = sum(
+        1 for c, s in by_comp.items() if s == {"train"}
+    ) / n_comp
+    assert 0.72 <= frac_train <= 0.88
+    # deterministic: a rerun assigns identically
+    again = {
+        r["doc_id"]: r["split"]
+        for r in cluster_split(
+            docs, pairs, weights={"train": 8, "eval": 1, "test": 1}
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+
+
+def test_cluster_split_resume_stable_on_corpus_growth(spark):
+    from ds2_spark.operators.dedup import cluster_split
+
+    w = {"train": 3, "test": 1}
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 100, 2)], "id_a long, id_b long"
+    )
+    base = {
+        r["doc_id"]: r["split"]
+        for r in cluster_split(docs, pairs, weights=w).collect()
+    }
+    # grow the corpus with docs + pairs that do NOT touch old clusters
+    docs2 = spark.range(700).select(F.col("id").alias("doc_id"))
+    pairs2 = pairs.union(
+        spark.createDataFrame(
+            [(600, 601), (601, 602)], "id_a long, id_b long"
+        )
+    )
+    grown = {
+        r["doc_id"]: r["split"]
+        for r in cluster_split(docs2, pairs2, weights=w).collect()
+    }
+    assert all(grown[k] == v for k, v in base.items())
+    assert len({grown[600], grown[601], grown[602]}) == 1
+
+    with pytest.raises(ValueError):
+        cluster_split(docs, pairs, weights={})
+    with pytest.raises(ValueError):
+        cluster_split(docs, pairs, weights={"a": 1, "b": 0})
