@@ -3403,6 +3403,51 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed storage layout
+    (sources/bucketed.py): both sides are written bucketed on the
+    join key (paying the shuffle ONCE at write time), then joined
+    through `colocated_join`, which refuses mismatched layouts
+    instead of letting Catalyst silently fall back to a full
+    re-shuffle. The Exchange-free SortMergeJoin plan shape is pinned
+    by pytest (tests/test_bucketed.py — a values oracle cannot see
+    plan properties); this contract query cross-checks that the
+    layout round-trip CHANGES NOTHING about the answer: synthesize ->
+    bucketed write -> catalog read -> co-located join -> aggregate
+    must equal DuckDB's plain join over the same closed-form input."""
+    from .sources.bucketed import colocated_join, write_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    facts = ev.select(
+        "event_id",
+        (e % 509).alias("user_id"),
+        ((e * 31) % 1000).alias("v"),
+    )
+    dims = (
+        facts.select("user_id").distinct().select(
+            "user_id", (F.col("user_id") % 7).alias("seg")
+        )
+    )
+    write_bucketed(
+        facts, "q_bj_facts", "/tmp/ds2_q_bucketed/facts", "user_id", 8,
+        sort_col="user_id",
+    )
+    write_bucketed(
+        dims, "q_bj_dims", "/tmp/ds2_q_bucketed/dims", "user_id", 8,
+        sort_col="user_id",
+    )
+    j = colocated_join(spark, "q_bj_facts", "q_bj_dims", ["user_id"])
+    return (
+        j.groupBy("user_id", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3508,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wer_pairs": q_wer_pairs,
         "q_f1_sweep": q_f1_sweep,
         "q_cluster_split": q_cluster_split,
+        "q_bucketed_join": q_bucketed_join,
     }
 
 
@@ -6811,6 +6857,21 @@ ORACLE_SQL["q_cluster_split"] = f"""
                 WHEN bucket < 900000 THEN 'eval'
                 ELSE 'test' END AS split
     FROM b ORDER BY doc_id
+"""
+
+ORACLE_SQL["q_bucketed_join"] = """
+    WITH facts AS (
+      SELECT event_id, (event_id % 509) AS user_id,
+             ((event_id * 31) % 1000) AS v
+      FROM events),
+    dims AS (
+      SELECT DISTINCT user_id, (user_id % 7) AS seg FROM facts)
+    SELECT CAST(f.user_id AS BIGINT) AS user_id,
+           CAST(d.seg AS BIGINT) AS seg,
+           count(*) AS n,
+           CAST(sum(f.v) AS BIGINT) AS sum_v
+    FROM facts f JOIN dims d USING (user_id)
+    GROUP BY 1, 2 ORDER BY user_id
 """
 
 ORACLE_SQL["q_auc_scores"] = """
