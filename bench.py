@@ -97,6 +97,9 @@ HEADLINE = [
     "q_auc_scores",
     "q_calibration_bins",
     "q_wer_pairs",
+    "q_f1_sweep",
+    "q_cluster_split",
+    "q_bucketed_join",
     "q_bpe_train",
     "q_bpe_encode",
     "q_token_budget",

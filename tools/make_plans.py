@@ -99,6 +99,10 @@ AUDITED = [
     "q_span_incremental",
     "q_auc_scores",
     "q_wer_pairs",
+    "q_calibration_bins",
+    "q_f1_sweep",
+    "q_cluster_split",
+    "q_bucketed_join",
     "q_bpe_encode",
     "q_corpus_build",
     "flagship",
