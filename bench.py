@@ -100,6 +100,7 @@ HEADLINE = [
     "q_f1_sweep",
     "q_cluster_split",
     "q_bucketed_join",
+    "q_drift",
     "q_bpe_train",
     "q_bpe_encode",
     "q_token_budget",

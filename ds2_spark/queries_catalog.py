@@ -3448,6 +3448,35 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report (operators/drift.drift_summary): PSI,
+    chi-square, and exact total-variation distance between two score
+    populations — the between-recalibrations monitoring a production
+    curation loop runs (did the corpus move since the last pass?).
+    Even events are snapshot A (uniform decile buckets), odd events
+    are B with a deterministic upward shift, so the drift is real and
+    interior. Each snapshot collapses to per-bucket counts in one
+    map-side-combined pass; PSI/chi2 terms are e6-quantized integers
+    before summing (order-free totals; the tfidf 6-dp/ln discipline),
+    TV is 128-bit-exact integer arithmetic with ONE double division
+    at the end — so the DuckDB twin, replaying the same algebra over
+    its own full-outer-join of counts, must match bit-for-bit."""
+    from .operators.drift import drift_summary
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    score = (e * 7919) % 101
+    a = ev.where(e % 2 == 0).select(
+        F.floor(score / 10).cast("int").alias("bucket")
+    )
+    b = ev.where(e % 2 == 1).select(
+        F.least(F.floor(score / 10) + e % 3, F.lit(10))
+        .cast("int")
+        .alias("bucket")
+    )
+    return drift_summary(a, b, "bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3554,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_f1_sweep": q_f1_sweep,
         "q_cluster_split": q_cluster_split,
         "q_bucketed_join": q_bucketed_join,
+        "q_drift": q_drift,
     }
 
 
@@ -6872,6 +6902,67 @@ ORACLE_SQL["q_bucketed_join"] = """
            CAST(sum(f.v) AS BIGINT) AS sum_v
     FROM facts f JOIN dims d USING (user_id)
     GROUP BY 1, 2 ORDER BY user_id
+"""
+
+ORACLE_SQL["q_drift"] = """
+    WITH a AS (
+      SELECT CAST(((event_id * 7919) % 101) // 10 AS INT) AS bucket
+      FROM events WHERE event_id % 2 = 0),
+    b AS (
+      SELECT CAST(least(((event_id * 7919) % 101) // 10
+                        + event_id % 3, 10) AS INT) AS bucket
+      FROM events WHERE event_id % 2 = 1),
+    ca AS (SELECT bucket, count(*) AS cnt_a FROM a GROUP BY 1),
+    cb AS (SELECT bucket, count(*) AS cnt_b FROM b GROUP BY 1),
+    cells AS (
+      SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+             CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+             CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+      FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+    tot AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+             CAST(sum(cnt_b) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS nbk
+      FROM cells),
+    terms AS (
+      SELECT
+        CAST(round(((CAST(cnt_a + 1 AS DOUBLE) / CAST(na + nbk AS DOUBLE))
+                    - (CAST(cnt_b + 1 AS DOUBLE) / CAST(nb + nbk AS DOUBLE)))
+                   * ln((CAST(cnt_a + 1 AS DOUBLE) / CAST(na + nbk AS DOUBLE))
+                        / (CAST(cnt_b + 1 AS DOUBLE)
+                           / CAST(nb + nbk AS DOUBLE)))
+                   * 1000000.0) AS BIGINT) AS psi_e6,
+        CAST(round((
+            (CAST(cnt_a AS DOUBLE)
+             - CAST(na AS DOUBLE) * CAST(cnt_a + cnt_b AS DOUBLE)
+               / CAST(na + nb AS DOUBLE))
+            * (CAST(cnt_a AS DOUBLE)
+               - CAST(na AS DOUBLE) * CAST(cnt_a + cnt_b AS DOUBLE)
+                 / CAST(na + nb AS DOUBLE))
+            / (CAST(na AS DOUBLE) * CAST(cnt_a + cnt_b AS DOUBLE)
+               / CAST(na + nb AS DOUBLE))
+            + (CAST(cnt_b AS DOUBLE)
+               - CAST(nb AS DOUBLE) * CAST(cnt_a + cnt_b AS DOUBLE)
+                 / CAST(na + nb AS DOUBLE))
+              * (CAST(cnt_b AS DOUBLE)
+                 - CAST(nb AS DOUBLE) * CAST(cnt_a + cnt_b AS DOUBLE)
+                   / CAST(na + nb AS DOUBLE))
+              / (CAST(nb AS DOUBLE) * CAST(cnt_a + cnt_b AS DOUBLE)
+                 / CAST(na + nb AS DOUBLE))
+          ) * 1000000.0) AS BIGINT) AS chi2_e6,
+        abs(CAST(cnt_a + 1 AS HUGEINT) * CAST(nb + nbk AS HUGEINT)
+            - CAST(cnt_b + 1 AS HUGEINT) * CAST(na + nbk AS HUGEINT))
+          AS tv_num,
+        CAST(na + nbk AS HUGEINT) * CAST(nb + nbk AS HUGEINT) AS tv_den
+      FROM cells CROSS JOIN tot)
+    SELECT (SELECT na FROM tot) AS n_a,
+           (SELECT nb FROM tot) AS n_b,
+           (SELECT nbk FROM tot) AS n_buckets,
+           CAST(sum(psi_e6) AS BIGINT) / 1000000.0 AS psi,
+           CAST(sum(chi2_e6) AS BIGINT) / 1000000.0 AS chi2,
+           CAST(sum(tv_num) AS DOUBLE)
+             / (2.0 * CAST(max(tv_den) AS DOUBLE)) AS tv_distance
+    FROM terms
 """
 
 ORACLE_SQL["q_auc_scores"] = """

@@ -103,6 +103,7 @@ AUDITED = [
     "q_f1_sweep",
     "q_cluster_split",
     "q_bucketed_join",
+    "q_drift",
     "q_bpe_encode",
     "q_corpus_build",
     "flagship",
