@@ -101,6 +101,7 @@ HEADLINE = [
     "q_cluster_split",
     "q_bucketed_join",
     "q_drift",
+    "q_pq_incremental",
     "q_bpe_train",
     "q_bpe_encode",
     "q_token_budget",

@@ -356,13 +356,71 @@ def pq_topk(
     — only the Q * rerank_k shortlist rows survive the probe),
     re-rank by exact integer squared distance, return top-k. Output
     then carries exact_dist alongside adc_dist, ranked by exact_dist.
+
+    This is the encode-then-search convenience form; the stored-index
+    production shape is `pq_topk_codes` (search over a persisted
+    codes relation, so the corpus is encoded ONCE and only ingest
+    deltas ever touch raw vectors — see pq_append).
     """
     books = np.ascontiguousarray(codebooks, dtype=np.int64)
-    m, kk, _ = books.shape
     codes = pq_encode(
         candidates, books, vec_col=vec_col, id_col=cand_id,
         quantize_scale=quantize_scale,
     )
+    return pq_topk_codes(
+        queries, codes, books, k=k, query_id=query_id, cand_id=cand_id,
+        vec_col=vec_col, quantize_scale=quantize_scale, rerank_k=rerank_k,
+        candidates=candidates,
+    )
+
+
+def pq_append(
+    delta: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """Incremental index maintenance: encode an ingest delta under the
+    FROZEN codebooks and return its codes relation, ready to union
+    with (or append to) the stored base index. The same freeze
+    discipline as incremental curation / span dedup: the base corpus
+    is encoded once and never re-read; codebook retraining is a
+    deliberate, versioned event (re-encode everything or nothing),
+    never a side effect of ingest — two batches encoded under
+    different codebooks would produce incomparable ADC distances.
+    O(delta) per ingest; raw vectors never leave the Arrow batch."""
+    return pq_encode(
+        delta, codebooks, vec_col=vec_col, id_col=id_col,
+        quantize_scale=quantize_scale,
+    )
+
+
+def pq_topk_codes(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 3,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    quantize_scale: int = 1000,
+    rerank_k: int | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k over a STORED codes relation ((cand_id, codes) — the
+    persisted 32x-compressed index, typically base codes unioned with
+    pq_append deltas). Identical semantics and output to pq_topk; the
+    difference is operational: the corpus is never re-encoded per
+    query batch. `rerank_k` needs the raw-vector corpus to re-rank
+    against — pass `candidates`; refused loudly if absent (a silent
+    ADC-only fallback would change the ranking contract)."""
+    books = np.ascontiguousarray(codebooks, dtype=np.int64)
+    m, kk, _ = books.shape
+    if rerank_k is not None and candidates is None:
+        raise ValueError(
+            "rerank_k requires the raw-vector `candidates` relation"
+        )
 
     d = m * books.shape[2]
 

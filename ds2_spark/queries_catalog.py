@@ -957,6 +957,42 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def q_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (operators/pq.pq_append +
+    pq_topk_codes): the corpus below vec_id 500 is the STORED codes
+    index (encoded once); rows at/above 500 arrive as an ingest delta
+    and are encoded under the FROZEN codebooks (the incremental-
+    curation freeze discipline — codebook retraining is a versioned
+    event, never an ingest side effect). Search runs over the union
+    of stored + delta codes and must equal a from-scratch full encode
+    bit-for-bit, which is exactly what the oracle computes: the twin
+    is blind to the base/delta split, so any drift the split
+    introduced would hash-mismatch. k=4 (vs q_pq_topk's 3) keeps the
+    two contract rows non-duplicate."""
+    from .operators.pq import pq_append, pq_encode, pq_topk_codes
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = _pq_contract_codebooks()
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    delta = e.filter(F.col("vec_id") >= 500).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    stored = pq_encode(
+        base, books, id_col="neighbor_id", quantize_scale=_LSH_SCALE
+    )
+    appended = pq_append(
+        delta, books, id_col="neighbor_id", quantize_scale=_LSH_SCALE
+    )
+    return pq_topk_codes(
+        q, stored.union(appended), books, k=4, quantize_scale=_LSH_SCALE
+    ).orderBy("query_id", "rk")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio quality features (zcr / silence / clipping / SNR-spread)
     via the production mapInPandas operator, on synthesized PCM16
@@ -3584,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_split": q_cluster_split,
         "q_bucketed_join": q_bucketed_join,
         "q_drift": q_drift,
+        "q_pq_incremental": q_pq_incremental,
     }
 
 
@@ -6163,7 +6200,7 @@ ORACLE_SQL["q_dedup_keep_best"] = f"""
 """
 
 
-def _pq_oracle_sql(rerank: bool = False) -> str:
+def _pq_oracle_sql(rerank: bool = False, topk: int = 3) -> str:
     """PQ twin: the codebooks as a 1024-row VALUES relation (the
     literal-side-input pattern: LSH planes / IVF centroids / FLAC
     bitstreams), encode as a grouped integer distance + row_number
@@ -6205,7 +6242,7 @@ def _pq_oracle_sql(rerank: bool = False) -> str:
           FROM codes cd JOIN lut l ON l.m = cd.m AND l.c = cd.c
           GROUP BY 1, 2)"""
     if not rerank:
-        return prefix + """,
+        return prefix + f""",
         ranked AS (
           SELECT query_id, neighbor_id, adc_dist,
                  row_number() OVER (PARTITION BY query_id
@@ -6213,7 +6250,7 @@ def _pq_oracle_sql(rerank: bool = False) -> str:
                    AS rk
           FROM adc)
         SELECT query_id, neighbor_id, adc_dist, CAST(rk AS INT) AS rk
-        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk
+        FROM ranked WHERE rk <= {topk} ORDER BY query_id, rk
     """
     return prefix + """,
         short AS (
@@ -6244,6 +6281,7 @@ def _pq_oracle_sql(rerank: bool = False) -> str:
 
 
 ORACLE_SQL["q_pq_topk"] = _pq_oracle_sql()
+ORACLE_SQL["q_pq_incremental"] = _pq_oracle_sql(topk=4)
 ORACLE_SQL["q_pq_rerank"] = _pq_oracle_sql(rerank=True)
 
 

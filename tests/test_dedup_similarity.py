@@ -854,3 +854,57 @@ def test_cluster_split_resume_stable_on_corpus_growth(spark):
         cluster_split(docs, pairs, weights={})
     with pytest.raises(ValueError):
         cluster_split(docs, pairs, weights={"a": 1, "b": 0})
+
+
+def test_pq_incremental_append_equals_full_encode(spark):
+    from ds2_spark.operators.pq import (
+        pq_append,
+        pq_encode,
+        pq_topk,
+        pq_topk_codes,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(31)
+    d, n = 8, 400
+    vecs = rng.normal(size=(n, d)).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train_codebooks(vecs[:200], m=4, k=16, scale=1000, seed=7)
+    queries = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    full = pq_topk(queries, corpus, books, k=4).collect()
+    # stored base index + frozen-codebook delta append
+    base = pq_encode(
+        corpus.where(F.col("neighbor_id") < 300), books,
+        id_col="neighbor_id",
+    )
+    delta = pq_append(
+        corpus.where(F.col("neighbor_id") >= 300), books,
+        id_col="neighbor_id",
+    )
+    inc = pq_topk_codes(queries, base.union(delta), books, k=4).collect()
+    key = lambda r: (r["query_id"], r["rk"])
+    assert sorted(
+        [(r["query_id"], r["rk"], r["neighbor_id"], r["adc_dist"]) for r in inc]
+    ) == sorted(
+        [(r["query_id"], r["rk"], r["neighbor_id"], r["adc_dist"]) for r in full]
+    )
+    # rerank over stored codes needs the raw corpus, loudly
+    with pytest.raises(ValueError, match="candidates"):
+        pq_topk_codes(queries, base, books, k=2, rerank_k=4)
+    # with the corpus supplied, rerank over union == rerank full
+    full_rr = pq_topk(queries, corpus, books, k=3, rerank_k=6).collect()
+    inc_rr = pq_topk_codes(
+        queries, base.union(delta), books, k=3, rerank_k=6,
+        candidates=corpus,
+    ).collect()
+    assert sorted(
+        [(r["query_id"], r["rk"], r["neighbor_id"], r["exact_dist"]) for r in inc_rr]
+    ) == sorted(
+        [(r["query_id"], r["rk"], r["neighbor_id"], r["exact_dist"]) for r in full_rr]
+    )

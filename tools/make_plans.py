@@ -104,6 +104,7 @@ AUDITED = [
     "q_cluster_split",
     "q_bucketed_join",
     "q_drift",
+    "q_pq_incremental",
     "q_bpe_encode",
     "q_corpus_build",
     "flagship",
