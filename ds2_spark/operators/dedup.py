@@ -348,6 +348,11 @@ def connected_components(
     RuntimeError if max_iter rounds don't converge rather than
     returning a wrong (still-moving) labeling.
     """
+    # materialize the pair list BEFORE the symmetrize-union: both
+    # union branches read `pairs`, so without this the (expensive —
+    # banding/LSH) pair-generation lineage executes TWICE inside the
+    # edges job. One bounded ids-only frame, computed once.
+    pairs = pairs.select("id_a", "id_b").localCheckpoint()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(
