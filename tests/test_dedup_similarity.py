@@ -699,8 +699,44 @@ def test_connected_components_long_chain_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(219)], "id_a long, id_b long"
     )
-    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
     assert got == {v: 0 for v in range(220)}
+
+
+def test_connected_components_fast_path_matches_distributed(spark):
+    """The bounded union-find fast path and the distributed
+    pointer-jumping loop must produce the IDENTICAL min-member
+    labeling, including vertices-driven singletons."""
+    import numpy as np
+
+    from ds2_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    edges = set()
+    while len(edges) < 120:
+        a, b = (int(x) for x in rng.integers(0, 150, size=2))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges |= {(i, i + 1) for i in range(160, 175)}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(v,) for v in range(180)], "id long")
+    fast = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, vertices=verts).collect()
+    }
+    dist = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            pairs, vertices=verts, small_graph_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    assert len(fast) == 180
 
 
 def test_prototype_scores_matches_numpy(spark):
