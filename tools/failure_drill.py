@@ -1,0 +1,324 @@
+"""Process-kill failure drill for the lineage resume path.
+
+The existing resume tests (tests/test_resume.py) inject failures as
+in-process exceptions; this drill kills the WHOLE DRIVER PROCESS TREE
+(python + JVM + pyspark daemons, SIGKILL to the process group) partway
+through a checkpointed stage at a scale where a commit group takes
+real wall time, restarts it cold, and proves the north-rule claim
+"resumable from checkpoint with per-partition lineage" end to end:
+
+  1. control: one uninterrupted run of the rules stage
+     (transcript_features -> rule_decisions, the production keep/drop
+     path over `sources/lineage.run_stage` with waves_per_commit
+     commit groups) on a sharded fixture; record wall + an
+     order-insensitive sha256 fingerprint of the output parquet.
+  2. drill: same stage on a FRESH checkpoint root. The controller
+     polls `_lineage` (pyarrow, no second Spark) and SIGKILLs the
+     worker's process group each time a kill threshold of completed
+     waves is crossed; after the final kill the worker is restarted
+     once more and runs to completion.
+  3. verdict: drill output fingerprint must equal control exactly
+     (same rows, bit-identical floats — every kernel is seeded);
+     rework is bounded: total waves processed across all drill
+     attempts <= n_waves + kills * waves_per_commit (a crash can only
+     lose the in-flight commit group, never a committed one).
+
+Writes BENCH/failure_drill.json and prints it. Run AFTER any other
+Spark work has finished (NOTES #4/#42: never two JVMs here).
+
+Usage:
+  python tools/failure_drill.py --clips 200000 --waves 16 \
+      --waves-per-commit 4 --kill-after 3 9
+  python tools/failure_drill.py --worker --fixture F --root R --run-id I ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+STAGE = "rules"
+
+
+# ---------------------------------------------------------------- worker
+def worker(args) -> int:
+    t0 = time.time()
+    done0 = _done_waves(args.root)
+    print(f"PENDING={args.waves - len(done0)}", flush=True)
+
+    from ds2_spark.config import PipelineConfig, QualityConfig
+    from ds2_spark.operators.audio import FIXTURE_PCM16_ALIASES
+    from ds2_spark.plans.pipeline import rule_decisions, transcript_features
+    from ds2_spark.session import get_spark
+    from ds2_spark.sources.lineage import run_stage
+
+    cfg = PipelineConfig(
+        quality=QualityConfig(pcm16_alias_codecs=FIXTURE_PCM16_ALIASES)
+    )
+    spark = get_spark(app_name=f"failure_drill_{args.run_id}", cpus=args.cpus)
+    clips = spark.read.parquet(os.path.join(args.fixture, "clips.parquet"))
+
+    def stage_fn(df):
+        return rule_decisions(transcript_features(df, cfg), None, cfg)
+
+    out = run_stage(
+        spark,
+        clips,
+        stage_fn,
+        root=args.root,
+        run_id=args.run_id,
+        stage=STAGE,
+        key_col="clip_id",
+        n_waves=args.waves,
+        waves_per_commit=args.waves_per_commit,
+    )
+    n = out.count()
+    print(f"DONE rows={n} wall={time.time() - t0:.1f}", flush=True)
+    spark.stop()
+    return 0
+
+
+# ------------------------------------------------------------ controller
+def _done_waves(root: str) -> set[int]:
+    """Completed wave ids from the _lineage dir via pyarrow only (the
+    controller must never hold a second SparkSession). Tolerates
+    in-flight writes: non-parquet temp files are skipped, a file being
+    renamed between listdir and read is retried on the next poll."""
+    d = os.path.join(root, "_lineage")
+    if not os.path.isdir(d):
+        return set()
+    import pyarrow.parquet as pq
+
+    waves: set[int] = set()
+    for f in os.listdir(d):
+        if not f.endswith(".parquet"):
+            continue
+        try:
+            t = pq.read_table(
+                os.path.join(d, f), columns=["partition_id", "status"]
+            )
+        except Exception:
+            continue  # mid-rename/partial; next poll sees it
+        for pid, st in zip(
+            t.column("partition_id").to_pylist(), t.column("status").to_pylist()
+        ):
+            if st == "done":
+                waves.add(int(pid))
+    return waves
+
+
+def _lineage_rows(root: str) -> int:
+    d = os.path.join(root, "_lineage")
+    if not os.path.isdir(d):
+        return 0
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            n += pq.read_table(os.path.join(d, f)).num_rows
+    return n
+
+
+def _fingerprint(out_dir: str) -> tuple[int, str]:
+    """Order-insensitive sha256 over the stage output (hive-partitioned
+    parquet, `_wave` folded back in as a column)."""
+    import pyarrow.dataset as ds
+
+    # default ignore_prefixes=['.', '_'] would silently drop every
+    # `_wave=N` partition dir -> empty table; keep only Spark's marker
+    table = ds.dataset(
+        out_dir,
+        format="parquet",
+        partitioning="hive",
+        ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
+    ).to_table()
+    df = table.to_pandas()
+    df = df[sorted(df.columns)]
+    rows = sorted(repr(t) for t in df.itertuples(index=False, name=None))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return len(rows), h.hexdigest()
+
+
+def _spawn(fixture: str, root: str, run_id: str, a) -> subprocess.Popen:
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--worker",
+        "--fixture", fixture, "--root", root, "--run-id", run_id,
+        "--waves", str(a.waves), "--waves-per-commit", str(a.waves_per_commit),
+        "--cpus", str(a.cpus),
+    ]
+    return subprocess.Popen(
+        cmd,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        start_new_session=True,  # own pgid: killpg reaps python+JVM+daemons
+        cwd=REPO,
+    )
+
+
+def _killpg(proc: subprocess.Popen) -> None:
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+    proc.wait()
+    # belt + braces: the group kill reaps the JVM because Popen made the
+    # worker a session leader; verify nothing from this drill survived
+    time.sleep(1.0)
+    left = subprocess.run(
+        ["pgrep", "-f", "failure_drill_"], capture_output=True, text=True
+    ).stdout.split()
+    left = [p for p in left if int(p) != os.getpid()]
+    for p in left:
+        try:
+            os.kill(int(p), signal.SIGKILL)
+        except (ProcessLookupError, ValueError):
+            pass
+
+
+def _drain(proc: subprocess.Popen) -> tuple[int, str]:
+    out, _ = proc.communicate()
+    return proc.returncode, out or ""
+
+
+def controller(a) -> int:
+    from ds2_spark.fixtures import generate_all_sharded
+
+    fixture = f"/tmp/ds2_drill_fixture_{a.clips}"
+    if not os.path.isdir(os.path.join(fixture, "clips.parquet")):
+        print(f"generating fixture n={a.clips} at {fixture}", flush=True)
+        generate_all_sharded(fixture, n=a.clips, n_shards=16)
+
+    import shutil
+
+    root_a = f"/tmp/ds2_drill_control_{a.clips}"
+    root_b = f"/tmp/ds2_drill_killed_{a.clips}"
+    for r in (root_a, root_b):
+        shutil.rmtree(r, ignore_errors=True)
+
+    # ---- control: uninterrupted
+    t0 = time.time()
+    rc, out = _drain(_spawn(fixture, root_a, "control", a))
+    control_wall = time.time() - t0
+    assert rc == 0, f"control run failed:\n{out[-2000:]}"
+    n_ctl, fp_ctl = _fingerprint(os.path.join(root_a, STAGE))
+    print(f"control: wall={control_wall:.1f}s rows={n_ctl} fp={fp_ctl[:16]}", flush=True)
+
+    # ---- drill: kill at each threshold, then run to completion
+    attempts: list[dict] = []
+    thresholds = list(a.kill_after)
+    for i, thr in enumerate(thresholds):
+        t0 = time.time()
+        proc = _spawn(fixture, root_b, "drill", a)
+        deadline = time.time() + a.attempt_timeout
+        killed_at = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                break  # finished before the threshold was reached
+            done = len(_done_waves(root_b))
+            if done >= thr:
+                _killpg(proc)
+                killed_at = done
+                break
+            time.sleep(0.5)
+        else:
+            _killpg(proc)
+            raise RuntimeError(f"attempt {i}: timeout before {thr} waves done")
+        rc = proc.returncode
+        attempts.append(
+            {
+                "attempt": i,
+                "kill_threshold": thr,
+                "killed_at_done_waves": killed_at,
+                "finished_early": killed_at is None,
+                "wall_s": round(time.time() - t0, 1),
+            }
+        )
+        print(f"attempt {i}: killed at {killed_at} done waves (threshold {thr})", flush=True)
+        if killed_at is None and rc == 0:
+            break  # stage finished before we could kill it
+
+    t0 = time.time()
+    rc, out = _drain(_spawn(fixture, root_b, "drill", a))
+    resume_wall = time.time() - t0
+    assert rc == 0, f"resume run failed:\n{out[-2000:]}"
+    pending_line = next(
+        (ln for ln in out.splitlines() if ln.startswith("PENDING=")), "PENDING=?"
+    )
+    attempts.append(
+        {
+            "attempt": len(attempts),
+            "kill_threshold": None,
+            "resumed_pending_waves": int(pending_line.split("=")[1]),
+            "wall_s": round(resume_wall, 1),
+        }
+    )
+    print(f"final resume: {pending_line} wall={resume_wall:.1f}s", flush=True)
+
+    n_drl, fp_drl = _fingerprint(os.path.join(root_b, STAGE))
+    lineage_rows = _lineage_rows(root_b)
+    rework_bound = a.waves + len(thresholds) * a.waves_per_commit
+
+    result = {
+        "clips": a.clips,
+        "n_waves": a.waves,
+        "waves_per_commit": a.waves_per_commit,
+        "cpus": a.cpus,
+        "kills": len(thresholds),
+        "control_wall_s": round(control_wall, 1),
+        "control_rows": n_ctl,
+        "attempts": attempts,
+        "drill_rows": n_drl,
+        "fingerprint_match": fp_ctl == fp_drl,
+        "fingerprint": fp_ctl,
+        "lineage_done_rows": lineage_rows,
+        "rework_bound_waves": rework_bound,
+        "rework_bound_holds": lineage_rows <= rework_bound,
+        "note": (
+            "SIGKILL to the whole driver process group (python+JVM+daemons) "
+            "at each threshold; resume skips committed waves via _lineage; "
+            "fingerprint is order-insensitive sha256 over the output table"
+        ),
+    }
+    dest = os.path.join(REPO, "BENCH", "failure_drill.json")
+    with open(dest, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+    assert result["fingerprint_match"], "drill output != control output"
+    assert n_ctl == a.clips, f"control rows {n_ctl} != clips {a.clips}"
+    return 0
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--worker", action="store_true")
+    p.add_argument("--fixture")
+    p.add_argument("--root")
+    p.add_argument("--run-id", default="drill")
+    p.add_argument("--clips", type=int, default=200_000)
+    p.add_argument("--waves", type=int, default=16)
+    p.add_argument("--waves-per-commit", type=int, default=4)
+    p.add_argument("--cpus", type=int, default=8)
+    p.add_argument("--kill-after", type=int, nargs="+", default=[3, 9])
+    p.add_argument("--attempt-timeout", type=float, default=900.0)
+    a = p.parse_args()
+    if a.worker:
+        return worker(a)
+    return controller(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
