@@ -38,18 +38,59 @@ def embed_candidates(candidates: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def pool_hash_prefix(seed: int):
+    """48-bit integer prefix of md5('<seed>|<clip_id>') as a Column —
+    the deterministic pool-membership key (NOTES #7 hex->int recipe;
+    replayed byte-identically by hashlib in tests/oracle)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("clip_id"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def pool_gate_threshold(max_rows: int, n: int) -> int:
+    """Integer-exact gate: keep rows whose 48-bit hash prefix falls
+    below ~1.15*max_rows/n of the space (23/20 = 1.15 as a rational,
+    so any engine computes the identical threshold)."""
+    return (max_rows * 23 * (1 << 48)) // (20 * n)
+
+
 def collect_pool(
     emb_df: DataFrame, max_rows: int, seed: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Bounded sample of embeddings pulled to the driver for broadcast.
-    This is the ONLY place the pipeline collects data, and it is capped
-    (the reference's ≤50k sampling contract, hoc.py:248-258), so the
-    plan stays valid at 10^12 rows."""
+    """Bounded DETERMINISTIC sample of embeddings pulled to the driver
+    for broadcast. This is the ONLY place the pipeline collects data,
+    and it is capped (the reference's ≤50k sampling contract,
+    hoc.py:248-258), so the plan stays valid at 10^12 rows.
+
+    Membership is a pure function of (clip_id, seed, n, max_rows) —
+    an md5-prefix gate keeps ~1.15*max_rows rows (a narrow FILTER, no
+    shuffle, scale-safe where a global takeOrdered over 10^12 rows is
+    not), then the driver cuts to the max_rows smallest md5 keys.
+    Partition layout, task order, and run count cannot influence the
+    pool (the sample().limit() this replaces took whichever partitions
+    answered first — the same run-dependence ADVICE r4 flagged in
+    similarity._train_vectors), and tests/oracle replays the exact
+    membership with hashlib. In the (~impossible at scale: >6 sigma
+    for max_rows >= 1000) event the binomial gate passes fewer than
+    max_rows rows, both engine and oracle just use all gated rows."""
     n = emb_df.count()
     if n > max_rows:
-        emb_df = emb_df.sample(fraction=min(1.0, 1.15 * max_rows / n), seed=seed).limit(max_rows)
+        emb_df = emb_df.filter(
+            pool_hash_prefix(seed) < pool_gate_threshold(max_rows, n)
+        )
     pdf = emb_df.select("clip_id", "embedding").toPandas()
-    # canonical order: partition layout must not influence sampling RNG
+    if n > max_rows:
+        import hashlib
+
+        keys = pdf["clip_id"].map(
+            lambda c: hashlib.md5(f"{seed}|{c}".encode()).hexdigest()
+        )
+        pdf = pdf.loc[keys.sort_values().index[:max_rows]]
+    # canonical order: partition layout must not influence downstream RNG
     pdf = pdf.sort_values("clip_id").reset_index(drop=True)
     ids = pdf["clip_id"].to_numpy()
     emb = np.array(pdf["embedding"].tolist(), dtype=np.float32)

@@ -99,15 +99,45 @@ def aggregate_votes_oracle(votes, raw_scores: dict):
     return out
 
 
-def lt_oracle(emb, ids, k=10):
+def lt_oracle(emb, ids, k=10, pool_emb=None, pool_ids=None):
+    """Long-tail score of every row of `emb` against the pool
+    (default: the rows themselves — the uncapped small-fixture case)."""
     emb = l2_normalize_rows(np.asarray(emb, dtype=np.float32))
-    d, nn = cosine_knn(emb, emb, k=k + 1)
+    if pool_emb is None:
+        pool_emb, pool_ids = emb, ids
+    else:
+        pool_emb = l2_normalize_rows(np.asarray(pool_emb, dtype=np.float32))
+    d, nn = cosine_knn(emb, pool_emb, k=k + 1)
     out = {}
     for i in range(emb.shape[0]):
-        sel = [j for j, c in enumerate(nn[i]) if c >= 0 and ids[c] != ids[i]][:k]
+        sel = [j for j, c in enumerate(nn[i]) if c >= 0 and pool_ids[c] != ids[i]][:k]
         md = d[i][sel].mean() if sel else 0.0
         out[ids[i]] = round(2.0 / (1.0 + np.exp(-md)) - 1.0, 4)
     return out
+
+
+def pool_oracle(cand_ids, max_rows: int, seed: int) -> list:
+    """Independent hashlib replay of plans.curation.collect_pool's
+    deterministic membership: md5('<seed>|<clip_id>') 48-bit-prefix
+    gate at ~1.15*max_rows/n of the space, then the max_rows smallest
+    full md5 keys. Returns the members in clip_id-sorted order (the
+    engine's canonical pool order). Only the integer threshold formula
+    is imported from the engine — the hash itself is hashlib."""
+    import hashlib
+
+    from ds2_spark.plans.curation import pool_gate_threshold
+
+    n = len(cand_ids)
+    if n <= max_rows:
+        return sorted(cand_ids)
+    thresh = pool_gate_threshold(max_rows, n)
+    hexes = {
+        cid: hashlib.md5(f"{seed}|{cid}".encode()).hexdigest()
+        for cid in cand_ids
+    }
+    gated = [cid for cid in cand_ids if int(hexes[cid][:12], 16) < thresh]
+    members = set(sorted(gated, key=hexes.__getitem__)[:max_rows])
+    return sorted(members)
 
 
 def selection_oracle(rows, budget):
@@ -158,7 +188,18 @@ def curation_oracle(
     labels = sc.loc[ids].to_numpy().astype(np.int64)
     raw_scores = dict(zip(ids, labels.tolist()))
 
-    votes = votes_oracle(emb, labels, ids, noise_rates, cfg.vote)
+    # pool-capped replay: votes/curation run on the deterministic
+    # bounded pool; non-pool candidates keep their raw score and are
+    # lt-scored AGAINST the pool, exactly like the engine
+    pool_ids_l = pool_oracle(cand_ids, cfg.knn_pool_max, cfg.seed)
+    if len(pool_ids_l) == len(cand_ids):
+        pool_emb, pool_ids, pool_labels = emb, ids, labels
+    else:
+        pos = {cid: i for i, cid in enumerate(cand_ids)}
+        ppos = np.array([pos[cid] for cid in pool_ids_l])
+        pool_emb, pool_ids, pool_labels = emb[ppos], np.array(pool_ids_l), labels[ppos]
+
+    votes = votes_oracle(pool_emb, pool_labels, pool_ids, noise_rates, cfg.vote)
     agg = aggregate_votes_oracle(votes, raw_scores)
 
     final_score = {}
@@ -171,7 +212,7 @@ def curation_oracle(
                 continue
         final_score[cid] = int(raw)
 
-    lt = lt_oracle(emb, ids, k=cfg.vote.k)
+    lt = lt_oracle(emb, ids, k=cfg.vote.k, pool_emb=pool_emb, pool_ids=pool_ids)
     budget = max(int(round(cfg.selection.budget_frac * len(cand_ids))), 1)
     sel = selection_oracle(
         [(cid, final_score[cid], lt[cid]) for cid in cand_ids], budget

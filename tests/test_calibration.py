@@ -158,6 +158,43 @@ def test_full_pipeline_matches_oracle(spark, clips_df, fixture_paths):
     assert n_keep == oracle["budget"]
 
 
+def test_full_pipeline_matches_oracle_pool_capped(spark, clips_df, fixture_paths):
+    """Same full-chain parity with the kNN pool cap ACTIVE — the
+    10^12-row operating mode, where votes/curation run on a bounded
+    deterministic md5-gated pool and non-pool candidates keep raw
+    scores but are lt-scored against the pool. The oracle replays pool
+    MEMBERSHIP itself via hashlib (pool_oracle), so this also pins
+    collect_pool's determinism: partition layout can't move the pool."""
+    from dataclasses import replace
+
+    cfg = replace(SMALL, knn_pool_max=300)
+    scores = spark.read.parquet(fixture_paths["scores"])
+    result = curation_pipeline(spark, clips_df, scores, cfg, rater="rater_a")
+    engine = {
+        r["clip_id"]: (r["keep"], r["reason"], r["final_score"])
+        for r in result["decisions"].collect()
+    }
+    assert result["pool_size"] == 300  # the cap genuinely engaged
+    noise_rates = 1.0 - np.diag(t_given_noisy(result["hoc"]))
+    oracle = ds2_oracle.curation_oracle(
+        fixture_paths["clips"], fixture_paths["scores"], noise_rates, cfg, "rater_a"
+    )
+    exp = oracle["decisions"]
+    assert set(engine) == set(exp)
+    mismatch = [
+        (cid, engine[cid], exp[cid])
+        for cid in engine
+        if engine[cid][0] != exp[cid][0]
+        or engine[cid][1] != exp[cid][1]
+        or (exp[cid][2] is not None and engine[cid][2] != exp[cid][2])
+    ]
+    assert not mismatch, mismatch[:5]
+    n_keep = sum(1 for v in engine.values() if v[0])
+    assert n_keep == oracle["budget"]
+    for df in result["_persisted"]:
+        df.unpersist()
+
+
 def test_selection_monotone_in_budget(spark, clips_df, fixture_paths):
     from pyspark.sql import functions as F
 
