@@ -151,7 +151,10 @@ def main() -> int:
         "cpus": a.cpus,
         "knn_pool_max": a.pool_max,
         "pool_size": pool_size,
-        "pool_cap_active": pool_size < tp + fp + fn + tn,
+        # the cap is active iff the pool filled to exactly max_rows
+        # (candidates > max_rows); comparing against all clips would
+        # overstate it
+        "pool_cap_active": pool_size == a.pool_max,
         "confusion": {"tp": tp, "fp": fp, "fn": fn, "tn": tn},
         "precision": prec,
         "recall": rec,

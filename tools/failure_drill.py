@@ -52,20 +52,65 @@ STAGE = "rules"
 # ---------------------------------------------------------------- worker
 def worker(args) -> int:
     t0 = time.time()
-    done0 = _done_waves(args.root)
-    print(f"PENDING={args.waves - len(done0)}", flush=True)
+    if args.mode == "stage":
+        done0 = _done_waves(args.root)
+        print(f"PENDING={args.waves - len(done0)}", flush=True)
+    else:
+        print(f"PENDING={2 * args.waves - _lineage_rows(args.root)}", flush=True)
 
-    from ds2_spark.config import PipelineConfig, QualityConfig
+    from ds2_spark.config import (
+        HocConfig,
+        PipelineConfig,
+        QualityConfig,
+        SelectionConfig,
+        VoteConfig,
+    )
     from ds2_spark.operators.audio import FIXTURE_PCM16_ALIASES
-    from ds2_spark.plans.pipeline import rule_decisions, transcript_features
     from ds2_spark.session import get_spark
+
+    spark = get_spark(app_name=f"failure_drill_{args.run_id}", cpus=args.cpus)
+    clips = spark.read.parquet(os.path.join(args.fixture, "clips.parquet"))
+
+    if args.mode == "pipeline":
+        # FULL checkpointed curation pipeline: rules + embed stages go
+        # through the _lineage wave protocol; calibration/lt/selection
+        # run downstream of the resumed stage tables. The deterministic
+        # md5-gated pool makes the END decisions reproducible across a
+        # kill — pool membership is a pure function of the candidate
+        # set, not of which run collected it.
+        from ds2_spark.plans.curation import curation_pipeline
+
+        cfg = PipelineConfig(
+            hoc=HocConfig(rounds=10, sample_size=5000, adam_steps=300),
+            vote=VoteConfig(epochs=15, sample_size=5000),
+            selection=SelectionConfig(budget_frac=0.05),
+            quality=QualityConfig(pcm16_alias_codecs=FIXTURE_PCM16_ALIASES),
+            knn_pool_max=5000,
+        )
+        scores = spark.read.parquet(os.path.join(args.fixture, "scores.parquet"))
+        res = curation_pipeline(
+            spark,
+            clips,
+            scores,
+            cfg,
+            checkpoint_root=args.root,
+            run_id=args.run_id,
+            n_waves=args.waves,
+            waves_per_commit=args.waves_per_commit,
+        )
+        out_dir = os.path.join(args.root, "decisions_out")
+        res["decisions"].write.mode("overwrite").parquet(out_dir)
+        n = spark.read.parquet(out_dir).count()
+        print(f"DONE rows={n} wall={time.time() - t0:.1f}", flush=True)
+        spark.stop()
+        return 0
+
+    from ds2_spark.plans.pipeline import rule_decisions, transcript_features
     from ds2_spark.sources.lineage import run_stage
 
     cfg = PipelineConfig(
         quality=QualityConfig(pcm16_alias_codecs=FIXTURE_PCM16_ALIASES)
     )
-    spark = get_spark(app_name=f"failure_drill_{args.run_id}", cpus=args.cpus)
-    clips = spark.read.parquet(os.path.join(args.fixture, "clips.parquet"))
 
     def stage_fn(df):
         return rule_decisions(transcript_features(df, cfg), None, cfg)
@@ -158,6 +203,7 @@ def _spawn(fixture: str, root: str, run_id: str, a) -> subprocess.Popen:
         "--fixture", fixture, "--root", root, "--run-id", run_id,
         "--waves", str(a.waves), "--waves-per-commit", str(a.waves_per_commit),
         "--cpus", str(a.cpus),
+        "--mode", a.mode,
     ]
     return subprocess.Popen(
         cmd,
@@ -202,10 +248,20 @@ def controller(a) -> int:
         print(f"generating fixture n={a.clips} at {fixture}", flush=True)
         generate_all_sharded(fixture, n=a.clips, n_shards=16)
 
+    # progress metric the kill thresholds are measured in: completed
+    # waves of the single stage, or done _lineage rows across the
+    # pipeline's two checkpointed stages (rules + embed)
+    if a.mode == "stage":
+        progress = lambda root: len(_done_waves(root))  # noqa: E731
+        out_sub, total_waves = STAGE, a.waves
+    else:
+        progress = _lineage_rows
+        out_sub, total_waves = "decisions_out", 2 * a.waves
+
     import shutil
 
-    root_a = f"/tmp/ds2_drill_control_{a.clips}"
-    root_b = f"/tmp/ds2_drill_killed_{a.clips}"
+    root_a = f"/tmp/ds2_drill_control_{a.clips}_{a.mode}"
+    root_b = f"/tmp/ds2_drill_killed_{a.clips}_{a.mode}"
     for r in (root_a, root_b):
         shutil.rmtree(r, ignore_errors=True)
 
@@ -214,7 +270,7 @@ def controller(a) -> int:
     rc, out = _drain(_spawn(fixture, root_a, "control", a))
     control_wall = time.time() - t0
     assert rc == 0, f"control run failed:\n{out[-2000:]}"
-    n_ctl, fp_ctl = _fingerprint(os.path.join(root_a, STAGE))
+    n_ctl, fp_ctl = _fingerprint(os.path.join(root_a, out_sub))
     print(f"control: wall={control_wall:.1f}s rows={n_ctl} fp={fp_ctl[:16]}", flush=True)
 
     # ---- drill: kill at each threshold, then run to completion
@@ -228,7 +284,7 @@ def controller(a) -> int:
         while time.time() < deadline:
             if proc.poll() is not None:
                 break  # finished before the threshold was reached
-            done = len(_done_waves(root_b))
+            done = progress(root_b)
             if done >= thr:
                 _killpg(proc)
                 killed_at = done
@@ -268,9 +324,9 @@ def controller(a) -> int:
     )
     print(f"final resume: {pending_line} wall={resume_wall:.1f}s", flush=True)
 
-    n_drl, fp_drl = _fingerprint(os.path.join(root_b, STAGE))
+    n_drl, fp_drl = _fingerprint(os.path.join(root_b, out_sub))
     lineage_rows = _lineage_rows(root_b)
-    rework_bound = a.waves + len(thresholds) * a.waves_per_commit
+    rework_bound = total_waves + len(thresholds) * a.waves_per_commit
 
     result = {
         "clips": a.clips,
@@ -293,7 +349,8 @@ def controller(a) -> int:
             "fingerprint is order-insensitive sha256 over the output table"
         ),
     }
-    dest = os.path.join(REPO, "BENCH", "failure_drill.json")
+    name = "failure_drill.json" if a.mode == "stage" else "failure_drill_pipeline.json"
+    dest = os.path.join(REPO, "BENCH", name)
     with open(dest, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
@@ -313,6 +370,16 @@ def main() -> int:
     p.add_argument("--waves-per-commit", type=int, default=4)
     p.add_argument("--cpus", type=int, default=8)
     p.add_argument("--kill-after", type=int, nargs="+", default=[3, 9])
+    p.add_argument(
+        "--mode",
+        choices=("stage", "pipeline"),
+        default="stage",
+        help="stage: one checkpointed rules stage (kill thresholds in "
+        "completed WAVES). pipeline: the full curation pipeline with "
+        "checkpointed rules+embed stages (thresholds in done _lineage "
+        "ROWS across both stages); verifies the END keep/drop decisions "
+        "are bit-identical after driver kills.",
+    )
     p.add_argument("--attempt-timeout", type=float, default=900.0)
     a = p.parse_args()
     if a.worker:
