@@ -403,8 +403,17 @@ def connected_components(
     # materialize the pair list BEFORE the symmetrize-union: both
     # union branches read `pairs`, so without this the (expensive —
     # banding/LSH) pair-generation lineage executes TWICE inside the
-    # edges job. One bounded ids-only frame, computed once.
-    pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    # edges job. One bounded ids-only frame, computed once. NULL ids
+    # are dropped here so both paths agree: the distributed loop's
+    # equi-joins never match NULL (the edge is inert), while a NULL
+    # reaching the driver union-find would float-promote a long id
+    # column in toPandas (3 -> 3.0 -> LongType TypeError) or hit
+    # `None < str` in the min-relabel — same semantics, made explicit.
+    pairs = (
+        pairs.select("id_a", "id_b")
+        .where(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+        .localCheckpoint()
+    )
     # Small-graph fast path: near-dup PAIR lists are tiny relative to
     # the corpus (|pairs| ≈ dup population, not |docs|); when the
     # materialized count fits under `small_graph_edges`, an exact

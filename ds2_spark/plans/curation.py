@@ -228,6 +228,7 @@ def curation_pipeline(
     run_id: str = "run0",
     n_waves: int = 8,
     waves_per_commit: int | None = None,
+    on_group_start=None,
 ) -> dict:
     """Returns dict with `decisions` DataFrame + per-stage artifacts.
 
@@ -249,9 +250,19 @@ def curation_pipeline(
     if checkpoint_root:
         from ..sources.lineage import run_stage
 
+        # on_group_start (if given) is called as (stage_name, waves)
+        # before each commit group — supervisor observability, used by
+        # tools/failure_drill.py to measure attempted (not just
+        # committed) waves across crash/resume cycles
+        def _hook(stage_name):
+            if on_group_start is None:
+                return None
+            return lambda grp: on_group_start(stage_name, grp)
+
         rules = run_stage(
             spark, clips, _rules_stage, checkpoint_root, run_id, "rules",
             n_waves=n_waves, waves_per_commit=waves_per_commit,
+            on_group_start=_hook("rules"),
         )
         candidates = rules.filter(F.col("keep_rules"))
         emb_df = run_stage(
@@ -263,6 +274,7 @@ def curation_pipeline(
             "embed",
             n_waves=n_waves,
             waves_per_commit=waves_per_commit,
+            on_group_start=_hook("embed"),
         )
     else:
         # non-checkpointed path: persist the expensive UDF stages — the

@@ -108,6 +108,7 @@ def run_stage(
     n_waves: int = 8,
     waves_per_commit: int | None = None,
     extra_metrics: Callable[[DataFrame], dict[str, float]] | None = None,
+    on_group_start: Callable[[list[int]], None] | None = None,
 ) -> DataFrame:
     """Process input in W checkpointed waves; resume skips completed
     waves. Returns the stage's full output DataFrame (all waves).
@@ -145,6 +146,13 @@ def run_stage(
     groups = [pending[i : i + wpc] for i in range(0, len(pending), wpc)]
 
     for grp in groups:
+        if on_group_start is not None:
+            # observability hook, fired BEFORE any work on the group:
+            # lets a supervisor count waves *attempted* (committed or
+            # lost to a crash), which lineage alone cannot see — the
+            # failure drill uses it to measure its rework bound for
+            # real instead of assuming it
+            on_group_start(list(grp))
         t0 = time.time()
         win = _wave_expr(key_col, n_waves)
         grp_in = input_df if len(grp) == n_waves else input_df.filter(win.isin(grp))

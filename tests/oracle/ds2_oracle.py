@@ -185,26 +185,36 @@ def curation_oracle(
 
     sc = pq.read_table(scores_parquet).to_pandas()
     sc = sc[sc.rater == rater].set_index("clip_id")["raw_score"]
-    labels = sc.loc[ids].to_numpy().astype(np.int64)
-    raw_scores = dict(zip(ids, labels.tolist()))
+    # raw_scores covers only clips the rater actually scored — the
+    # engine LEFT-joins scores (score_candidates) and coalesces a
+    # missing raw_score to 0, so the oracle must not assume coverage
+    cand_set = set(cand_ids)
+    raw_scores = {cid: int(v) for cid, v in sc.items() if cid in cand_set}
 
     # pool-capped replay: votes/curation run on the deterministic
     # bounded pool; non-pool candidates keep their raw score and are
     # lt-scored AGAINST the pool, exactly like the engine
     pool_ids_l = pool_oracle(cand_ids, cfg.knn_pool_max, cfg.seed)
     if len(pool_ids_l) == len(cand_ids):
-        pool_emb, pool_ids, pool_labels = emb, ids, labels
+        pool_emb, pool_ids = emb, ids
     else:
         pos = {cid: i for i, cid in enumerate(cand_ids)}
         ppos = np.array([pos[cid] for cid in pool_ids_l])
-        pool_emb, pool_ids, pool_labels = emb[ppos], np.array(pool_ids_l), labels[ppos]
+        pool_emb, pool_ids = emb[ppos], np.array(pool_ids_l)
 
-    votes = votes_oracle(pool_emb, pool_labels, pool_ids, noise_rates, cfg.vote)
+    # score-availability mask, exactly like calibrate_rater: pool
+    # members the rater never scored are excluded from HOC/votes (the
+    # engine's np.isin mask) but REMAIN in the lt reference pool below
+    vmask = np.array([cid in raw_scores for cid in pool_ids], dtype=bool)
+    v_emb, v_ids = pool_emb[vmask], pool_ids[vmask]
+    v_labels = np.array([raw_scores[cid] for cid in v_ids], dtype=np.int64)
+
+    votes = votes_oracle(v_emb, v_labels, v_ids, noise_rates, cfg.vote)
     agg = aggregate_votes_oracle(votes, raw_scores)
 
     final_score = {}
     for cid in cand_ids:
-        raw = raw_scores[cid]
+        raw = raw_scores.get(cid, 0)  # engine: coalesce(raw_score, 0)
         if cid in agg:
             times, fl, noisy_avg, sugg, conf = agg[cid]
             if noisy_avg > 0.5 and conf >= cfg.selection.confidence_min:

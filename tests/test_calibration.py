@@ -195,6 +195,55 @@ def test_full_pipeline_matches_oracle_pool_capped(spark, clips_df, fixture_paths
         df.unpersist()
 
 
+def test_full_pipeline_matches_oracle_missing_scores(
+    spark, clips_df, fixture_paths, tmp_path
+):
+    """Parity when the rater NEVER SCORED some candidates — the
+    operating mode the oracle used to assume away (it crashed on
+    sc.loc[ids] / KeyError). Engine semantics under test: score-less
+    pool members are masked out of HOC/votes (calibrate_rater's
+    np.isin) but stay in the lt reference pool, and a score-less
+    candidate's final_score coalesces to 0 (score_candidates)."""
+    import pyarrow.parquet as pq
+
+    sc = pq.read_table(fixture_paths["scores"]).to_pandas()
+    # drop rater_a's rows for ~1/7 of clips (deterministic cut)
+    drop = (sc.rater == "rater_a") & (
+        sc.clip_id.str[-1].isin(list("07"))
+    )
+    assert drop.sum() > 10, "fixture must actually lose some scores"
+    holey = tmp_path / "scores_holey.parquet"
+    sc[~drop].to_parquet(holey, index=False)
+
+    from dataclasses import replace
+
+    cfg = replace(SMALL, knn_pool_max=300)
+    scores = spark.read.parquet(str(holey))
+    result = curation_pipeline(spark, clips_df, scores, cfg, rater="rater_a")
+    engine = {
+        r["clip_id"]: (r["keep"], r["reason"], r["final_score"])
+        for r in result["decisions"].collect()
+    }
+    noise_rates = 1.0 - np.diag(t_given_noisy(result["hoc"]))
+    oracle = ds2_oracle.curation_oracle(
+        fixture_paths["clips"], str(holey), noise_rates, cfg, "rater_a"
+    )
+    exp = oracle["decisions"]
+    assert set(engine) == set(exp)
+    mismatch = [
+        (cid, engine[cid], exp[cid])
+        for cid in engine
+        if engine[cid][0] != exp[cid][0]
+        or engine[cid][1] != exp[cid][1]
+        or (exp[cid][2] is not None and engine[cid][2] != exp[cid][2])
+    ]
+    assert not mismatch, mismatch[:5]
+    n_keep = sum(1 for v in engine.values() if v[0])
+    assert n_keep == oracle["budget"]
+    for df in result["_persisted"]:
+        df.unpersist()
+
+
 def test_selection_monotone_in_budget(spark, clips_df, fixture_paths):
     from pyspark.sql import functions as F
 

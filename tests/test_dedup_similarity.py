@@ -628,15 +628,52 @@ def test_connected_components_matches_union_find(spark):
     )
     verts = spark.createDataFrame([(v,) for v in vertices], "id long")
 
-    got = {
-        r["id"]: r["comp"]
-        for r in connected_components(pairs, vertices=verts).collect()
-    }
     want = _union_find_components(sorted(edges), vertices)
-    assert got == want
-    # isolated vertices (200..219) are singletons
-    for v in range(200, 220):
-        assert got[v] == v
+    # BOTH production paths against the independent union-find:
+    # small_graph_edges=0 forces the distributed pointer-jumping loop
+    # (the default would take the driver fast path, which is itself a
+    # union-find — comparing that alone would be circular).
+    for sge in (0, 1_000_000):
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(
+                pairs, vertices=verts, small_graph_edges=sge
+            ).collect()
+        }
+        assert got == want, f"small_graph_edges={sge}"
+        # isolated vertices (200..219) are singletons
+        for v in range(200, 220):
+            assert got[v] == v
+
+
+def test_connected_components_null_ids_dropped(spark):
+    """A pair with a NULL id is inert on both paths: the distributed
+    loop's equi-joins never match NULL, and the driver fast path must
+    not crash on it (float64 promotion / None<str ordering)."""
+    from ds2_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(v,) for v in range(1, 6)], "id long")
+    want = {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+    for sge in (0, 1_000_000):
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(
+                pairs, vertices=verts, small_graph_edges=sge
+            ).collect()
+        }
+        assert got == want, f"small_graph_edges={sge}"
+
+    # string ids with a NULL partner: fast path must not raise
+    spairs = spark.createDataFrame(
+        [("a", "b"), (None, "c")], "id_a string, id_b string"
+    )
+    got = {
+        r["id"]: r["comp"] for r in connected_components(spairs).collect()
+    }
+    assert got == {"a": "a", "b": "a"}
 
 
 def test_canonical_docs_keeps_one_per_cluster(spark):

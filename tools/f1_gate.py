@@ -165,7 +165,15 @@ def main() -> int:
         "engine_wall_s": round(engine_wall, 1),
         "oracle_wall_s": round(oracle_wall, 1),
         "target": 0.99,
-        "pass": f1 >= 0.99 and scrub_mismatch == 0,
+        # gate on ALL four per-clip equalities, not just the two the
+        # F1 summarizes: a regression that flips final_score or
+        # reason_code without moving any keep/drop bit must fail here
+        "pass": (
+            f1 >= 0.99
+            and scrub_mismatch == 0
+            and reason_mismatch == 0
+            and score_mismatch == 0
+        ),
         "note": (
             "engine (PySpark, pool-capped votes/curation) vs independent "
             "NumPy full-chain oracle incl. hashlib pool-membership replay; "

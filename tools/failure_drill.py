@@ -19,9 +19,12 @@ real wall time, restarts it cold, and proves the north-rule claim
      once more and runs to completion.
   3. verdict: drill output fingerprint must equal control exactly
      (same rows, bit-identical floats — every kernel is seeded);
-     rework is bounded: total waves processed across all drill
-     attempts <= n_waves + kills * waves_per_commit (a crash can only
-     lose the in-flight commit group, never a committed one).
+     rework is bounded AND MEASURED: waves attempted across all drill
+     attempts (counted from GROUP_START lines each worker logs before
+     every commit group, killed attempts included) must be
+     <= n_waves + kills * waves_per_commit, and each (stage, wave)
+     must have exactly one status=done _lineage row — a resume that
+     recomputed a committed wave would append a duplicate.
 
 Writes BENCH/failure_drill.json and prints it. Run AFTER any other
 Spark work has finished (NOTES #4/#42: never two JVMs here).
@@ -97,6 +100,9 @@ def worker(args) -> int:
             run_id=args.run_id,
             n_waves=args.waves,
             waves_per_commit=args.waves_per_commit,
+            on_group_start=lambda st, grp: print(
+                f"GROUP_START {json.dumps(grp)}", flush=True
+            ),
         )
         out_dir = os.path.join(args.root, "decisions_out")
         res["decisions"].write.mode("overwrite").parquet(out_dir)
@@ -125,6 +131,9 @@ def worker(args) -> int:
         key_col="clip_id",
         n_waves=args.waves,
         waves_per_commit=args.waves_per_commit,
+        on_group_start=lambda grp: print(
+            f"GROUP_START {json.dumps(grp)}", flush=True
+        ),
     )
     n = out.count()
     print(f"DONE rows={n} wall={time.time() - t0:.1f}", flush=True)
@@ -197,7 +206,16 @@ def _fingerprint(out_dir: str) -> tuple[int, str]:
     return len(rows), h.hexdigest()
 
 
-def _spawn(fixture: str, root: str, run_id: str, a) -> subprocess.Popen:
+def _spawn(
+    fixture: str, root: str, run_id: str, a, tag: str
+) -> tuple[subprocess.Popen, str]:
+    """Spawn a worker with stdout+stderr going to a LOG FILE, never a
+    PIPE: the controller's kill loop only polls _lineage and sleeps, so
+    a PIPE would fill (~64KB of JVM startup INFO + py4j chatter) and
+    block the worker's writes — the drill would stall on pipe
+    backpressure, not on anything under test. The file also preserves
+    the PENDING=/GROUP_START lines of KILLED attempts, which the
+    rework-bound measurement needs."""
     cmd = [
         sys.executable, os.path.abspath(__file__), "--worker",
         "--fixture", fixture, "--root", root, "--run-id", run_id,
@@ -205,14 +223,18 @@ def _spawn(fixture: str, root: str, run_id: str, a) -> subprocess.Popen:
         "--cpus", str(a.cpus),
         "--mode", a.mode,
     ]
-    return subprocess.Popen(
+    log_path = f"{root}_{tag}.log"
+    log_f = open(log_path, "w")
+    proc = subprocess.Popen(
         cmd,
-        stdout=subprocess.PIPE,
+        stdout=log_f,
         stderr=subprocess.STDOUT,
         text=True,
         start_new_session=True,  # own pgid: killpg reaps python+JVM+daemons
         cwd=REPO,
     )
+    log_f.close()  # child holds its own fd; controller reads the path
+    return proc, log_path
 
 
 def _killpg(proc: subprocess.Popen) -> None:
@@ -235,9 +257,62 @@ def _killpg(proc: subprocess.Popen) -> None:
             pass
 
 
-def _drain(proc: subprocess.Popen) -> tuple[int, str]:
-    out, _ = proc.communicate()
-    return proc.returncode, out or ""
+def _drain(spawned: tuple[subprocess.Popen, str]) -> tuple[int, str]:
+    proc, log_path = spawned
+    proc.wait()
+    with open(log_path) as f:
+        return proc.returncode, f.read()
+
+
+def _read_log(log_path: str) -> str:
+    try:
+        with open(log_path) as f:
+            return f.read()
+    except OSError:
+        return ""
+
+
+def _waves_started(logs: list[str]) -> int:
+    """Waves ATTEMPTED across all drill attempts: sum of commit-group
+    sizes whose GROUP_START line made it to the log — committed or
+    lost to the SIGKILL alike. This is what the rework bound actually
+    bounds; counting committed lineage rows instead can never exceed
+    the bound (lost groups log no lineage) and would be vacuous."""
+    n = 0
+    for text in logs:
+        for ln in text.splitlines():
+            if ln.startswith("GROUP_START "):
+                n += len(json.loads(ln.split(" ", 1)[1]))
+    return n
+
+
+def _done_exactly_once(root: str, expect: dict[str, int]) -> tuple[bool, dict]:
+    """Each (stage, wave) must have EXACTLY one status=done _lineage
+    row. Resume that recomputed a committed wave would append a second
+    done row for it (run_stage appends per commit, never rewrites), so
+    duplicates here are the direct signature of committed-work rework."""
+    d = os.path.join(root, "_lineage")
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    c: Counter = Counter()
+    for f in os.listdir(d):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(
+            os.path.join(d, f), columns=["stage", "partition_id", "status"]
+        )
+        for st, pid, status in zip(
+            t.column("stage").to_pylist(),
+            t.column("partition_id").to_pylist(),
+            t.column("status").to_pylist(),
+        ):
+            if status == "done":
+                c[(st, int(pid))] += 1
+    dupes = {f"{s}:{w}": n for (s, w), n in c.items() if n != 1}
+    counts = {s: sum(1 for (st, _w) in c if st == s) for s in expect}
+    ok = not dupes and all(counts.get(s, 0) == n for s, n in expect.items())
+    return ok, {"per_stage_done_waves": counts, "duplicate_done_rows": dupes}
 
 
 def controller(a) -> int:
@@ -267,7 +342,7 @@ def controller(a) -> int:
 
     # ---- control: uninterrupted
     t0 = time.time()
-    rc, out = _drain(_spawn(fixture, root_a, "control", a))
+    rc, out = _drain(_spawn(fixture, root_a, "control", a, "control"))
     control_wall = time.time() - t0
     assert rc == 0, f"control run failed:\n{out[-2000:]}"
     n_ctl, fp_ctl = _fingerprint(os.path.join(root_a, out_sub))
@@ -275,10 +350,11 @@ def controller(a) -> int:
 
     # ---- drill: kill at each threshold, then run to completion
     attempts: list[dict] = []
+    drill_logs: list[str] = []
     thresholds = list(a.kill_after)
     for i, thr in enumerate(thresholds):
         t0 = time.time()
-        proc = _spawn(fixture, root_b, "drill", a)
+        proc, log_path = _spawn(fixture, root_b, "drill", a, f"attempt{i}")
         deadline = time.time() + a.attempt_timeout
         killed_at = None
         while time.time() < deadline:
@@ -294,6 +370,7 @@ def controller(a) -> int:
             _killpg(proc)
             raise RuntimeError(f"attempt {i}: timeout before {thr} waves done")
         rc = proc.returncode
+        drill_logs.append(_read_log(log_path))
         attempts.append(
             {
                 "attempt": i,
@@ -308,8 +385,9 @@ def controller(a) -> int:
             break  # stage finished before we could kill it
 
     t0 = time.time()
-    rc, out = _drain(_spawn(fixture, root_b, "drill", a))
+    rc, out = _drain(_spawn(fixture, root_b, "drill", a, "resume"))
     resume_wall = time.time() - t0
+    drill_logs.append(out)
     assert rc == 0, f"resume run failed:\n{out[-2000:]}"
     pending_line = next(
         (ln for ln in out.splitlines() if ln.startswith("PENDING=")), "PENDING=?"
@@ -327,6 +405,16 @@ def controller(a) -> int:
     n_drl, fp_drl = _fingerprint(os.path.join(root_b, out_sub))
     lineage_rows = _lineage_rows(root_b)
     rework_bound = total_waves + len(thresholds) * a.waves_per_commit
+    # measured, not assumed: GROUP_START lines from every attempt's log
+    # (incl. killed ones) count waves ATTEMPTED; lineage duplicates
+    # would be the signature of a resume recomputing committed work
+    waves_started = _waves_started(drill_logs)
+    expect = (
+        {STAGE: a.waves}
+        if a.mode == "stage"
+        else {"rules": a.waves, "embed": a.waves}
+    )
+    once_ok, once_detail = _done_exactly_once(root_b, expect)
 
     result = {
         "clips": a.clips,
@@ -342,7 +430,10 @@ def controller(a) -> int:
         "fingerprint": fp_ctl,
         "lineage_done_rows": lineage_rows,
         "rework_bound_waves": rework_bound,
-        "rework_bound_holds": lineage_rows <= rework_bound,
+        "waves_started_total": waves_started,
+        "rework_bound_holds": waves_started <= rework_bound,
+        "waves_done_exactly_once": once_ok,
+        "lineage_done_detail": once_detail,
         "note": (
             "SIGKILL to the whole driver process group (python+JVM+daemons) "
             "at each threshold; resume skips committed waves via _lineage; "
@@ -355,6 +446,10 @@ def controller(a) -> int:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
     assert result["fingerprint_match"], "drill output != control output"
+    assert result["rework_bound_holds"], (
+        f"waves attempted {waves_started} > bound {rework_bound}"
+    )
+    assert result["waves_done_exactly_once"], f"lineage dupes: {once_detail}"
     assert n_ctl == a.clips, f"control rows {n_ctl} != clips {a.clips}"
     return 0
 
