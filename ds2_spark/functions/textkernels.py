@@ -191,14 +191,26 @@ def _trigram_context_buckets(text: str) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-def perplexities(texts: "list[str] | np.ndarray") -> np.ndarray:
+def perplexities(
+    texts: "list[str] | np.ndarray",
+    model: "tuple[np.ndarray, np.ndarray, float] | None" = None,
+) -> np.ndarray:
     """Byte-level trigram perplexity per text (high = off-corpus).
-    Texts with <3 bytes get the sentinel 1e4."""
-    cnt3, cnt2, d = ppl_model()
+    Texts with <3 bytes get the sentinel 1e4. `model` overrides the
+    built-in fixture LM with a (cnt3, cnt2, discount) triple — e.g.
+    one trained distributively by operators/lm.train_trigram_counts;
+    the scoring math is IDENTICAL either way, so a model trained on
+    the fixture corpus reproduces the default scores bit-for-bit."""
+    cnt3, cnt2, d = model if model is not None else ppl_model()
+    buckets = len(cnt3)  # model-carried bucket count, not the constant
     total3 = cnt3.sum()
+    if total3 <= 0:
+        # an untrained/empty model would score every text 0/0 -> NaN;
+        # refuse loudly (same policy as unregistered audio codecs)
+        raise ValueError("perplexities: model has zero trigram mass")
     n = len(texts)
     out = np.full(n, 1e4, dtype=np.float64)
-    uni_floor = 1.0 / PPL_BUCKETS
+    uni_floor = 1.0 / buckets
     if n == 0:
         return out
     data, starts, lens = _concat_utf8(texts)
@@ -208,8 +220,8 @@ def perplexities(texts: "list[str] | np.ndarray") -> np.ndarray:
     # leading bigram of each valid trigram window = bigram hash at the
     # same start position (bigram windows exist wherever trigrams do)
     h2_all = _byte_ngram_hashes(data, 2) + np.uint64(0x9E3779B9 * 2)
-    b3 = (h3 % np.uint64(PPL_BUCKETS)).astype(np.int64)
-    b2 = (h2_all[pos] % np.uint64(PPL_BUCKETS)).astype(np.int64)
+    b3 = (h3 % np.uint64(buckets)).astype(np.int64)
+    b2 = (h2_all[pos] % np.uint64(buckets)).astype(np.int64)
     c3 = cnt3[b3]
     c2 = np.maximum(cnt2[b2], 1.0)
     pb = np.maximum(c3 / total3, uni_floor)  # crude backoff distribution

@@ -3513,6 +3513,26 @@ def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_summary(a, b, "bucket")
 
 
+def q_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Kneser-Ney LM training (operators/lm.kn_word_trigrams):
+    word-trigram counts over the documents corpus -> interpolated-KN
+    probabilities with true continuation counts (n1+ of contexts a
+    word completes / distinct trigram types), top 50 by (p_kn DESC,
+    trigram ASC), p_kn 6-dp-rounded BEFORE the rank. This is the
+    SQL-checkable twin of the production byte-bucket LM path
+    (operators/lm.train_trigram_counts — pytest pins that one
+    bit-exactly against functions/textkernels.ppl_model): the DuckDB
+    oracle re-derives tokenization, counts, continuation statistics,
+    and the KN formula independently, so the smoothing math itself is
+    cross-engine-verified. Plan: one corpus-sized explode straight
+    into a partial-aggregated groupBy; everything downstream is
+    vocabulary-sized."""
+    from .operators.lm import kn_word_trigrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_word_trigrams(docs, discount=0.75, top_n=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3621,6 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_drift": q_drift,
         "q_pq_incremental": q_pq_incremental,
+        "q_lm_kn": q_lm_kn,
     }
 
 
@@ -7090,6 +7111,42 @@ ORACLE_SQL["q_wer_pairs"] = r"""
            CAST(levenshtein(ea, eb) AS INT) AS dist,
            levenshtein(ea, eb) / CAST(n_ref AS DOUBLE) AS wer
     FROM enc ORDER BY id_a
+"""
+
+
+# Kneser-Ney twin: DuckDB re-derives tokenization (same '\s+' split
+# discipline as q_quality_features/q_wer_pairs), trigram/context/
+# continuation counts, and the interpolated-KN formula independently.
+# The arithmetic mirrors operators/lm.kn_word_trigrams term by term
+# (same parenthesization -> same IEEE rounding), and p_kn is rounded
+# to 6 dp BEFORE the (p_kn DESC, w1, w2, w3) rank; the full trigram
+# key makes the ORDER BY a total order, so LIMIT 50 is cut-stable.
+ORACLE_SQL["q_lm_kn"] = r"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents),
+    tri AS (
+      SELECT toks[i + 1] AS w1, toks[i + 2] AS w2, toks[i + 3] AS w3
+      FROM (SELECT toks, unnest(range(0, len(toks) - 2)) AS i
+            FROM toks WHERE len(toks) >= 3)),
+    c3 AS (
+      SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY w1, w2, w3),
+    ctx AS (
+      SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2, COUNT(*) AS n1p_ctx
+      FROM c3 GROUP BY w1, w2),
+    cont AS (SELECT w3, COUNT(*) AS n1p_w3 FROM c3 GROUP BY w3),
+    types AS (SELECT COUNT(*) AS n_types FROM c3)
+    SELECT c3.w1, c3.w2, c3.w3, c3.c3,
+           round(greatest(c3.c3 - 0.75, 0.0) / ctx.c2
+                 + (0.75 * ctx.n1p_ctx / ctx.c2)
+                   * (cont.n1p_w3 / types.n_types), 6) AS p_kn
+    FROM c3
+    JOIN ctx USING (w1, w2)
+    JOIN cont USING (w3)
+    CROSS JOIN types
+    ORDER BY p_kn DESC, w1, w2, w3
+    LIMIT 50
 """
 
 

@@ -107,12 +107,27 @@ AUDITED = [
     "q_pq_incremental",
     "q_bpe_encode",
     "q_corpus_build",
+    "q_lm_kn",
     "flagship",
 ]
 
 # hand-maintained strategy notes rendered under the matching query's
 # plan — measured facts that the plan dump alone can't show
 STRATEGY_NOTES = {
+    "q_lm_kn": """\
+**LM training shape:** the corpus is scanned ONCE — the trigram
+explode flows straight into a partially-aggregated groupBy (map-side
+combine absorbs hot trigrams), and the resulting vocabulary-sized
+count table is cut with a lazy localCheckpoint because four consumers
+(context totals, continuation counts, type count, the final join)
+would otherwise each re-run the corpus explode (the tfidf re-explode
+trap). The production byte-bucket path (operators/lm.
+train_trigram_counts) has the same shape with a hard output bound:
+each task emits at most `buckets` (2^18) rows regardless of input
+size, so the shuffle is tasks x buckets and the model collect is
+4 MB, never corpus-sized. pytest pins it bit-exactly against the
+driver-built fixture LM; scoring via perplexities(model=...) is then
+bit-identical by construction.""",
     "q_funnel": """\
 **Funnel strategies (measured sf0.1, local[32], min-of-3 warm):**
 two implementations share exact semantics (parity pinned in
