@@ -50,6 +50,25 @@ def ppl_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(tk.perplexities(texts.fillna("").tolist()))
 
 
+def ppl_udf_with_model(model_bc):
+    """ppl_udf scoring with a TRAINED model (operators/lm.train_lm)
+    instead of the built-in fixture LM. `model_bc` is a
+    `sc.broadcast((cnt3, cnt2, discount))` — broadcast, not a plain
+    closure, so the ~4 MB dense arrays ship once per executor rather
+    than inside every serialized task. Trained on the fixture corpus
+    this scores bit-identically to `ppl_udf` (pinned in
+    tests/test_lm.py), so swapping models never changes the stage
+    shape — only the arrays the same kernel reads."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _ppl(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            tk.perplexities(texts.fillna("").tolist(), model=model_bc.value)
+        )
+
+    return _ppl
+
+
 def embed_udf(dim: int = tk.EMBED_DIM_DEFAULT):
     """Hashed n-gram sentence embedding (array<float>, L2-normalized) —
     the deterministic analog of the reference's BGE encoder stage

@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..functions.scrub import scrub_col
-from ..functions.text import langid_udf, ppl_udf, with_quality_features
+from ..functions.text import (
+    langid_udf,
+    ppl_udf,
+    ppl_udf_with_model,
+    with_quality_features,
+)
 
 
 def salted_repartition(df: DataFrame, n: int, salt_buckets: int = 64) -> DataFrame:
@@ -37,19 +42,28 @@ def transcript_features(
     clips: DataFrame,
     cfg: PipelineConfig | None = None,
     keep_cols: tuple[str, ...] = (),
+    ppl_model_bc=None,
 ) -> DataFrame:
     """Stage 2: per-clip transcript signals. Never touches `bytes`.
     `keep_cols` carries extra precomputed columns through the pruned
-    projection (e.g. in-place audio sanity for the streaming plan)."""
+    projection (e.g. in-place audio sanity for the streaming plan).
+    `ppl_model_bc` (a broadcast (cnt3, cnt2, discount) triple from
+    operators/lm.train_lm) swaps the built-in fixture LM for one
+    trained distributively on a trusted corpus slice — the CCNet
+    recipe; the stage shape is identical, only the broadcast arrays
+    the perplexity kernel reads change."""
     cfg = cfg or PipelineConfig()
     pruned = clips.select("clip_id", "transcript", "codec", "dur_ms", *keep_cols)
     lid = langid_udf(F.col("transcript"))
+    ppl = (
+        ppl_udf if ppl_model_bc is None else ppl_udf_with_model(ppl_model_bc)
+    )
     return (
         with_quality_features(pruned)
         .withColumn("_lid", lid)
         .select("*", "_lid.lang", "_lid.lang_margin", "_lid.lang_logp")
         .drop("_lid")
-        .withColumn("ppl", ppl_udf(F.col("transcript")))
+        .withColumn("ppl", ppl(F.col("transcript")))
         .withColumn("transcript_scrubbed", scrub_col("transcript"))
     )
 

@@ -128,6 +128,45 @@ def test_kn_word_trigrams_matches_pure_python(spark):
     assert got[("a", "b", "c")][0] == 4
 
 
+def test_pipeline_stage_with_trained_model_bit_identical(spark):
+    """transcript_features(ppl_model_bc=...) with an LM trained
+    distributively on the SAME corpus ppl_model() was built from must
+    emit bit-identical ppl for every clip — the production 'train on
+    a trusted slice, score the corpus' hookup end to end, broadcast
+    included."""
+    from ds2_spark.functions.corpus import LANGS, training_text
+    from ds2_spark.operators.lm import train_lm
+    from ds2_spark.plans.pipeline import transcript_features
+
+    corpus = spark.createDataFrame(
+        [(s,) for lang in LANGS for s in training_text(lang)], "text string"
+    )
+    model = train_lm(corpus, "text")
+    bc = spark.sparkContext.broadcast(model)
+
+    clips = spark.createDataFrame(
+        [
+            ("c0", "the quick brown fox", "pcm16", 1000),
+            ("c1", "zzz qqq off corpus ยาว", "pcm16", 1000),
+            ("c2", None, "pcm16", 1000),
+            ("c3", "", "pcm16", 1000),
+        ],
+        "clip_id string, transcript string, codec string, dur_ms int",
+    )
+    default = {
+        r["clip_id"]: r["ppl"]
+        for r in transcript_features(clips).select("clip_id", "ppl").collect()
+    }
+    trained = {
+        r["clip_id"]: r["ppl"]
+        for r in transcript_features(clips, ppl_model_bc=bc)
+        .select("clip_id", "ppl")
+        .collect()
+    }
+    assert trained == default  # exact float equality, not approx
+    bc.unpersist()
+
+
 def test_kn_top_n_order_is_deterministic(spark):
     from ds2_spark.operators.lm import kn_word_trigrams
 
