@@ -54,7 +54,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textkernels import (
@@ -154,7 +154,6 @@ def train_lm(
 
 def kn_word_trigrams(
     docs: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     discount: float = 0.75,
     top_n: int = 50,
