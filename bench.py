@@ -106,6 +106,7 @@ HEADLINE = [
     "q_bpe_encode",
     "q_token_budget",
     "q_corpus_build",
+    "q_lm_kn",
     "flagship",
 ]
 
