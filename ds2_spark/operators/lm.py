@@ -91,14 +91,23 @@ def train_trigram_counts(
         for pdf in it:
             texts = pdf[text_col].tolist()
             data, starts, lens = _concat_utf8(texts)
+            # bincount, not np.add.at: all increments are +1, so the
+            # buffered histogram is bit-identical and ~10-30x faster —
+            # this loop dominates the training stage at corpus scale
             c3 = np.zeros(buckets, dtype=np.int64)
             c2 = np.zeros(buckets, dtype=np.int64)
             h3, _tid3, _pos3 = _batch_window_hashes(data, starts, lens, 3)
             if len(h3):
-                np.add.at(c3, (h3 % np.uint64(buckets)).astype(np.int64), 1)
+                c3 += np.bincount(
+                    (h3 % np.uint64(buckets)).astype(np.int64),
+                    minlength=buckets,
+                )
             h2, _tid2, _pos2 = _batch_window_hashes(data, starts, lens, 2)
             if len(h2):
-                np.add.at(c2, (h2 % np.uint64(buckets)).astype(np.int64), 1)
+                c2 += np.bincount(
+                    (h2 % np.uint64(buckets)).astype(np.int64),
+                    minlength=buckets,
+                )
             nz = np.flatnonzero((c3 | c2) != 0)
             yield pd.DataFrame(
                 {"bucket": nz, "c3": c3[nz], "c2": c2[nz]}
@@ -128,6 +137,19 @@ def counts_to_model(
     cnt3 = np.zeros(buckets, dtype=np.float64)
     cnt2 = np.zeros(buckets, dtype=np.float64)
     idx = pdf["bucket"].to_numpy()
+    # the row-count check alone cannot catch a table trained in a
+    # DIFFERENT hash space: counts folded mod 2^10 fit easily in 2^18
+    # arrays but score garbage (wrong space, silent), and a sparse
+    # table from a larger space would IndexError below. Both directions
+    # refuse here — but a SMALLER space whose indices happen to fit is
+    # detectable only by the caller keeping (counts, buckets) paired;
+    # prefer train_lm(), which never separates them.
+    if len(idx) and int(idx.max()) >= buckets:
+        raise ValueError(
+            f"count table has bucket id {int(idx.max())} >= "
+            f"buckets={buckets}; it was trained in a different "
+            f"(larger) hash space"
+        )
     cnt3[idx] = pdf["c3"].to_numpy().astype(np.float64)
     cnt2[idx] = pdf["c2"].to_numpy().astype(np.float64)
     if cnt3.sum() <= 0:
@@ -164,7 +186,11 @@ def kn_word_trigrams(
     (round-before-rank kills cross-engine ulp drift — repo convention).
 
     Tokens are non-empty whitespace splits of the raw text (no case
-    folding — both engines see identical tokens). NULL texts and
+    folding — both engines see identical tokens). The split class is
+    the EXPLICIT ASCII set [ \\t\\n\\x0b\\f\\r], not bare \\s+: Java
+    regex \\s includes \\x0B but RE2's (DuckDB's) does not, and
+    Python's str.split() adds unicode whitespace — the same
+    cross-engine trap scrub.py:17 and bpe.py document. NULL texts and
     texts with <3 tokens contribute nothing.
 
     Plan: ONE corpus-sized explode into a partially-aggregated
@@ -172,7 +198,10 @@ def kn_word_trigrams(
     continuations, continuation counts, the KN arithmetic) reads the
     vocabulary-sized count table, so corpus text is scanned exactly
     once and nothing vocabulary-sized ever shuffles more than once."""
-    toks = F.filter(F.split(F.coalesce(text_col, F.lit("")), r"\s+"), lambda t: t != "")
+    toks = F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), "[ \t\n\x0b\f\r]+"),
+        lambda t: t != "",
+    )
     tri = (
         docs.select(toks.alias("toks"))
         .where(F.size("toks") >= 3)

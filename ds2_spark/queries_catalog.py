@@ -7123,7 +7123,8 @@ ORACLE_SQL["q_wer_pairs"] = r"""
 # key makes the ORDER BY a total order, so LIMIT 50 is cut-stable.
 ORACLE_SQL["q_lm_kn"] = r"""
     WITH toks AS (
-      SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+      SELECT list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '[ \t\n\x0b\f\r]+'),
                          t -> t <> '') AS toks
       FROM documents),
     tri AS (

@@ -76,12 +76,16 @@ def test_counts_to_model_refuses_wrong_buckets(spark):
 
 
 def _kn_oracle(texts, discount):
-    """Pure-Python interpolated KN over word trigrams."""
-    from collections import Counter, defaultdict
+    """Pure-Python interpolated KN over word trigrams. Tokenizes with
+    the explicit ASCII class the engine and DuckDB twin use — NOT
+    str.split(), which adds unicode whitespace (e.g. \\xa0) that
+    neither regex engine splits on."""
+    import re
+    from collections import Counter
 
     c3 = Counter()
     for t in texts:
-        toks = [w for w in (t or "").split() if w]
+        toks = [w for w in re.split(r"[ \t\n\x0b\f\r]+", t or "") if w]
         for i in range(len(toks) - 2):
             c3[(toks[i], toks[i + 1], toks[i + 2])] += 1
     ctx_total = Counter()
@@ -112,6 +116,8 @@ def test_kn_word_trigrams_matches_pure_python(spark):
         "short one",  # <3 tokens: no trigrams
         None,
         "x a b c",
+        "a\x0bb\tc\nd",  # \x0b IS a separator (explicit class)
+        "p\xa0q r s t",  # \xa0 is NOT: 'p\xa0q' stays one token
     ]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -124,8 +130,9 @@ def test_kn_word_trigrams_matches_pure_python(spark):
     assert got == want
     # probability sanity: every interpolated-KN prob is in (0, 1]
     assert all(0.0 < p <= 1.0 for _, p in got.values())
-    # 'a b c' appears in 4 docs -> the highest-count trigram
-    assert got[("a", "b", "c")][0] == 4
+    # 'a b c' appears in 5 docs (incl. the \x0b-separated one) -> the
+    # highest-count trigram
+    assert got[("a", "b", "c")][0] == 5
 
 
 def test_pipeline_stage_with_trained_model_bit_identical(spark):

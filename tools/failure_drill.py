@@ -404,7 +404,14 @@ def controller(a) -> int:
 
     n_drl, fp_drl = _fingerprint(os.path.join(root_b, out_sub))
     lineage_rows = _lineage_rows(root_b)
-    rework_bound = total_waves + len(thresholds) * a.waves_per_commit
+    # bound by kills that HAPPENED, not thresholds configured: an
+    # attempt that finished before its threshold loses nothing, and
+    # counting it would loosen the bound by waves_per_commit — wide
+    # enough to hide one whole commit group of real rework
+    actual_kills = sum(
+        1 for at in attempts if at.get("killed_at_done_waves") is not None
+    )
+    rework_bound = total_waves + actual_kills * a.waves_per_commit
     # measured, not assumed: GROUP_START lines from every attempt's log
     # (incl. killed ones) count waves ATTEMPTED; lineage duplicates
     # would be the signature of a resume recomputing committed work
@@ -421,7 +428,8 @@ def controller(a) -> int:
         "n_waves": a.waves,
         "waves_per_commit": a.waves_per_commit,
         "cpus": a.cpus,
-        "kills": len(thresholds),
+        "kills": actual_kills,
+        "kill_thresholds_configured": len(thresholds),
         "control_wall_s": round(control_wall, 1),
         "control_rows": n_ctl,
         "attempts": attempts,
