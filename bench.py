@@ -107,6 +107,7 @@ HEADLINE = [
     "q_token_budget",
     "q_corpus_build",
     "q_lm_kn",
+    "q_nfc_normalize",
     "flagship",
 ]
 

@@ -50,6 +50,24 @@ def ppl_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(tk.perplexities(texts.fillna("").tolist()))
 
 
+@F.pandas_udf(T.StringType())
+def nfc_udf(texts: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (UAX #15) — the standard first step
+    of any multilingual text ingest: composes 'e'+U+0301 into U+00E9
+    so dedup keys, token counts, scrub regexes, and LM hashes see ONE
+    canonical byte form instead of visually-identical variants.
+    NULL passes through (stage contract: never invent text).
+    Verified cross-implementation: the contract oracle
+    (q_nfc_normalize) compares this (CPython unicodedata, i.e. the
+    UCD reference tables) against DuckDB's utf8proc nfc_normalize —
+    two independent implementations of the same published algorithm."""
+    import unicodedata
+
+    return texts.map(
+        lambda t: t if t is None else unicodedata.normalize("NFC", t)
+    )
+
+
 def ppl_udf_with_model(model_bc):
     """ppl_udf scoring with a TRAINED model (operators/lm.train_lm)
     instead of the built-in fixture LM. `model_bc` is a

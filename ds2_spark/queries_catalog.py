@@ -3533,6 +3533,45 @@ def q_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_word_trigrams(docs, discount=0.75, top_n=50)
 
 
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.nfc_udf) — canonical
+    composition so dedup keys / token counts / scrub regexes see one
+    byte form. The input is synthesized IN-QUERY from doc_id with
+    combining characters (e+U+0301, A+U+030A, o+U+0308) so the oracle
+    can rebuild it exactly: DuckDB then runs its OWN normalizer
+    (utf8proc nfc_normalize) against CPython's unicodedata — two
+    independent implementations of UAX #15 hashed against each other,
+    plus codepoint-count deltas (all BMP, so Spark's UTF-16 length ==
+    DuckDB's codepoint length)."""
+    from .functions.text import nfc_udf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    raw = (
+        # DECOMPOSED escapes (base + combining mark) so NFC genuinely
+        # composes; case 2 is already-NFC U+00F1, case 3 pure ASCII —
+        # both must round-trip unchanged. Escapes, not raw bytes:
+        # an editor/tool normalizing this FILE must not alter the test
+        F.when(m == 0, F.concat(F.lit("cafe\u0301 visit "), sid))
+        .when(m == 1, F.concat(F.lit("A\u030Angstro\u0308m "), sid))
+        .when(m == 2, F.concat(F.lit("ni\u00f1o "), sid))
+        .otherwise(F.concat(F.lit("plain ascii "), sid))
+    )
+    return (
+        docs.withColumn("raw", raw)
+        .withColumn("nfc", nfc_udf(F.col("raw")))
+        .select(
+            "doc_id",
+            "nfc",
+            (F.col("raw") != F.col("nfc")).alias("changed"),
+            F.length("raw").alias("n_cp_raw"),
+            F.length("nfc").alias("n_cp_nfc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3642,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_drift": q_drift,
         "q_pq_incremental": q_pq_incremental,
         "q_lm_kn": q_lm_kn,
+        "q_nfc_normalize": q_nfc_normalize,
     }
 
 
@@ -7148,6 +7188,32 @@ ORACLE_SQL["q_lm_kn"] = r"""
     CROSS JOIN types
     ORDER BY p_kn DESC, w1, w2, w3
     LIMIT 50
+"""
+
+
+# NFC twin: DuckDB rebuilds the same decomposed strings from chr()
+# codepoints and runs its OWN normalizer (utf8proc) against the
+# engine's CPython unicodedata — two independent UAX #15
+# implementations hashed against each other. All codepoints are BMP,
+# so Spark's UTF-16 length == DuckDB's codepoint length.
+ORACLE_SQL["q_nfc_normalize"] = """
+    WITH t AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'cafe' || chr(769) || ' visit ' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm '
+                     || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'ni' || chr(241) || 'o ' || CAST(doc_id AS VARCHAR)
+          ELSE 'plain ascii ' || CAST(doc_id AS VARCHAR)
+        END AS raw
+      FROM documents)
+    SELECT doc_id,
+           nfc_normalize(raw) AS nfc,
+           raw <> nfc_normalize(raw) AS changed,
+           CAST(length(raw) AS INT) AS n_cp_raw,
+           CAST(length(nfc_normalize(raw)) AS INT) AS n_cp_nfc
+    FROM t
+    ORDER BY doc_id
 """
 
 

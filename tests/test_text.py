@@ -304,3 +304,30 @@ def test_bm25_topk_hand_computed(spark):
         ("qa", d): (exp_scores[d], i + 1) for i, d in enumerate(order[:3])
     }
     assert got == exp  # zebra matches nothing; doc 4 never appears
+
+
+def test_nfc_udf_normalizes_and_passes_null(spark):
+    """NFC: decomposed sequences compose, NFC/ASCII input round-trips
+    unchanged, NULL passes through, and the op is idempotent."""
+    from pyspark.sql import functions as F
+
+    from ds2_spark.functions.text import nfc_udf
+
+    rows = [
+        ("cafe\u0301",),  # e + combining acute -> \u00e9
+        ("A\u030Angstro\u0308m",),  # decomposed A-ring and o-umlaut
+        ("ni\u00f1o",),  # already NFC
+        ("plain",),
+        (None,),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "t string").withColumn(
+        "n", nfc_udf(F.col("t"))
+    )
+    got = [r["n"] for r in df.collect()]
+    assert got == ["caf\u00e9", "\u00c5ngstr\u00f6m", "ni\u00f1o", "plain", None, ""]
+    # idempotent: normalizing the normalized column changes nothing
+    again = [
+        r["n2"] for r in df.withColumn("n2", nfc_udf(F.col("n"))).collect()
+    ]
+    assert again == got
