@@ -20,6 +20,21 @@ from pyspark.sql import types as T
 
 from . import textkernels as tk
 
+# Explicit ASCII character classes shared by every engine (NOTES #76):
+# Java's \s is [ \t\n\x0B\f\r] but RE2's (DuckDB) lacks \x0B, and
+# Python's re adds Unicode whitespace; Java's \p{P} is Unicode
+# punctuation-category (excludes $+<=>^`|~) while POSIX [:punct:] is
+# the full ASCII graphic-non-alnum set. Spelling the sets out as hex
+# ranges makes Spark, DuckDB, and any NumPy twin tokenize identically
+# on EVERY input, not just fixture-safe text. Both Java regex and RE2
+# interpret \xhh inside a class.
+WS_CLASS = r"[ \t\n\x0b\f\r]"
+WS_SPLIT = r"[ \t\n\x0b\f\r]+"
+NON_WS_CLASS = r"[^ \t\n\x0b\f\r]"
+# POSIX punct: 0x21-0x2f 0x3a-0x40 0x5b-0x60 0x7b-0x7e (== [:punct:]).
+PUNCT_RANGES = r"\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e"
+WS_OR_PUNCT_SPLIT = r"[ \t\n\x0b\f\r" + PUNCT_RANGES + "]+"
+
 _LANGID_SCHEMA = T.StructType(
     [
         T.StructField("lang", T.StringType()),
@@ -118,13 +133,16 @@ def with_quality_features(df: DataFrame, text_col: str = "transcript") -> DataFr
         df.withColumn("n_chars", F.length(trimmed))
         .withColumn(
             "n_tokens",
-            F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-                F.size(F.split(trimmed, r"\s+"))
-            ),
+            # count NON-EMPTY pieces: Java's split drops trailing empty
+            # strings but DuckDB's regexp_split_to_array keeps them, so a
+            # bare size(split(..)) diverges on text ending in whitespace
+            # that trim() doesn't strip (trim = spaces only). Filtering
+            # empties makes the count engine-independent by construction.
+            F.size(F.filter(F.split(trimmed, WS_SPLIT), lambda x: x != F.lit(""))),
         )
         .withColumn("alpha_ratio", _ratio(r"[^\p{L}]"))
         .withColumn("digit_ratio", _ratio(r"[^0-9]"))
-        .withColumn("space_ratio", _ratio(r"[^\s]"))
+        .withColumn("space_ratio", _ratio(NON_WS_CLASS))
         .withColumn("punct_ratio", _ratio(r"[^\p{P}]"))
     )
 
@@ -132,13 +150,14 @@ def with_quality_features(df: DataFrame, text_col: str = "transcript") -> DataFr
 def token_count_col(text_col: str = "transcript") -> Column:
     """Whitespace+punctuation token count (BPE-ish regex split)."""
     t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"[\s\p{P}]+"))
-    )
+    # non-empty pieces only — see n_tokens comment in with_quality_features
+    # (text ending in punctuation would otherwise count a phantom token in
+    # DuckDB but not in Java).
+    return F.size(F.filter(F.split(t, WS_OR_PUNCT_SPLIT), lambda x: x != F.lit("")))
 
 
 def fingerprint_col(text_col: str = "transcript") -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (exact-dup key; identical function exists in DuckDB for the oracle)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_SPLIT, " "))
     return F.md5(norm)

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import re
+
 import numpy as np
 
 from .corpus import LANGS, training_text
@@ -270,14 +272,19 @@ def quality_stats(texts: "list[str] | np.ndarray") -> dict[str, np.ndarray]:
     n_tokens = np.zeros(n, dtype=np.int64)
     alpha_ratio = np.zeros(n, dtype=np.float64)
     digit_ratio = np.zeros(n, dtype=np.float64)
+    # Explicit ASCII tokenization — Python's str.split()/isdigit() are
+    # Unicode-aware (\xa0, Eastern-Arabic digits) while the Spark/DuckDB
+    # sides use explicit [ \t\n\x0b\f\r] and [0-9] classes; the twin must
+    # tokenize identically on EVERY input, not just fixture-safe text.
+    non_ws = re.compile(r"[^ \t\n\x0b\f\r]+")
     for i, t in enumerate(texts):
         if not t:
             continue
         n_chars[i] = len(t)
-        n_tokens[i] = len(t.split())
+        n_tokens[i] = len(non_ws.findall(t))
         total = max(len(t), 1)
         alpha_ratio[i] = sum(c.isalpha() for c in t) / total
-        digit_ratio[i] = sum(c.isdigit() for c in t) / total
+        digit_ratio[i] = sum("0" <= c <= "9" for c in t) / total
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,

@@ -56,6 +56,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.text import WS_SPLIT
 from pyspark.sql import types as T
 
 SEP = "\x1f"    # unit separator: END marker after each symbol
@@ -71,7 +73,7 @@ def word_frequencies(
         docs.select(
             F.explode(
                 F.filter(
-                    F.split(F.col(text_col), r"\s+"),
+                    F.split(F.col(text_col), WS_SPLIT),
                     lambda x: x != F.lit(""),
                 )
             ).alias("word")

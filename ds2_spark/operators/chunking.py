@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import WS_SPLIT
+
 
 def chunk_documents(
     docs: DataFrame,
@@ -51,7 +53,7 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.col(text_col), WS_SPLIT), lambda x: x != F.lit("")
     )
     n = F.size("_toks")
     n_chunks = F.floor(

@@ -30,10 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import WS_SPLIT
+
 
 def _words(text: Column) -> Column:
     return F.filter(
-        F.split(F.lower(text), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.lower(text), WS_SPLIT), lambda x: x != F.lit("")
     )
 
 

@@ -29,7 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-NORM = r"\s+"
+from ..functions.text import WS_SPLIT
+
+NORM = WS_SPLIT  # explicit ASCII WS class — identical in Java/RE2/Python
 
 
 def normalized_text(col: str = "text") -> F.Column:

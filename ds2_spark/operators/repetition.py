@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import WS_SPLIT
+
 GOPHER_MAX_DUP_LINE_FRAC = 0.30
 GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
 GOPHER_MAX_TOP_2GRAM_CHAR_FRAC = 0.20
@@ -95,7 +97,7 @@ def repetition_features(
     # --- 2-gram family. sequence(1, n) with n < 1 would DESCEND in
     # Spark (sequence picks step -1), so short docs get an explicit
     # empty array instead of a guarded sequence.
-    words = _nonempty_pieces(F.col(text_col), r"\s+", do_trim=False)
+    words = _nonempty_pieces(F.col(text_col), WS_SPLIT, do_trim=False)
     grams_arr = F.when(
         F.size(F.col("_words")) >= 2,
         F.expr(

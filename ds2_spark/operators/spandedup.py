@@ -45,12 +45,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import WS_SPLIT
+
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         F.filter(
-            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+            F.split(F.col(text_col), WS_SPLIT), lambda x: x != F.lit("")
         ).alias("_w"),
     )
 

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import WS_SPLIT
+
 
 def tfidf_top_terms(
     docs: DataFrame,
@@ -46,7 +48,7 @@ def tfidf_top_terms(
         F.col(id_col),
         F.explode(
             F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
+                F.split(F.lower(F.col(text_col)), WS_SPLIT),
                 lambda x: x != F.lit(""),
             )
         ).alias("term"),
@@ -111,7 +113,7 @@ def bm25_topk(
     tfidf_top_terms).
     """
     words = lambda c: F.filter(  # noqa: E731
-        F.split(F.lower(c), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.lower(c), WS_SPLIT), lambda x: x != F.lit("")
     )
     doc_terms = docs.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("term")

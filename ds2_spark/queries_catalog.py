@@ -358,7 +358,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via md5 fingerprint of normalized text (O5 analog /
     training-data dedup), per language."""
     docs = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+", " ")))
     return (
         docs.select("lang", fp.alias("fp"))
         .groupBy("lang")
@@ -376,7 +376,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is exact. Docs sharing a signature column are near-dup
     candidates (LSH band = one salted minhash here)."""
     docs = _t(spark, sf_dir, "documents")
-    text = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    text = F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+", " "))
     d = docs.select("doc_id", text.alias("t")).filter(F.length("t") >= 5)
     d = d.withColumn(
         "shingles",
@@ -564,7 +564,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate() — detects reordered-but-same-bag-of-words docs that the
     md5 bag fingerprint misses."""
     docs = _t(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+", " "))
     toks = F.split(norm, " ")
     rolled = F.aggregate(
         toks,
@@ -3342,7 +3342,7 @@ def q_wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level word error rate between candidate transcript pairs
     (operators/evalmetrics.wer_pairs) — the ASR-version-comparison /
     near-dup-adjudication metric. Tokens come from the established
-    lower+\\s+ split on a 160-char transcript prefix; candidates are
+    lower + explicit-WS-class split on a 160-char transcript prefix; candidates are
     adjacent-id pairs (a stand-in for any blocked/capped generator —
     the operator never forms pairs itself); pairs whose UNION vocab
     exceeds 126 distinct tokens are excluded on BOTH sides (disclosed
@@ -3359,7 +3359,7 @@ def q_wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.filter(
-            F.split(F.lower(F.substring("text", 1, 160)), r"\s+"),
+            F.split(F.lower(F.substring("text", 1, 160)), r"[ \t\n\x0b\f\r]+"),
             lambda x: x != F.lit(""),
         ).alias("w"),
     )
@@ -3572,6 +3572,38 @@ def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped EXACT percentiles via the value-histogram decomposition
+    (operators/percentile.py) — the 10^12-row scale path: state is one
+    row per distinct (group, value) pair spread across ALL reducers,
+    never a per-group value buffer on one task. l_quantity's domain is
+    integers 1..50, so the histogram is ≤ 50 rows per (returnflag,
+    linestatus) group at ANY scale factor. Percentiles 0.25/0.5/0.75
+    are exactly representable doubles; the lerp is the same
+    x_fl + frac*(x_cl - x_fl) as np.percentile / quantile_cont."""
+    from .operators.percentile import grouped_percentile_hist
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("double").alias("qty")
+    )
+    out = grouped_percentile_hist(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "qty",
+        [0.25, 0.5, 0.75, 0.9],
+        check_cardinality=False,  # domain known ≤ 50 values/group
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round("p25", 4).alias("p25"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p75", 4).alias("p75"),
+        F.round("p90", 4).alias("p90"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship": flagship,
@@ -3682,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_incremental": q_pq_incremental,
         "q_lm_kn": q_lm_kn,
         "q_nfc_normalize": q_nfc_normalize,
+        "q_percentile_hist": q_percentile_hist,
     }
 
 
@@ -3743,13 +3776,13 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id,
                length(tr) AS n_chars,
-               CASE WHEN length(tr)=0 THEN 0
-                    ELSE len(regexp_split_to_array(tr, '\s+')) END AS n_tokens,
-               CASE WHEN length(tr)=0 THEN 0
-                    ELSE len(regexp_split_to_array(tr, '[\s[:punct:]]+')) END AS n_tokens_bpe,
+               len(list_filter(regexp_split_to_array(tr, '[ \t\n\x0b\f\r]+'),
+                               x -> x <> '')) AS n_tokens,
+               len(list_filter(regexp_split_to_array(tr, '[ \t\n\x0b\f\r\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]+'),
+                               x -> x <> '')) AS n_tokens_bpe,
                round(length(regexp_replace(tx, '[^0-9]', '', 'g'))
                      / greatest(length(tx), 1), 6) AS digit_ratio,
-               round(length(regexp_replace(tx, '[^\s]', '', 'g'))
+               round(length(regexp_replace(tx, '[^ \t\n\x0b\f\r]', '', 'g'))
                      / greatest(length(tx), 1), 6) AS space_ratio
         FROM t
     """,
@@ -3819,12 +3852,12 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_dedup_exact": r"""
         SELECT lang, count(*) AS n_docs,
-               count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_distinct
+               count(DISTINCT md5(lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS n_distinct
         FROM documents GROUP BY lang ORDER BY lang
     """,
     "q_minhash_signatures": r"""
         WITH t AS (
-          SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+          SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
           FROM documents
         )
         SELECT doc_id,
@@ -3897,7 +3930,7 @@ def _simhash_oracle_sql() -> str:
     return rf"""
         WITH toks AS (
           SELECT doc_id, unnest(string_split(
-                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+                   lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) AS tok
           FROM documents
         ), h AS (
           SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS h
@@ -3928,7 +3961,7 @@ def _minhash_jaccard_oracle_sql(n_hashes: int = 8, bands: int = 4, k: int = 5) -
     )
     return rf"""
         WITH t AS (
-          SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+          SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
           FROM documents
         ), sh AS (
           SELECT doc_id, list_distinct(list_transform(
@@ -5508,7 +5541,7 @@ ORACLE_SQL["q_fuzzy_pairs"] = """
 ORACLE_SQL["q_containment_pairs"] = r"""
     WITH w AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\s+'),
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS w
       FROM documents
     ),
@@ -5570,7 +5603,7 @@ ORACLE_SQL["q_bm25_topk"] = r"""
     ),
     w AS (
       SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
                                 x -> x <> '')) AS term
       FROM documents
     ),
@@ -5585,7 +5618,7 @@ ORACLE_SQL["q_bm25_topk"] = r"""
     ),
     qt AS (
       SELECT DISTINCT query_id,
-             unnest(list_filter(regexp_split_to_array(lower(query_text), '\s+'),
+             unnest(list_filter(regexp_split_to_array(lower(query_text), '[ \t\n\x0b\f\r]+'),
                                 x -> x <> '')) AS term
       FROM qs
     ),
@@ -5618,7 +5651,7 @@ ORACLE_SQL["q_bm25_topk"] = r"""
 ORACLE_SQL["q_chunk_pack"] = r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t
       FROM documents
     ),
     nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
@@ -5725,7 +5758,7 @@ ORACLE_SQL["q_rolling_zscore"] = """
 ORACLE_SQL["q_tfidf_top_terms"] = r"""
     WITH w AS (
       SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
                                 x -> x <> '')) AS term
       FROM documents
     ),
@@ -5751,7 +5784,7 @@ ORACLE_SQL["q_tfidf_top_terms"] = r"""
 ORACLE_SQL["q_decontaminate"] = r"""
     WITH w AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\s+'),
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS w
       FROM documents
     ),
@@ -5775,7 +5808,7 @@ ORACLE_SQL["q_decontaminate"] = r"""
 ORACLE_SQL["q_bloom_decontaminate"] = r"""
     WITH w AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\s+'),
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '') AS w
       FROM documents
     ),
@@ -5837,7 +5870,7 @@ ORACLE_SQL["q_repetition_filter"] = r"""
     ),
     words AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
       FROM derived
     ),
     grams AS (
@@ -5887,7 +5920,7 @@ ORACLE_SQL["q_rolling_fingerprint"] = r"""
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(
-                 string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+                 string_split(lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
                  x -> CAST(concat('0x', substr(md5(x), 1, 12)) AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 2147483648) AS rolling_fp
     FROM documents ORDER BY doc_id
@@ -6123,8 +6156,8 @@ def _flagship_oracle_sql(sf_dir: str | None = None) -> str:
         )
         SELECT t.doc_id,
                length(tr) AS n_chars,
-               CASE WHEN length(tr)=0 THEN 0
-                    ELSE len(regexp_split_to_array(tr, '\s+')) END AS n_tokens,
+               len(list_filter(regexp_split_to_array(tr, '[ \t\n\x0b\f\r]+'),
+                               x -> x <> '')) AS n_tokens,
                m.lang_pred,
                round(CAST(m.margin_raw AS DOUBLE), 4) AS lang_margin,
                round(CAST(m.ppl_raw AS DOUBLE), 4) AS ppl,
@@ -6469,7 +6502,7 @@ def _span_dedup_ctes(src: str = "documents") -> str:
     return f"""
     sd_w AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')
                AS w
       FROM {src}
     ),
@@ -6563,7 +6596,7 @@ def _bpe_train_ctes(n: int, src: str = "documents") -> str:
         f"""
     tw AS MATERIALIZED (
       SELECT word, count(*) AS cnt
-      FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
                                       x -> x <> '')) AS word
             FROM {src})
       GROUP BY 1 ORDER BY cnt DESC, word LIMIT 500
@@ -6629,7 +6662,7 @@ def _bpe_doc_tokens_ctes(n: int, src: str = "documents") -> str:
     ),
     dw AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')
                AS ws
       FROM {src}
     ),
@@ -6765,7 +6798,7 @@ def _corpus_build_oracle_sql(n: int, alpha: float, budget: int) -> str:
       SELECT DISTINCT substring(md5(g), 1, 16) AS key
       FROM (
         SELECT array_to_string(w[i:i+4], ' ') AS g
-        FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        FROM (SELECT list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                  x -> x <> '') AS w FROM cb_bench) bw,
              unnest(generate_series(1, greatest(len(bw.w) - 4, 0))) AS u(i)
       )
@@ -6775,7 +6808,7 @@ def _corpus_build_oracle_sql(n: int, alpha: float, budget: int) -> str:
       FROM (
         SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
         FROM (SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                  x -> x <> '') AS w FROM cb_s2) cw,
              unnest(generate_series(1, greatest(len(cw.w) - 4, 0))) AS u(i)
       )
@@ -6844,7 +6877,7 @@ ORACLE_SQL["q_corpus_build"] = _corpus_build_oracle_sql(
 # delta docs), so this one is standalone (si_-prefixed).
 ORACLE_SQL["q_span_incremental"] = """
     WITH si_bw AS (
-      SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+      SELECT list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')
                AS w
       FROM documents WHERE doc_id % 5 <> 0
     ),
@@ -6856,7 +6889,7 @@ ORACLE_SQL["q_span_incremental"] = """
     ),
     si_dw AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')
                AS w
       FROM documents WHERE doc_id % 5 = 0
     ),
@@ -7127,7 +7160,7 @@ ORACLE_SQL["q_wer_pairs"] = r"""
     WITH tok AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(
-               lower(substr(text, 1, 160)), '\s+'), x -> x <> '') AS w
+               lower(substr(text, 1, 160)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w
       FROM documents),
     p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -7154,7 +7187,7 @@ ORACLE_SQL["q_wer_pairs"] = r"""
 """
 
 
-# Kneser-Ney twin: DuckDB re-derives tokenization (same '\s+' split
+# Kneser-Ney twin: DuckDB re-derives tokenization (same '[ \t\n\x0b\f\r]+' split
 # discipline as q_quality_features/q_wer_pairs), trigram/context/
 # continuation counts, and the interpolated-KN formula independently.
 # The arithmetic mirrors operators/lm.kn_word_trigrams term by term
@@ -7214,6 +7247,23 @@ ORACLE_SQL["q_nfc_normalize"] = """
            CAST(length(nfc_normalize(raw)) AS INT) AS n_cp_nfc
     FROM t
     ORDER BY doc_id
+"""
+
+
+# Grouped exact percentiles: DuckDB quantile_cont implements the same
+# linearly-interpolated quantile as np.percentile / Spark percentile();
+# the engine side is the HISTOGRAM decomposition (operators/percentile.py)
+# so this oracle also proves hist-path == sorted-buffer semantics.
+ORACLE_SQL["q_percentile_hist"] = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS p25,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS p50,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS p75,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 4) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
 """
 
 

@@ -331,3 +331,79 @@ def test_nfc_udf_normalizes_and_passes_null(spark):
         r["n2"] for r in df.withColumn("n2", nfc_udf(F.col("n"))).collect()
     ]
     assert again == got
+
+
+def test_tokenization_parity_on_hostile_text(spark):
+    """Spark vs DuckDB n_tokens / n_tokens_bpe / space_ratio parity on
+    inputs that historically diverged across regex engines (NOTES #76):
+    \\x0b (in Java's \\s, not RE2's), \\xa0 (Unicode WS — in neither
+    explicit class), trailing punctuation / whitespace (Java split drops
+    trailing empties, DuckDB keeps them), Unicode punctuation (\\p{P}
+    matches, POSIX [:punct:] doesn't), and Eastern-Arabic digits
+    (Python isdigit() true, [0-9] false)."""
+    import duckdb
+
+    texts = [
+        ("t01", "Hello world."),            # trailing ASCII punct
+        ("t02", "foo\x0bbar"),              # vertical tab
+        ("t03", "foo\xa0bar"),              # NBSP: a non-token-break in all engines
+        ("t04", "\tleading tab"),
+        ("t05", "trailing tab\t"),
+        ("t06", "«quoted» — dash…"),        # Unicode punct only
+        ("t07", "٣٤ eastern digits"),
+        ("t08", "  spaces  only-trim  "),
+        ("t09", ""),
+        ("t10", None),
+        ("t11", "end with space "),
+        ("t12", "a.b,c;d!e?f"),
+        ("t13", ".lead punct"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "transcript"])
+    got = {
+        r["doc_id"]: r
+        for r in with_quality_features(df)
+        .withColumn("n_tokens_bpe", token_count_col("transcript"))
+        .select("doc_id", "n_tokens", "n_tokens_bpe",
+                F.round("space_ratio", 6).alias("space_ratio"),
+                F.round("digit_ratio", 6).alias("digit_ratio"))
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs(doc_id VARCHAR, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?)", texts)
+    exp = con.execute(
+        r"""
+        WITH t AS (
+          SELECT doc_id, coalesce(text, '') AS tx,
+                 trim(coalesce(text, '')) AS tr
+          FROM docs)
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(tr, '[ \t\n\x0b\f\r]+'),
+                               x -> x <> '')) AS n_tokens,
+               len(list_filter(regexp_split_to_array(
+                     tr, '[ \t\n\x0b\f\r\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]+'),
+                               x -> x <> '')) AS n_tokens_bpe,
+               round(length(regexp_replace(tx, '[^ \t\n\x0b\f\r]', '', 'g'))
+                     / greatest(length(tx), 1), 6) AS space_ratio,
+               round(length(regexp_replace(tx, '[^0-9]', '', 'g'))
+                     / greatest(length(tx), 1), 6) AS digit_ratio
+        FROM t
+        """
+    ).fetchall()
+    assert len(exp) == len(texts)
+    for doc_id, n_tok, n_bpe, sr, dr in exp:
+        g = got[doc_id]
+        assert g["n_tokens"] == n_tok, (doc_id, g["n_tokens"], n_tok)
+        assert g["n_tokens_bpe"] == n_bpe, (doc_id, g["n_tokens_bpe"], n_bpe)
+        assert abs(g["space_ratio"] - sr) < 1e-9, (doc_id, g["space_ratio"], sr)
+        assert abs(g["digit_ratio"] - dr) < 1e-9, (doc_id, g["digit_ratio"], dr)
+
+    # NumPy twin agrees on token counts for the same hostile set
+    stats = tk.quality_stats([t or "" for _, t in texts])
+    by_exp = {d: n for d, n, *_ in exp}
+    for (doc_id, t), n in zip(texts, stats["n_tokens"]):
+        if t and t.strip() == t:  # twin counts runs in UNtrimmed text;
+            assert n == by_exp[doc_id], (doc_id, n)
