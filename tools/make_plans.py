@@ -108,12 +108,24 @@ AUDITED = [
     "q_bpe_encode",
     "q_corpus_build",
     "q_lm_kn",
+    "q_percentile_hist",
     "flagship",
 ]
 
 # hand-maintained strategy notes rendered under the matching query's
 # plan — measured facts that the plan dump alone can't show
 STRATEGY_NOTES = {
+    "q_percentile_hist": """\
+**Histogram-percentile decomposition (operators/percentile.py):** the
+first aggregate is groupBy(group, value).count() — partial_count on the
+map side means each task emits at most |value domain| rows (<=50 here)
+regardless of input rows scanned, so the one wide shuffle carries
+HISTOGRAM rows, not data rows. The window + conditional-max rank-owner
+pick + lerp all run over that tiny histogram. Contrast: exact
+percentile() ships every value into one aggregation buffer per group on
+one reducer — correct, but a hot group is a straggler and the buffer is
+single-executor-bounded; here reducer state is spread by (group, value)
+hash and bounded by the domain size.""",
     "q_lm_kn": """\
 **LM training shape:** the corpus is scanned ONCE — the trigram
 explode flows straight into a partially-aggregated groupBy (map-side
