@@ -280,7 +280,7 @@ def quality_stats(texts: "list[str] | np.ndarray") -> dict[str, np.ndarray]:
     for i, t in enumerate(texts):
         if not t:
             continue
-        n_chars[i] = len(t)
+        n_chars[i] = len(t.strip(" "))  # Spark/DuckDB trim() strips spaces only
         n_tokens[i] = len(non_ws.findall(t))
         total = max(len(t), 1)
         alpha_ratio[i] = sum(c.isalpha() for c in t) / total

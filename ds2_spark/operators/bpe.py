@@ -57,8 +57,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import WS_SPLIT
 from pyspark.sql import types as T
+
+from ..functions.text import WS_SPLIT
 
 SEP = "\x1f"    # unit separator: END marker after each symbol
 START = "\x1e"  # record separator: START marker before each symbol

@@ -47,6 +47,8 @@ from pyspark.sql import functions as F
 # one task comfortably (1e6 rows * ~32B ≈ 32 MB).
 MAX_HIST_ROWS = 1_000_000
 
+_RESERVED = ("_v", "_c", "_lo", "_hi", "_n", "n")
+
 
 def grouped_percentile_hist(
     df: DataFrame,
@@ -59,58 +61,31 @@ def grouped_percentile_hist(
 ) -> DataFrame:
     """Exact interpolated percentiles per group without per-group buffers.
 
-    Returns one row per group with columns ``p<percent>`` (e.g. p=0.9 ->
-    ``p90``, 0.25 -> ``p25``; the label is round(p*100) with a trailing
-    ``_<4dp>`` disambiguator when p*100 is not integral) plus ``n`` (the
-    group row count). NULL values are excluded, matching ``percentile()``.
+    Returns one row per group — including groups whose values are all
+    NULL (their percentiles are NULL), matching ``groupBy().agg(
+    percentile(...))`` — with columns ``p<percent>`` (p=0.9 -> ``p90``,
+    0.25 -> ``p25``; the label is round(p*100) with an ``_<4dp>``
+    disambiguator when p*100 is not integral) plus ``n`` (the group's
+    NON-NULL value count — the population the percentile ranks over).
 
-    ``check_cardinality`` runs a cheap pre-count of distinct
-    (group, value) pairs and raises when it exceeds ``max_hist_rows`` —
-    the explicit refusal beats a silent giant window. Pass False when
-    the caller already knows the domain is quantized (saves one job).
+    ``check_cardinality`` pre-counts distinct (group, value) pairs and
+    raises when it exceeds ``max_hist_rows`` — the explicit refusal
+    beats a silent giant window. The histogram is persisted first so
+    the main query reuses it instead of re-running the input scan +
+    shuffle. Pass False when the caller already knows the domain is
+    quantized (saves the pre-count job and the cache).
     """
     if not ps:
         raise ValueError("ps must be non-empty")
     for p in ps:
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"percentile out of range: {p}")
-    gcols = [F.col(c) for c in group_cols]
-    v = F.col(value_col)
-
-    hist = (
-        df.filter(v.isNotNull())
-        .groupBy(*gcols, v.alias("_v"))
-        .agg(F.count("*").alias("_c"))
-    )
-    if check_cardinality:
-        n_pairs = hist.count()
-        if n_pairs > max_hist_rows:
+    for c in (*group_cols, value_col):
+        if c in _RESERVED:
             raise ValueError(
-                f"histogram would hold {n_pairs} (group, value) pairs "
-                f"> max_hist_rows={max_hist_rows}; quantize {value_col!r} "
-                "(e.g. F.round(v, 4)) or use percentile()/approx_percentile"
+                f"column name {c!r} collides with a reserved internal/"
+                f"output name {_RESERVED}; rename it first"
             )
-
-    w = (
-        Window.partitionBy(*group_cols)
-        .orderBy("_v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = Window.partitionBy(*group_cols)
-    cum = hist.select(
-        *group_cols,
-        "_v",
-        F.sum("_c").over(w).alias("_hi"),  # rank range [_hi - _c, _hi)
-        (F.sum("_c").over(w) - F.col("_c")).alias("_lo"),
-        F.sum("_c").over(wn).alias("_n"),
-    )
-
-    # For each p: h = (n-1)*p; the value owning sorted index i is the
-    # histogram row with _lo <= i < _hi. floor(h) and ceil(h) each match
-    # exactly one row per group, so a conditional max() pulls both out in
-    # one group-by pass over the (tiny) histogram; the interpolation
-    #   x_fl + frac * (x_cl - x_fl)        (np.percentile's lerp order)
-    # is a plain projection afterwards.
     out_cols: list[str] = []
     for p in ps:
         pct = p * 100.0
@@ -119,24 +94,70 @@ def grouped_percentile_hist(
         )
         if label in out_cols:
             raise ValueError(f"duplicate percentile label {label}")
+        if label in group_cols:
+            raise ValueError(f"group column {label!r} collides with an output label")
         out_cols.append(label)
-    aggs2 = [F.max("_n").alias("n")]
+
+    gcols = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+
+    # NULL values participate in the groupBy (so all-NULL groups stay in
+    # the output) but never in ranks: the NULL histogram row gets an
+    # empty rank range below, and _n counts non-NULL rows only.
+    hist = df.groupBy(*gcols, v.alias("_v")).agg(F.count("*").alias("_c"))
+    if check_cardinality:
+        hist = hist.persist()
+        n_pairs = hist.count()
+        if n_pairs > max_hist_rows:
+            hist.unpersist()
+            raise ValueError(
+                f"histogram would hold {n_pairs} (group, value) pairs "
+                f"> max_hist_rows={max_hist_rows}; quantize {value_col!r} "
+                "(e.g. F.round(v, 4)) or use percentile()/approx_percentile"
+            )
+
+    # _v ASC with NULLs first (Spark default) => the conditional cumsum
+    # gives the NULL row _lo == _hi == 0, an empty rank range no index
+    # can match — exactly "excluded from ranking".
+    c_nn = F.when(F.col("_v").isNotNull(), F.col("_c")).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.asc_nulls_first("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "_v",
+        F.sum(c_nn).over(w).alias("_hi"),  # rank range [_hi - _c, _hi)
+        (F.sum(c_nn).over(w) - c_nn).alias("_lo"),
+        F.sum(c_nn).over(wn).alias("_n"),
+    )
+
+    # For each p: h = (n-1)*p; the value owning sorted index i is the
+    # histogram row with _lo <= i < _hi. floor(h) and ceil(h) each match
+    # exactly one row per group (none when _n == 0 -> NULL percentile),
+    # so a conditional max() pulls both out in one group-by pass over
+    # the (tiny) histogram; the interpolation
+    #   x_fl + frac * (x_cl - x_fl)        (np.percentile's lerp order)
+    # is a plain projection afterwards.
+    aggs = [F.max("_n").alias("n")]
     proj = [*group_cols, "n"]
     for p, label in zip(ps, out_cols):
         h = (F.col("_n") - 1).cast("double") * F.lit(float(p))
         fl = F.floor(h).cast("bigint")
         cl = F.ceil(h).cast("bigint")
-        aggs2.append(
+        aggs.append(
             F.max(
                 F.when((F.col("_lo") <= fl) & (fl < F.col("_hi")), F.col("_v"))
             ).alias(f"_fl_{label}")
         )
-        aggs2.append(
+        aggs.append(
             F.max(
                 F.when((F.col("_lo") <= cl) & (cl < F.col("_hi")), F.col("_v"))
             ).alias(f"_cl_{label}")
         )
-    agged = cum.groupBy(*group_cols).agg(*aggs2)
+    agged = cum.groupBy(*group_cols).agg(*aggs)
     for p, label in zip(ps, out_cols):
         h = (F.col("n") - 1).cast("double") * F.lit(float(p))
         frac = h - F.floor(h)

@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 from .functions.scrub import scrub_audit_cols, scrub_col, scrub_sql
 from .functions.sketches import EST_NUMERATOR as _HLL_EST_NUM
-from .functions.text import langid_udf, ppl_udf, token_count_col, with_quality_features
+from .functions.text import (
+    WS_SPLIT,
+    langid_udf,
+    ppl_udf,
+    token_count_col,
+    with_quality_features,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -358,7 +364,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via md5 fingerprint of normalized text (O5 analog /
     training-data dedup), per language."""
     docs = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+", " ")))
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), WS_SPLIT, " ")))
     return (
         docs.select("lang", fp.alias("fp"))
         .groupBy("lang")
@@ -376,7 +382,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is exact. Docs sharing a signature column are near-dup
     candidates (LSH band = one salted minhash here)."""
     docs = _t(spark, sf_dir, "documents")
-    text = F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+", " "))
+    text = F.lower(F.regexp_replace(F.trim(F.col("text")), WS_SPLIT, " "))
     d = docs.select("doc_id", text.alias("t")).filter(F.length("t") >= 5)
     d = d.withColumn(
         "shingles",
@@ -564,7 +570,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate() — detects reordered-but-same-bag-of-words docs that the
     md5 bag fingerprint misses."""
     docs = _t(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), WS_SPLIT, " "))
     toks = F.split(norm, " ")
     rolled = F.aggregate(
         toks,
@@ -3359,7 +3365,7 @@ def q_wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.filter(
-            F.split(F.lower(F.substring("text", 1, 160)), r"[ \t\n\x0b\f\r]+"),
+            F.split(F.lower(F.substring("text", 1, 160)), WS_SPLIT),
             lambda x: x != F.lit(""),
         ).alias("w"),
     )
@@ -7256,7 +7262,7 @@ ORACLE_SQL["q_nfc_normalize"] = """
 # so this oracle also proves hist-path == sorted-buffer semantics.
 ORACLE_SQL["q_percentile_hist"] = """
     SELECT l_returnflag, l_linestatus,
-           count(*) AS n,
+           count(l_quantity) AS n,
            round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS p25,
            round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS p50,
            round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS p75,

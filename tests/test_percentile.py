@@ -69,3 +69,28 @@ def test_hist_percentile_refuses_unbounded_domain(spark):
         grouped_percentile_hist(df, ["grp"], "val", [1.5])
     with pytest.raises(ValueError, match="non-empty"):
         grouped_percentile_hist(df, ["grp"], "val", [])
+
+
+def test_hist_percentile_all_null_group_and_reserved_names(spark):
+    """Groups whose values are all NULL stay in the output with NULL
+    percentiles and n=0 (percentile() group semantics); reserved
+    internal/output column names are refused loudly."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None), ("c", None), ("c", 7.0)],
+        ["grp", "val"],
+    )
+    rows = {
+        r["grp"]: r
+        for r in grouped_percentile_hist(df, ["grp"], "val", [0.5]).collect()
+    }
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["p50"] == 2.0 and rows["a"]["n"] == 2
+    assert rows["b"]["p50"] is None and rows["b"]["n"] == 0
+    assert rows["c"]["p50"] == 7.0 and rows["c"]["n"] == 1  # mixed NULLs excluded
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        grouped_percentile_hist(df.withColumnRenamed("grp", "n"), ["n"], "val", [0.5])
+    with _pytest.raises(ValueError, match="output label"):
+        grouped_percentile_hist(df.withColumnRenamed("grp", "p50"), ["p50"], "val", [0.5])

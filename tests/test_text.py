@@ -401,9 +401,12 @@ def test_tokenization_parity_on_hostile_text(spark):
         assert abs(g["space_ratio"] - sr) < 1e-9, (doc_id, g["space_ratio"], sr)
         assert abs(g["digit_ratio"] - dr) < 1e-9, (doc_id, g["digit_ratio"], dr)
 
-    # NumPy twin agrees on token counts for the same hostile set
+    # NumPy twin agrees on token counts for the same hostile set — on
+    # EVERY row: non-WS-run counts are trim-invariant (trimming only
+    # removes WS chars, which can never merge or split a non-WS run),
+    # so the twin's untrimmed findall == the engines' trimmed
+    # filtered-piece count by construction.
     stats = tk.quality_stats([t or "" for _, t in texts])
     by_exp = {d: n for d, n, *_ in exp}
     for (doc_id, t), n in zip(texts, stats["n_tokens"]):
-        if t and t.strip() == t:  # twin counts runs in UNtrimmed text;
-            assert n == by_exp[doc_id], (doc_id, n)
+        assert n == by_exp[doc_id], (doc_id, n)
