@@ -1355,6 +1355,88 @@ AUDIO_VAD_SCHEMA = (
 )
 
 
+def _vad_spans(
+    trunc: list,
+    nframes: np.ndarray,
+    fs: int,
+    energy_threshold: int,
+    max_gap_frames: int,
+    min_frames: int,
+) -> tuple:
+    """Batch-vectorized VAD span kernel shared by `audio_vad_segments`
+    (stats-only rows) and `audio_segment_extract` (bytes-out rows):
+    per-frame abs-sum energies over whole-frame-truncated payloads,
+    voiced-run islands (never crossing a clip edge), silence-gap
+    bridging, min-length filtering, and per-clip 0-based seg ids.
+
+    Returns per-KEPT-segment arrays
+      (owner_row, seg_id, start_frame, end_frame, n_frames,
+       voiced_frames, energy_sum)
+    with frame indices LOCAL to the owning clip; all arrays empty when
+    nothing survives. Flat NumPy passes only (one frombuffer over the
+    concatenated batch, reduceat over run boundaries, prefix-sum range
+    queries) — no per-row Python in per-sample or per-frame work.
+    """
+    nrows = len(trunc)
+    pcm = np.abs(np.frombuffer(b"".join(trunc), dtype="<i2").astype(np.int64))
+    energy = (
+        pcm.reshape(-1, fs).sum(axis=1)
+        if len(pcm)
+        else np.zeros(0, dtype=np.int64)
+    )
+    total = int(nframes.sum())
+    empty = np.zeros(0, dtype=np.int64)
+    if not total:
+        return (empty,) * 7
+    owner = np.repeat(np.arange(nrows), nframes)
+    voiced = energy >= energy_threshold
+    # voiced-run boundaries, never crossing a clip edge
+    prev_same = np.zeros(total, dtype=bool)
+    prev_same[1:] = owner[1:] == owner[:-1]
+    prev_v = np.zeros(total, dtype=bool)
+    prev_v[1:] = voiced[:-1]
+    starts = np.flatnonzero(voiced & ~(prev_v & prev_same))
+    next_same = np.zeros(total, dtype=bool)
+    next_same[:-1] = prev_same[1:]
+    next_v = np.zeros(total, dtype=bool)
+    next_v[:-1] = voiced[1:]
+    ends = np.flatnonzero(voiced & ~(next_v & next_same))
+    if not len(starts):
+        return (empty,) * 7
+    # bridge: island i merges into i-1 iff same clip and the silence
+    # gap between them is <= max_gap_frames
+    brk = np.ones(len(starts), dtype=np.int64)
+    brk[1:] = ~(
+        (owner[starts[1:]] == owner[ends[:-1]])
+        & (starts[1:] - ends[:-1] - 1 <= max_gap_frames)
+    )
+    bidx = np.flatnonzero(brk)  # first island per merged group
+    gstart = starts[bidx]
+    glast = ends[np.concatenate((bidx[1:] - 1, [len(ends) - 1]))]
+    span = glast - gstart + 1
+    vf = np.add.reduceat(ends - starts + 1, bidx)
+    # span energy: prefix-sum range query over E
+    csum = np.concatenate(([0], np.cumsum(energy, dtype=np.int64)))
+    esum = csum[glast + 1] - csum[gstart]
+    keep = span >= min_frames
+    gown = owner[gstart]
+    # frame index local to the clip
+    fstarts = np.concatenate(([0], np.cumsum(nframes)))[:-1]
+    kown = gown[keep]
+    # 0-based per-clip seg ids over KEPT groups (groups are
+    # time-ordered within a clip by construction)
+    seg_local = _concat_aranges(np.bincount(kown, minlength=nrows))
+    return (
+        kown,
+        seg_local,
+        (gstart - fstarts[gown])[keep],
+        (glast - fstarts[gown])[keep],
+        span[keep],
+        vf[keep],
+        esum[keep],
+    )
+
+
 def audio_vad_segments(
     clips: DataFrame,
     frame_samples: int = 160,
@@ -1415,79 +1497,102 @@ def audio_vad_segments(
             nframes = np.fromiter(
                 (len(b) // (2 * fs) for b in trunc), dtype=np.int64, count=nrows
             )
-            pcm = np.abs(
-                np.frombuffer(b"".join(trunc), dtype="<i2").astype(np.int64)
+            kown, seg, s, z, span, vf, esum = _vad_spans(
+                trunc, nframes, fs, energy_threshold, max_gap_frames,
+                min_frames,
             )
-            energy = (
-                pcm.reshape(-1, fs).sum(axis=1)
-                if len(pcm)
-                else np.zeros(0, dtype=np.int64)
+            cid = pdf["clip_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "clip_id": cid[kown],
+                    "seg_id": seg.astype(np.int32),
+                    "start_frame": s.astype(np.int32),
+                    "end_frame": z.astype(np.int32),
+                    "n_frames": span.astype(np.int32),
+                    "voiced_frames": vf.astype(np.int32),
+                    "energy_sum": esum,
+                }
             )
-            total = int(nframes.sum())
-            cols: dict[str, list] = {
-                "clip_id": [], "seg_id": [], "start_frame": [],
-                "end_frame": [], "n_frames": [], "voiced_frames": [],
-                "energy_sum": [],
-            }
-            if total:
-                owner = np.repeat(np.arange(nrows), nframes)
-                voiced = energy >= energy_threshold
-                # voiced-run boundaries, never crossing a clip edge
-                prev_same = np.zeros(total, dtype=bool)
-                prev_same[1:] = owner[1:] == owner[:-1]
-                prev_v = np.zeros(total, dtype=bool)
-                prev_v[1:] = voiced[:-1]
-                starts = np.flatnonzero(voiced & ~(prev_v & prev_same))
-                next_same = np.zeros(total, dtype=bool)
-                next_same[:-1] = prev_same[1:]
-                next_v = np.zeros(total, dtype=bool)
-                next_v[:-1] = voiced[1:]
-                ends = np.flatnonzero(voiced & ~(next_v & next_same))
-                if len(starts):
-                    # bridge: island i merges into i-1 iff same clip and
-                    # the silence gap between them is <= max_gap_frames
-                    brk = np.ones(len(starts), dtype=np.int64)
-                    brk[1:] = ~(
-                        (owner[starts[1:]] == owner[ends[:-1]])
-                        & (starts[1:] - ends[:-1] - 1 <= max_gap_frames)
-                    )
-                    bidx = np.flatnonzero(brk)  # first island per group
-                    gstart = starts[bidx]
-                    glast = ends[
-                        np.concatenate((bidx[1:] - 1, [len(ends) - 1]))
-                    ]
-                    span = glast - gstart + 1
-                    vf = np.add.reduceat(ends - starts + 1, bidx)
-                    # span energy: prefix-sum range query over E
-                    csum = np.concatenate(
-                        ([0], np.cumsum(energy, dtype=np.int64))
-                    )
-                    esum = csum[glast + 1] - csum[gstart]
-                    keep = span >= min_frames
-                    gown = owner[gstart]
-                    # frame index local to the clip
-                    fstarts = np.concatenate(([0], np.cumsum(nframes)))[:-1]
-                    # 0-based per-clip seg ids over KEPT groups (groups
-                    # are time-ordered within a clip by construction)
-                    kown = gown[keep]
-                    seg_local = _concat_aranges(
-                        np.bincount(kown, minlength=nrows)
-                    )
-                    cid = pdf["clip_id"].to_numpy()
-                    cols["clip_id"] = cid[kown]
-                    cols["seg_id"] = seg_local.astype(np.int32)
-                    cols["start_frame"] = (
-                        (gstart - fstarts[gown])[keep].astype(np.int32)
-                    )
-                    cols["end_frame"] = (
-                        (glast - fstarts[gown])[keep].astype(np.int32)
-                    )
-                    cols["n_frames"] = span[keep].astype(np.int32)
-                    cols["voiced_frames"] = vf[keep].astype(np.int32)
-                    cols["energy_sum"] = esum[keep]
-            yield pd.DataFrame(cols, columns=list(cols))
 
     return pruned.mapInPandas(_op, schema=AUDIO_VAD_SCHEMA)
+
+
+AUDIO_SEGMENT_SCHEMA = AUDIO_VAD_SCHEMA + ", bytes binary"
+
+
+def audio_segment_extract(
+    clips: DataFrame,
+    frame_samples: int = 160,
+    energy_threshold: int = 160 * 50,
+    max_gap_frames: int = 0,
+    min_frames: int = 1,
+) -> DataFrame:
+    """Utterance extraction — `audio_vad_segments` composed with the
+    segment BYTES: one output row per kept speech segment carrying the
+    whole-frame slice [start_frame, end_frame] of the original PCM16
+    payload (bridged interior silence included), ready for
+    per-utterance scoring / chunk packing downstream. This is the
+    long-clip splitter an ASR-style training pipeline runs between
+    ingest and featurization (the reference scores whole items;
+    utterance splitting is the audio analog of its dialog flattening,
+    LLM_scoring/scoring.py get_prompt).
+
+    Segment semantics are identical to `audio_vad_segments` (one
+    shared kernel, `_vad_spans`) — the stats columns are bit-equal by
+    construction; this variant additionally memcpy-slices each segment
+    out of the batch payloads.
+
+    Spark shape: bytes in AND out of ONE mapInPandas (the NOTES.md #44
+    rule — an operator that must OUTPUT transformed bytes pays the
+    Arrow round-trip once; emitting offsets only would need a join
+    back onto the bytes scan that either shuffles payloads or
+    broadcasts a per-clip table). The fan-out is row-wise but emitted
+    slices are DISJOINT sub-ranges of the input payload, so a task's
+    output volume is bounded by its input volume and bytes never
+    shuffle. Contract query q_audio_segments re-decodes every emitted
+    segment through audio_codec_energy and checks the content against
+    a closed-form DuckDB oracle that never sees a byte.
+    """
+    if frame_samples < 1 or min_frames < 1 or max_gap_frames < 0:
+        raise ValueError("frame_samples/min_frames >= 1, max_gap_frames >= 0")
+    pruned = clips.select("clip_id", "bytes")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fs = frame_samples
+        fb = 2 * fs
+        for pdf in batches:
+            nrows = len(pdf)
+            raw = list(pdf["bytes"])
+            trunc = [
+                b"" if b is None else bytes(b[: (len(b) // fb) * fb])
+                for b in raw
+            ]
+            nframes = np.fromiter(
+                (len(b) // fb for b in trunc), dtype=np.int64, count=nrows
+            )
+            kown, seg, s, z, span, vf, esum = _vad_spans(
+                trunc, nframes, fs, energy_threshold, max_gap_frames,
+                min_frames,
+            )
+            cid = pdf["clip_id"].to_numpy()
+            out_bytes = [
+                trunc[o][a * fb : (b + 1) * fb]
+                for o, a, b in zip(kown, s, z)
+            ]
+            yield pd.DataFrame(
+                {
+                    "clip_id": cid[kown],
+                    "seg_id": seg.astype(np.int32),
+                    "start_frame": s.astype(np.int32),
+                    "end_frame": z.astype(np.int32),
+                    "n_frames": span.astype(np.int32),
+                    "voiced_frames": vf.astype(np.int32),
+                    "energy_sum": esum,
+                    "bytes": out_bytes,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_SEGMENT_SCHEMA)
 
 
 AUDIO_TRIM_SCHEMA = (

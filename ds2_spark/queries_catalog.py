@@ -1235,6 +1235,77 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id", "seg_id")
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utterance EXTRACTION (operators/audio.audio_segment_extract):
+    VAD segmentation that also emits each segment's PCM16 bytes —
+    the one-row-to-many-rows-with-bytes splitter that precedes
+    per-utterance scoring. COMPOSED with a re-decode: every emitted
+    segment's bytes flow straight into audio_codec_energy, whose
+    abs_energy must reproduce the segment's energy_sum and whose
+    n_samples must equal n_frames*fs — so the segment boundaries, the
+    byte slicing, AND the sliced content are all pinned against a
+    DuckDB oracle that never sees a byte. Synthesis is q_audio_vad's
+    two-amplitude frame form with different structure constants
+    (voiced iff (e*17 + 3t + t*t) % 13 < 6; amp 110 vs 3 so E_t is
+    880 vs 24 around threshold 500), gap bridging max_gap=2 and
+    min_frames=2 both fire, every 11th payload NULL, tail samples
+    every 3rd clip exercise whole-frame truncation."""
+    from .operators.audio import audio_codec_energy, audio_segment_extract
+
+    fs = 8
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    nf = (e % 31 + 10).cast("int")  # 10..40 whole frames
+
+    def _frame_hex(amp: int) -> str:
+        pos, neg = amp, (65536 - amp) % 65536
+        le = lambda u: f"{u:04x}"[2:] + f"{u:04x}"[:2]
+        return (le(pos) + le(neg)) * (fs // 2)
+
+    frame = lambda t: F.when(
+        (e * 17 + 3 * t + t * t) % 13 < 6, F.lit(_frame_hex(110))
+    ).otherwise(F.lit(_frame_hex(3)))
+    hexstr = F.concat(
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), nf - 1), frame), ""
+        ),
+        F.repeat(F.lit("0300"), (e % 3).cast("int")),
+    )
+    payload = F.when(e % 11 == 0, F.lit(None).cast("binary")).otherwise(
+        F.to_binary(hexstr, F.lit("hex"))
+    )
+    clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
+    segs = audio_segment_extract(
+        clips, frame_samples=fs, energy_threshold=500,
+        max_gap_frames=2, min_frames=2,
+    )
+    recheck = audio_codec_energy(
+        segs.select(
+            F.concat_ws("#", "clip_id", "seg_id").alias("clip_id"),
+            "bytes",
+            F.lit("pcm_s16le").alias("codec"),
+        )
+    ).select(
+        F.col("clip_id").alias("seg_key"),
+        F.col("abs_energy").alias("recheck_energy"),
+        F.col("n_samples").alias("recheck_samples"),
+    )
+    return (
+        segs.drop("bytes")
+        .withColumn("seg_key", F.concat_ws("#", "clip_id", "seg_id"))
+        .join(recheck, "seg_key")
+        .select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            "seg_id", "start_frame", "end_frame", "n_frames",
+            "voiced_frames", "energy_sum", "recheck_energy",
+            "recheck_samples",
+        )
+        .orderBy("clip_id", "seg_id")
+    )
+
+
 def q_g711_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-codec decode: ITU G.711 mu-law / A-law payloads
     (1 byte/sample logarithmic companding) decoded through the
@@ -3652,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_fingerprint": q_audio_fingerprint,
         "q_audio_neardup": q_audio_neardup,
         "q_audio_vad": q_audio_vad,
+        "q_audio_segments": q_audio_segments,
         "q_g711_energy": q_g711_energy,
         "q_adpcm_energy": q_adpcm_energy,
         "q_flac_energy": q_flac_energy,
@@ -4331,6 +4403,56 @@ ORACLE_SQL["q_audio_vad"] = """
            CAST(k.n_frames AS INT) AS n_frames,
            k.voiced_frames,
            CAST(sum(en.energy) AS BIGINT) AS energy_sum
+    FROM kept k JOIN en
+      ON en.e = k.e AND en.t BETWEEN k.start_frame AND k.end_frame
+    GROUP BY 1, 2, 3, 4, 5, 6
+    ORDER BY clip_id, seg_id
+"""
+
+# closed-form twin of q_audio_segments: identical gaps-and-islands
+# replay as q_audio_vad's oracle (new structure constants, gap <= 2,
+# min span 2), plus the content pins — the SQL side derives
+# recheck_energy/recheck_samples from the same frame formulas, while
+# the ENGINE side re-decodes the actually-emitted segment bytes
+# through audio_codec_energy; any slicing/content defect lands
+# between the two derivations.
+ORACLE_SQL["q_audio_segments"] = """
+    WITH t AS (SELECT event_id AS e, event_id % 31 + 10 AS nf
+               FROM events WHERE event_id % 11 <> 0),
+    fr AS (SELECT e, unnest(range(0, nf)) AS t FROM t),
+    en AS (SELECT e, t,
+                  8 * (CASE WHEN (e * 17 + 3 * t + t * t) % 13 < 6
+                            THEN 110 ELSE 3 END) AS energy
+           FROM fr),
+    v AS (SELECT e, t FROM en WHERE energy >= 500),
+    isl AS (SELECT e, t,
+                   t - row_number() OVER (PARTITION BY e ORDER BY t) AS k
+            FROM v),
+    s0 AS (SELECT e, min(t) AS s, max(t) AS z, count(*) AS vf
+           FROM isl GROUP BY e, k),
+    s1 AS (SELECT *,
+                  CASE WHEN s - lag(z) OVER (PARTITION BY e ORDER BY s)
+                            - 1 <= 2
+                       THEN 0 ELSE 1 END AS brk
+           FROM s0),
+    s2 AS (SELECT *, sum(brk) OVER (PARTITION BY e ORDER BY s) AS grp
+           FROM s1),
+    seg AS (SELECT e, min(s) AS start_frame, max(z) AS end_frame,
+                   CAST(sum(vf) AS INT) AS voiced_frames
+            FROM s2 GROUP BY e, grp),
+    kept AS (SELECT *, end_frame - start_frame + 1 AS n_frames,
+                    CAST(row_number() OVER (
+                      PARTITION BY e ORDER BY start_frame) - 1 AS INT)
+                      AS seg_id
+             FROM seg WHERE end_frame - start_frame + 1 >= 2)
+    SELECT CAST(k.e AS BIGINT) AS clip_id, k.seg_id,
+           CAST(k.start_frame AS INT) AS start_frame,
+           CAST(k.end_frame AS INT) AS end_frame,
+           CAST(k.n_frames AS INT) AS n_frames,
+           k.voiced_frames,
+           CAST(sum(en.energy) AS BIGINT) AS energy_sum,
+           CAST(sum(en.energy) AS BIGINT) AS recheck_energy,
+           CAST(min(k.n_frames) * 8 AS BIGINT) AS recheck_samples
     FROM kept k JOIN en
       ON en.e = k.e AND en.t BETWEEN k.start_frame AND k.end_frame
     GROUP BY 1, 2, 3, 4, 5, 6

@@ -1,5 +1,6 @@
 import numpy as np
 import pyarrow.parquet as pq
+import pytest
 
 from ds2_spark.operators.audio import (
     FIXTURE_PCM16_ALIASES,
@@ -574,6 +575,76 @@ def test_audio_vad_matches_naive_twin(spark):
             )
         )
         assert got == want, (thr, gap, mn, got[:3], want[:3])
+
+
+def test_audio_segment_extract_bytes_and_stats(spark):
+    """Bytes-out utterance extraction: stats columns bit-equal to
+    audio_vad_segments (shared kernel), every segment's bytes equal
+    the naive per-clip whole-frame slice, re-decoding the emitted
+    bytes reproduces energy_sum exactly, and emitted slices within a
+    clip are disjoint and time-ordered."""
+    from ds2_spark.operators.audio import (
+        audio_segment_extract,
+        audio_vad_segments,
+    )
+
+    rng = np.random.default_rng(7)
+    fs = 8
+    rows = []
+    for cid in range(80):
+        if cid % 13 == 0:
+            rows.append((f"c{cid:03d}", None))
+            continue
+        n = int(rng.integers(0, 25)) * fs + int(rng.integers(0, fs))
+        amp = rng.choice([2, 2000], size=max(n, 1), p=[0.5, 0.5])
+        pcm = (rng.integers(-1, 2, size=max(n, 1)) * amp).astype(np.int16)
+        rows.append((f"c{cid:03d}", bytearray(pcm[:n].tobytes())))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary"
+    ).coalesce(1)
+    kw = dict(
+        frame_samples=fs, energy_threshold=fs * 500,
+        max_gap_frames=1, min_frames=2,
+    )
+    got = audio_segment_extract(df, **kw).collect()
+    assert got, "fixture produced no segments — test is vacuous"
+    assert sorted(tuple(r)[:7] for r in got) == sorted(
+        tuple(r) for r in audio_vad_segments(df, **kw).collect()
+    )
+    payload = {cid: None if b is None else bytes(b) for cid, b in rows}
+    fb = 2 * fs
+    per_clip: dict[str, list] = {}
+    for r in got:
+        b = payload[r["clip_id"]]
+        trunc = b[: (len(b) // fb) * fb]
+        want = trunc[r["start_frame"] * fb : (r["end_frame"] + 1) * fb]
+        assert bytes(r["bytes"]) == want, r["clip_id"]
+        dec = np.abs(
+            np.frombuffer(bytes(r["bytes"]), dtype="<i2").astype(np.int64)
+        )
+        assert int(dec.sum()) == r["energy_sum"]
+        assert len(dec) == r["n_frames"] * fs
+        per_clip.setdefault(r["clip_id"], []).append(
+            (r["seg_id"], r["start_frame"], r["end_frame"])
+        )
+    for segs in per_clip.values():
+        segs.sort()
+        assert [s for s, _, _ in segs] == list(range(len(segs)))
+        for (_, _, z0), (_, s1, _) in zip(segs, segs[1:]):
+            assert s1 > z0  # disjoint, time-ordered
+
+
+def test_audio_segment_extract_refusals(spark):
+    from ds2_spark.operators.audio import audio_segment_extract
+
+    df = spark.createDataFrame([("a", None)], "clip_id string, bytes binary")
+    for kw in (
+        dict(frame_samples=0),
+        dict(min_frames=0),
+        dict(max_gap_frames=-1),
+    ):
+        with pytest.raises(ValueError):
+            audio_segment_extract(df, **kw)
 
 
 def test_g711_tables_match_published_anchors():
