@@ -161,3 +161,77 @@ def fingerprint_col(text_col: str = "transcript") -> Column:
     (exact-dup key; identical function exists in DuckDB for the oracle)."""
     norm = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_SPLIT, " "))
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# Invisible-character / confusable-width sanitization (ingest front door,
+# alongside nfc_udf). Zero-width characters make visually-identical
+# transcripts hash to different exact-dedup keys and skew token
+# counts; bidi override controls are the "Trojan Source" (Boucher &
+# Anderson 2021) vector that reorders displayed text; fullwidth ASCII
+# (U+FF01-U+FF5E) defeats keyword rules and scrub regexes that match
+# the ASCII forms. All three folds are pure JVM column expressions
+# (regexp_replace + translate — whole-stage codegen, no UDF), and the
+# same three-step chain runs verbatim in DuckDB for the contract oracle
+# (q_sanitize) and in `sanitize_py` (the NumPy-twin building block).
+# Sets are spelled as \u escapes so the .py source stays ASCII and a
+# file-level normalizer can't silently neuter the contract (the
+# q_nfc_normalize discipline). All chars are BMP, so Spark's UTF-16
+# length() == DuckDB's codepoint length() on every column derived here.
+#
+# STRIP — invisible format controls, removed outright:
+#   U+00AD soft hyphen; U+180E Mongolian vowel separator;
+#   U+200B-U+200F ZWSP/ZWNJ/ZWJ/LRM/RLM; U+202A-U+202E bidi
+#   embedding/override; U+2060-U+2064 word joiner + invisible
+#   operators; U+2066-U+2069 bidi isolates; U+FEFF ZWNBSP/BOM.
+SANITIZE_STRIP_CLASS = (
+    "[\u00ad\u180e\u200b-\u200f\u202a-\u202e"
+    "\u2060-\u2064\u2066-\u2069\ufeff]"
+)
+# SPACES -- Unicode space separators (and the two line/para separators)
+# folded to ASCII space so WS_SPLIT tokenization and the scrub
+# delimiter classes see one space form:
+#   U+00A0 NBSP; U+1680 Ogham; U+2000-U+200A quads/thins; U+2028 LS;
+#   U+2029 PS; U+202F narrow NBSP; U+205F math space; U+3000
+#   ideographic space.
+SANITIZE_SPACE_CLASS = (
+    "[\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
+)
+# FULLWIDTH — the 94 fullwidth ASCII graphics fold to their halfwidth
+# forms (the NFKC fold restricted to the unambiguous U+FF01-U+FF5E
+# block; full NFKC is deliberately NOT applied — it also rewrites
+# ligatures/superscripts, a lossy choice an ingest default shouldn't
+# make silently).
+SANITIZE_FW_FROM = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+SANITIZE_FW_TO = "".join(chr(c) for c in range(0x21, 0x7F))
+
+
+def sanitize_stripped_col(col: Column) -> Column:
+    """Step 1 only (format-control strip) — exposed so callers can
+    measure `n_stripped = length(raw) - length(stripped)` without
+    re-running the chain."""
+    return F.regexp_replace(col, SANITIZE_STRIP_CLASS, "")
+
+
+def sanitize_col(col: Column) -> Column:
+    """Full sanitize: strip format controls, fold Unicode spaces to
+    ASCII space, fold fullwidth ASCII to halfwidth. NULL passes
+    through (regexp_replace/translate are NULL-preserving). Idempotent:
+    no output char is in any matched set."""
+    spaced = F.regexp_replace(sanitize_stripped_col(col), SANITIZE_SPACE_CLASS, " ")
+    return F.translate(spaced, SANITIZE_FW_FROM, SANITIZE_FW_TO)
+
+
+_SANITIZE_FW_TRANS = str.maketrans(SANITIZE_FW_FROM, SANITIZE_FW_TO)
+
+
+def sanitize_py(t: "str | None") -> "str | None":
+    """Pure-Python twin of sanitize_col (same three steps, same sets) —
+    the independent oracle for pytest parity."""
+    import re as _re
+
+    if t is None:
+        return None
+    t = _re.sub(SANITIZE_STRIP_CLASS, "", t)
+    t = _re.sub(SANITIZE_SPACE_CLASS, " ", t)
+    return t.translate(_SANITIZE_FW_TRANS)

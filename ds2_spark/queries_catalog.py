@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 from .functions.scrub import scrub_audit_cols, scrub_col, scrub_sql
 from .functions.sketches import EST_NUMERATOR as _HLL_EST_NUM
 from .functions.text import (
+    SANITIZE_FW_FROM,
+    SANITIZE_FW_TO,
+    SANITIZE_SPACE_CLASS,
+    SANITIZE_STRIP_CLASS,
     WS_SPLIT,
     langid_udf,
     ppl_udf,
@@ -3649,6 +3653,55 @@ def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-character / confusable-width sanitization
+    (functions/text.sanitize_col) — zero-width characters make
+    visually-identical transcripts miss exact-dedup keys, bidi
+    override controls are the Trojan-Source reordering vector, and
+    fullwidth ASCII slips past keyword rules and scrub regexes. The
+    whole chain is JVM regexp_replace + translate (whole-stage
+    codegen, no UDF); the oracle replays the IDENTICAL three-step
+    chain in DuckDB (RE2 + translate) over the same
+    in-query-synthesized hostile text — two regex engines executing
+    one spec, hashed against each other. Inputs are built from \\u
+    escapes / chr() so a file-level normalizer can't neuter the test
+    (the q_nfc_normalize discipline); every char is BMP so Spark's
+    UTF-16 length() equals DuckDB's codepoint length()."""
+    from .functions.text import sanitize_col, sanitize_stripped_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    sid = F.col("doc_id").cast("string")
+    raw = (
+        # ZWSP inside a word + ZWJ (dedup-key attack)
+        F.when(m == 0, F.concat(F.lit("zero\u200bwidth\u200d join "), sid))
+        # RLO ... PDF (Trojan-Source bidi override)
+        .when(m == 1, F.concat(F.lit("bidi \u202ekcatta\u202c "), sid))
+        # NBSP + thin space (tokenizer splitters miss both)
+        .when(m == 2, F.concat(F.lit("nbsp\u00a0and\u2009thin "), sid))
+        # fullwidth F W ! (keyword-rule evasion)
+        .when(m == 3, F.concat(F.lit("\uff26\uff37\uff01 text "), sid))
+        # clean ASCII — must round-trip unchanged (changed = false)
+        .when(m == 4, F.concat(F.lit("plain ascii "), sid))
+        # BOM prefix + soft hyphen + ideographic space
+        .otherwise(F.concat(F.lit("\ufeffhy\u00adphen\u3000"), sid))
+    )
+    return (
+        docs.withColumn("raw", raw)
+        .withColumn("clean", sanitize_col(F.col("raw")))
+        .withColumn("n_strip_len", F.length(sanitize_stripped_col(F.col("raw"))))
+        .select(
+            "doc_id",
+            "clean",
+            (F.col("raw") != F.col("clean")).alias("changed"),
+            F.length("raw").alias("n_cp_raw"),
+            F.length("clean").alias("n_cp_clean"),
+            (F.length("raw") - F.col("n_strip_len")).alias("n_stripped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped EXACT percentiles via the value-histogram decomposition
     (operators/percentile.py) — the 10^12-row scale path: state is one
@@ -3792,6 +3845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_incremental": q_pq_incremental,
         "q_lm_kn": q_lm_kn,
         "q_nfc_normalize": q_nfc_normalize,
+        "q_sanitize": q_sanitize,
         "q_percentile_hist": q_percentile_hist,
     }
 
@@ -7374,6 +7428,50 @@ ORACLE_SQL["q_nfc_normalize"] = """
            CAST(length(raw) AS INT) AS n_cp_raw,
            CAST(length(nfc_normalize(raw)) AS INT) AS n_cp_nfc
     FROM t
+    ORDER BY doc_id
+"""
+
+
+# Sanitization: the oracle replays the engine's EXACT three-step chain
+# (strip format controls, fold Unicode spaces, fold fullwidth ASCII) in
+# DuckDB — RE2 + translate vs Java regex + Spark translate, one spec in
+# two engines. The class/translate strings are interpolated from the
+# same functions/text.py constants the Spark expressions read, so the
+# two sides cannot drift independently; the raw text is rebuilt
+# in-query from doc_id via chr() (BMP only — length() semantics agree).
+ORACLE_SQL["q_sanitize"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN 'zero' || chr(8203) || 'width' || chr(8205)
+                      || ' join ' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'bidi ' || chr(8238) || 'kcatta' || chr(8236)
+                      || ' ' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'nbsp' || chr(160) || 'and' || chr(8201)
+                      || 'thin ' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN chr(65318) || chr(65335) || chr(65281)
+                      || ' text ' || CAST(doc_id AS VARCHAR)
+          WHEN 4 THEN 'plain ascii ' || CAST(doc_id AS VARCHAR)
+          ELSE chr(65279) || 'hy' || chr(173) || 'phen' || chr(12288)
+               || CAST(doc_id AS VARCHAR)
+        END AS raw
+      FROM documents),
+    s AS (
+      SELECT doc_id, raw,
+             regexp_replace(raw, '{SANITIZE_STRIP_CLASS}', '', 'g') AS stripped
+      FROM t),
+    c AS (
+      SELECT doc_id, raw, stripped,
+             translate(
+               regexp_replace(stripped, '{SANITIZE_SPACE_CLASS}', ' ', 'g'),
+               '{SANITIZE_FW_FROM}', '{SANITIZE_FW_TO.replace(chr(39), chr(39) * 2)}') AS clean
+      FROM s)
+    SELECT doc_id, clean,
+           raw <> clean AS changed,
+           CAST(length(raw) AS INT) AS n_cp_raw,
+           CAST(length(clean) AS INT) AS n_cp_clean,
+           CAST(length(raw) - length(stripped) AS INT) AS n_stripped
+    FROM c
     ORDER BY doc_id
 """
 
