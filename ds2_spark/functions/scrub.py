@@ -219,3 +219,129 @@ def scrub_audit_py(text: str) -> dict[str, int]:
         name: scrubbed.count(tag) - text.count(tag)
         for tag, name in SCRUB_AUDIT_TAGS
     }
+
+
+# ------------------------------------------------ Luhn-gated CC scrub
+
+# Credit-card scrubbing with checksum validation: a bare 13-19-digit
+# regex redacts invoice ids, tracking numbers, and timestamps wholesale
+# (the false-positive problem checksum-validating PII detectors exist
+# to solve), so candidates are regex-EXTRACTED, Luhn-validated (ISO/IEC
+# 7812 mod-10), and only validated matches are replaced. All three
+# engines run the IDENTICAL algorithm: extract word-bounded candidates
+# left-to-right, keep those whose digit string passes Luhn, fold
+# substring-replace over the kept list in extraction order, twice (the
+# scrub-chain fixed-point discipline: a match consumes its delimiters
+# during the SCAN, so of k adjacent single-delimiter-separated cards
+# pass 1 takes the odd-positioned ones and pass 2 the rest — after
+# pass 1 every missed candidate is separated from its neighbors by a
+# replaced tag, so pass 2 is a fixed point). Kept separate from
+# SCRUB_CHAIN (composable: sanitize -> scrub_cc -> scrub; run it
+# BEFORE the chain or PHONE_RE eats 13+-digit runs first).
+#
+# Shared-semantics notes (Java regex / RE2 / Python re.ASCII):
+# candidates are group 2 of a consuming-delimiter bounded pattern (the
+# `\b` emulation the chain uses); 20+-digit runs are NEVER candidates
+# in any engine (no 13-19-digit substring of a longer run has a
+# non-digit on both sides); replacement is plain substring replace, so
+# a validated card's digit string occurring verbatim inside some other
+# row text is also replaced — identically everywhere (the algorithm,
+# not one engine's regex, is the spec). Luhn arithmetic is exact
+# integers in all three engines.
+
+CC_TAG = "<CC>"
+# word-boundary emulation (the chain's _NONWORD class), not a bare
+# digit boundary: letter-adjacent digit runs ("a4532...b", hex-ish
+# tokens, serials) are NOT candidates.
+CC_CAND_RE = rf"(^|[^{_NONWORD}])([0-9](?:[ -]?[0-9]){{12,18}})($|[^{_NONWORD}])"
+
+
+def luhn_valid_py(digits: str) -> bool:
+    """ISO/IEC 7812 mod-10: right-to-left, double every second digit,
+    subtract 9 from two-digit products, total divisible by 10."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        v = int(ch)
+        if i % 2 == 1:
+            v *= 2
+            if v > 9:
+                v -= 9
+        total += v
+    return total % 10 == 0
+
+
+def _cc_pass_col(c: Column) -> Column:
+    def _digits(x: Column) -> Column:
+        return F.translate(x, " -", "")
+
+    def _luhn_ok(x: Column) -> Column:
+        d = _digits(x)
+        n = F.length(d)
+
+        def term(acc: Column, i: Column) -> Column:
+            dig = F.substr(d, i, F.lit(1)).cast("int")
+            dd = dig * 2
+            return acc + (
+                F.when((n - i) % 2 == 1, F.when(dd > 9, dd - 9).otherwise(dd))
+                .otherwise(dig)
+            )
+
+        return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term) % 10 == 0
+
+    cands = F.regexp_extract_all(c, F.lit(CC_CAND_RE), 2)
+    valid = F.filter(cands, _luhn_ok)
+    return F.aggregate(valid, c, lambda acc, x: F.replace(acc, x, F.lit(CC_TAG)))
+
+
+def scrub_cc_col(col: Column | str) -> Column:
+    """Spark expression: Luhn-validated credit-card scrub (pure JVM —
+    regexp_extract_all + higher-order filter/aggregate; the HOFs are
+    interpreted but iterate only over the per-row CANDIDATE list,
+    almost always empty). NULL passes through."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _cc_pass_col(_cc_pass_col(c))
+
+
+def _cc_pass_sql(expr: str) -> str:
+    d = "translate(x, ' -', '')"
+    dig = f"CAST(substr({d}, i, 1) AS INT)"
+    term = (
+        f"CASE WHEN (length({d}) - i) % 2 = 1 THEN "
+        f"CASE WHEN 2*{dig} > 9 THEN 2*{dig} - 9 ELSE 2*{dig} END "
+        f"ELSE {dig} END"
+    )
+    luhn = (
+        f"list_sum(list_transform(generate_series(1, length({d})),"
+        f" i -> {term})) % 10 = 0"
+    )
+    cands = (
+        f"list_filter(regexp_extract_all({expr}, '{CC_CAND_RE}', 2),"
+        f" x -> {luhn})"
+    )
+    return (
+        f"list_reduce(list_prepend({expr}, {cands}),"
+        f" (acc, x) -> replace(acc, x, '{CC_TAG}'))"
+    )
+
+
+def scrub_cc_sql(expr: str) -> str:
+    """DuckDB SQL expression applying the identical two-pass algorithm."""
+    return _cc_pass_sql(_cc_pass_sql(expr))
+
+
+_CC_CRE = re.compile(CC_CAND_RE, re.ASCII)
+
+
+def _cc_pass_py(text: str) -> str:
+    cands = [m.group(2) for m in _CC_CRE.finditer(text)]
+    for cand in cands:
+        if luhn_valid_py(cand.replace(" ", "").replace("-", "")):
+            text = text.replace(cand, CC_TAG)
+    return text
+
+
+def scrub_cc_py(text: "str | None") -> "str | None":
+    """Python twin for oracles/fixtures."""
+    if text is None:
+        return None
+    return _cc_pass_py(_cc_pass_py(text))

@@ -3702,6 +3702,52 @@ def q_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_luhn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated credit-card scrub (functions/scrub.scrub_cc_col) —
+    checksum-gated PII redaction: a bare 13-19-digit regex would
+    redact invoice ids and tracking numbers wholesale, so candidates
+    are regex-extracted, ISO/IEC 7812 mod-10 validated, and only
+    validated matches are replaced. The oracle replays the IDENTICAL
+    two-pass extract-validate-fold algorithm in DuckDB (scrub_cc_sql —
+    RE2 extraction + list_filter Luhn in exact integer arithmetic +
+    list_reduce replace), built by the same module that builds the
+    Spark expression. Case 3 plants two cards separated by ONE space,
+    so the hash also pins the fixed-point second pass; case 2 is a
+    Luhn-INVALID 16-digit run that must survive; case 4 is a 20-digit
+    run that is never a candidate in any engine."""
+    from .functions.scrub import CC_TAG, scrub_cc_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    sid = F.col("doc_id").cast("string")
+    raw = (
+        F.when(m == 0, F.concat(F.lit("card 4532 0151 1283 0366 on file "), sid))
+        .when(m == 1, F.concat(F.lit("card 4111-1111-1111-1111 ok "), sid))
+        .when(m == 2, F.concat(F.lit("num 1234567812345678 plain "), sid))
+        .when(m == 3, F.concat(F.lit("pair 4532015112830366 4222222222222 tail "), sid))
+        .when(m == 4, F.concat(F.lit("long 12345678901234567890 run "), sid))
+        .otherwise(F.concat(F.lit("clean text no numbers "), sid))
+    )
+    clean = scrub_cc_col(F.col("raw"))
+    # synthesized raw never contains a literal tag, so the clean-side
+    # count alone is the number of replacements
+    n_cc = (
+        (F.length("clean") - F.length(F.replace(F.col("clean"), F.lit(CC_TAG), F.lit(""))))
+        / F.lit(len(CC_TAG))
+    ).cast("int")
+    return (
+        docs.withColumn("raw", raw)
+        .withColumn("clean", clean)
+        .select(
+            "doc_id",
+            "clean",
+            n_cc.alias("n_cc"),
+            (F.col("raw") != F.col("clean")).alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped EXACT percentiles via the value-histogram decomposition
     (operators/percentile.py) — the 10^12-row scale path: state is one
@@ -3846,6 +3892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_kn": q_lm_kn,
         "q_nfc_normalize": q_nfc_normalize,
         "q_sanitize": q_sanitize,
+        "q_luhn_cc": q_luhn_cc,
         "q_percentile_hist": q_percentile_hist,
     }
 
@@ -7474,6 +7521,37 @@ ORACLE_SQL["q_sanitize"] = f"""
     FROM c
     ORDER BY doc_id
 """
+
+
+# Luhn CC scrub: scrub_cc_sql (same module as the Spark expression)
+# replays extract -> Luhn-validate (exact integer mod-10) -> fold
+# substring-replace, twice, in DuckDB — the two sides cannot drift
+# independently because one module emits both.
+def _luhn_cc_oracle_sql() -> str:
+    from .functions.scrub import scrub_cc_sql
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN 'card 4532 0151 1283 0366 on file ' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'card 4111-1111-1111-1111 ok ' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'num 1234567812345678 plain ' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN 'pair 4532015112830366 4222222222222 tail ' || CAST(doc_id AS VARCHAR)
+          WHEN 4 THEN 'long 12345678901234567890 run ' || CAST(doc_id AS VARCHAR)
+          ELSE 'clean text no numbers ' || CAST(doc_id AS VARCHAR)
+        END AS raw
+      FROM documents),
+    c AS (SELECT doc_id, raw, {scrub_cc_sql("raw")} AS clean FROM t)
+    SELECT doc_id, clean,
+           CAST((length(clean) - length(replace(clean, '<CC>', ''))) / 4 AS INT) AS n_cc,
+           raw <> clean AS changed
+    FROM c
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["q_luhn_cc"] = _luhn_cc_oracle_sql()
 
 
 # Grouped exact percentiles: DuckDB quantile_cont implements the same
