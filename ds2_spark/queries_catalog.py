@@ -3748,6 +3748,46 @@ def q_luhn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (operators/expectations.check_contract)
+    — the pre-ingest batch gate: every predicate rule compiles to one
+    conditional sum inside a SINGLE aggregate per table (one scan no
+    matter how many rules; column pruning reads only ruled columns),
+    uniqueness rides the same aggregate as exact countDistinct terms.
+    Non-vacuous on real TPC-H data: l_quantity exceeds 30 (range rule
+    fires), o_orderstatus contains 'P' (domain rule fires), l_orderkey
+    repeats (uniqueness fires with the exact surplus-row count), while
+    priority format and o_orderkey uniqueness genuinely pass — the oracle
+    hash pins both firing and non-firing rules."""
+    from .operators.expectations import (
+        check_contract,
+        rule_in_set,
+        rule_range,
+        rule_rlike,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o_report = check_contract(
+        orders,
+        rules=[
+            rule_in_set("status_domain", "o_orderstatus", ["O", "F"]),
+            rule_rlike("priority_format", "o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        ],
+        unique=["o_orderkey"],
+    ).withColumn("tbl", F.lit("orders"))
+    l_report = check_contract(
+        li,
+        rules=[rule_range("qty_le_30", "l_quantity", 1, 30)],
+        unique=["l_orderkey"],
+    ).withColumn("tbl", F.lit("lineitem"))
+    return (
+        o_report.unionByName(l_report)
+        .select("tbl", "rule", "n_rows", "violations", "pass")
+        .orderBy("tbl", "rule")
+    )
+
+
 def q_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped EXACT percentiles via the value-histogram decomposition
     (operators/percentile.py) — the 10^12-row scale path: state is one
@@ -3893,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nfc_normalize": q_nfc_normalize,
         "q_sanitize": q_sanitize,
         "q_luhn_cc": q_luhn_cc,
+        "q_expectations": q_expectations,
         "q_percentile_hist": q_percentile_hist,
     }
 
@@ -7552,6 +7593,37 @@ def _luhn_cc_oracle_sql() -> str:
 
 
 ORACLE_SQL["q_luhn_cc"] = _luhn_cc_oracle_sql()
+
+
+# Expectations: independent conditional-count derivation per rule (the
+# oracle never sees the stack/wide-agg mechanics — it recomputes each
+# count from the raw tables). CAST sums to BIGINT (DuckDB sum(INT) is
+# HUGEINT, NOTES #12).
+ORACLE_SQL["q_expectations"] = """
+    WITH o AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+             CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v_prio,
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq
+      FROM orders),
+    l AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             CAST(count(l_orderkey) - count(DISTINCT l_orderkey) AS BIGINT) AS v_uniq
+      FROM lineitem)
+    SELECT * FROM (
+      SELECT 'orders' AS tbl, 'priority_format' AS rule, n AS n_rows,
+             v_prio AS violations, v_prio = 0 AS pass FROM o
+      UNION ALL
+      SELECT 'orders', 'status_domain', n, v_status, v_status = 0 FROM o
+      UNION ALL
+      SELECT 'orders', 'unique:o_orderkey', n, v_uniq, v_uniq = 0 FROM o
+      UNION ALL
+      SELECT 'lineitem', 'qty_le_30', n, v_qty, v_qty = 0 FROM l
+      UNION ALL
+      SELECT 'lineitem', 'unique:l_orderkey', n, v_uniq, v_uniq = 0 FROM l)
+    ORDER BY tbl, rule
+"""
 
 
 # Grouped exact percentiles: DuckDB quantile_cont implements the same
