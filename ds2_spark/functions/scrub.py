@@ -226,34 +226,49 @@ def scrub_audit_py(text: str) -> dict[str, int]:
 # Credit-card scrubbing with checksum validation: a bare 13-19-digit
 # regex redacts invoice ids, tracking numbers, and timestamps wholesale
 # (the false-positive problem checksum-validating PII detectors exist
-# to solve), so candidates are regex-EXTRACTED, Luhn-validated (ISO/IEC
-# 7812 mod-10), and only validated matches are replaced. All three
-# engines run the IDENTICAL algorithm: extract word-bounded candidates
-# left-to-right, keep those whose digit string passes Luhn, fold
-# substring-replace over the kept list in extraction order, twice (the
-# scrub-chain fixed-point discipline: a match consumes its delimiters
-# during the SCAN, so of k adjacent single-delimiter-separated cards
-# pass 1 takes the odd-positioned ones and pass 2 the rest — after
-# pass 1 every missed candidate is separated from its neighbors by a
-# replaced tag, so pass 2 is a fixed point). Kept separate from
-# SCRUB_CHAIN (composable: sanitize -> scrub_cc -> scrub; run it
-# BEFORE the chain or PHONE_RE eats 13+-digit runs first).
+# to solve), so candidate RUNS are regex-EXTRACTED, windows inside each
+# run are Luhn-validated (ISO/IEC 7812 mod-10), and only validated
+# windows are replaced. All three engines run the IDENTICAL algorithm:
 #
-# Shared-semantics notes (Java regex / RE2 / Python re.ASCII):
-# candidates are group 2 of a consuming-delimiter bounded pattern (the
-# `\b` emulation the chain uses); 20+-digit runs are NEVER candidates
-# in any engine (no 13-19-digit substring of a longer run has a
-# non-digit on both sides); replacement is plain substring replace, so
-# a validated card's digit string occurring verbatim inside some other
-# row text is also replaced — identically everywhere (the algorithm,
-# not one engine's regex, is the spec). Luhn arithmetic is exact
-# integers in all three engines.
+#   1. extract word-bounded maximal digit runs (digits joined by single
+#      space/dash, 13..39 digits) left-to-right;
+#   2. inside each run, enumerate TOKEN-ALIGNED windows — substrings
+#      that start at a token start and end at a token end (tokens =
+#      delimiter-separated digit groups) with 13..19 total digits,
+#      ordered (start asc, length desc);
+#   3. keep windows whose digit string passes Luhn;
+#   4. fold substring-replace over the kept windows in that order,
+#      twice (fixed-point discipline; overlapping windows resolve
+#      deterministically — once the longer/leftmost window is replaced
+#      the shorter one no longer occurs and its replace is a no-op).
+#
+# Token alignment is the precision/recall contract: a CONTIGUOUS run is
+# one token, so a 20+-digit serial/tracking number is tested only as a
+# whole (never redacted — same semantics as a bare 13-19 candidate
+# regex), while a card ADJACENT to a small digit token ("4111... 123",
+# card + CVV — the leak a greedy single-candidate scan has) forms a
+# multi-token run whose card-only window IS tried and redacted. Runs
+# with >39 digits yield no candidates (documented recall bound: the
+# greedy quantifier backtracks to a token boundary if one exists in the
+# first 39 digits, else the word-boundary requirement fails everywhere
+# inside the run).
+#
+# Shared-semantics notes (Java regex / RE2 / Python re.ASCII): runs are
+# group 2 of a consuming-delimiter bounded pattern (the `\b` emulation
+# the chain uses); window enumeration is pure substr/position
+# arithmetic (no regex); replacement is plain substring replace, so a
+# validated window's text occurring verbatim elsewhere in the row is
+# also replaced — identically everywhere (the algorithm, not one
+# engine's regex, is the spec). Luhn arithmetic is exact integers in
+# all three engines. Kept separate from SCRUB_CHAIN (composable:
+# sanitize -> scrub_cc -> scrub; run it BEFORE the chain or PHONE_RE
+# eats 13+-digit runs first).
 
 CC_TAG = "<CC>"
 # word-boundary emulation (the chain's _NONWORD class), not a bare
 # digit boundary: letter-adjacent digit runs ("a4532...b", hex-ish
 # tokens, serials) are NOT candidates.
-CC_CAND_RE = rf"(^|[^{_NONWORD}])([0-9](?:[ -]?[0-9]){{12,18}})($|[^{_NONWORD}])"
+CC_CAND_RE = rf"(^|[^{_NONWORD}])([0-9](?:[ -]?[0-9]){{12,38}})($|[^{_NONWORD}])"
 
 
 def luhn_valid_py(digits: str) -> bool:
@@ -288,8 +303,45 @@ def _cc_pass_col(c: Column) -> Column:
 
         return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term) % 10 == 0
 
-    cands = F.regexp_extract_all(c, F.lit(CC_CAND_RE), 2)
-    valid = F.filter(cands, _luhn_ok)
+    def _is_dig(x: Column, i: Column) -> Column:
+        ch = F.substr(x, i, F.lit(1))
+        return (ch >= F.lit("0")) & (ch <= F.lit("9"))
+
+    def _windows(x: Column) -> Column:
+        # token-aligned windows of x, (start asc, length desc), with
+        # 13..19 digits. Run chars are digits/space/dash only, so
+        # "token start" = digit whose predecessor is absent or non-digit
+        # (substr at position 0 / past-end returns ''/1st-char in the
+        # engines, but the i==1 / i==len disjunct decides those edges).
+        idx = F.sequence(F.lit(1), F.length(x))
+        starts = F.filter(
+            idx,
+            lambda i: _is_dig(x, i)
+            & ((i == F.lit(1)) | ~_is_dig(x, i - F.lit(1))),
+        )
+        ends = F.reverse(
+            F.filter(
+                idx,
+                lambda i: _is_dig(x, i)
+                & ((i == F.length(x)) | ~_is_dig(x, i + F.lit(1))),
+            )
+        )
+        subs = F.flatten(
+            F.transform(
+                starts,
+                lambda a: F.transform(
+                    ends,
+                    lambda b: F.when(b >= a, F.substr(x, a, b - a + F.lit(1))),
+                ),
+            )
+        )
+        sized = F.filter(
+            subs, lambda s: F.length(_digits(s)).between(13, 19)
+        )
+        return F.filter(sized, _luhn_ok)
+
+    runs = F.regexp_extract_all(c, F.lit(CC_CAND_RE), 2)
+    valid = F.flatten(F.transform(runs, _windows))
     return F.aggregate(valid, c, lambda acc, x: F.replace(acc, x, F.lit(CC_TAG)))
 
 
@@ -303,7 +355,7 @@ def scrub_cc_col(col: Column | str) -> Column:
 
 
 def _cc_pass_sql(expr: str) -> str:
-    d = "translate(x, ' -', '')"
+    d = "translate(s, ' -', '')"
     dig = f"CAST(substr({d}, i, 1) AS INT)"
     term = (
         f"CASE WHEN (length({d}) - i) % 2 = 1 THEN "
@@ -314,13 +366,32 @@ def _cc_pass_sql(expr: str) -> str:
         f"list_sum(list_transform(generate_series(1, length({d})),"
         f" i -> {term})) % 10 = 0"
     )
-    cands = (
-        f"list_filter(regexp_extract_all({expr}, '{CC_CAND_RE}', 2),"
-        f" x -> {luhn})"
+    isdig = "substr(x, {p}, 1) BETWEEN '0' AND '9'"
+    starts = (
+        f"list_filter(generate_series(1, length(x)), a -> "
+        f"{isdig.format(p='a')} AND (a = 1 OR NOT {isdig.format(p='a - 1')}))"
+    )
+    ends = (
+        f"list_reverse(list_filter(generate_series(1, length(x)), b -> "
+        f"{isdig.format(p='b')} AND (b = length(x)"
+        f" OR NOT {isdig.format(p='b + 1')})))"
+    )
+    subs = (
+        f"flatten(list_transform({starts}, a -> list_transform({ends},"
+        f" b -> CASE WHEN b >= a THEN substr(x, a, b - a + 1) END)))"
+    )
+    wins = (
+        f"list_filter(list_filter({subs},"
+        f" s -> length(translate(s, ' -', '')) BETWEEN 13 AND 19),"
+        f" s -> {luhn})"
+    )
+    valid = (
+        f"flatten(list_transform("
+        f"regexp_extract_all({expr}, '{CC_CAND_RE}', 2), x -> {wins}))"
     )
     return (
-        f"list_reduce(list_prepend({expr}, {cands}),"
-        f" (acc, x) -> replace(acc, x, '{CC_TAG}'))"
+        f"list_reduce(list_prepend({expr}, {valid}),"
+        f" (acc, w) -> replace(acc, w, '{CC_TAG}'))"
     )
 
 
@@ -332,11 +403,38 @@ def scrub_cc_sql(expr: str) -> str:
 _CC_CRE = re.compile(CC_CAND_RE, re.ASCII)
 
 
+def _cc_windows_py(run: str) -> list[str]:
+    """Token-aligned 13..19-digit windows of a run, (start asc, length
+    desc) — the same enumeration the Spark/SQL expressions perform."""
+
+    def isdig(ch: str) -> bool:
+        return "0" <= ch <= "9"
+
+    n = len(run)
+    starts = [
+        i for i in range(n) if isdig(run[i]) and (i == 0 or not isdig(run[i - 1]))
+    ]
+    ends = [
+        i
+        for i in range(n)
+        if isdig(run[i]) and (i == n - 1 or not isdig(run[i + 1]))
+    ][::-1]
+    out = []
+    for a in starts:
+        for b in ends:
+            if b < a:
+                continue
+            sub = run[a : b + 1]
+            d = sub.replace(" ", "").replace("-", "")
+            if 13 <= len(d) <= 19 and luhn_valid_py(d):
+                out.append(sub)
+    return out
+
+
 def _cc_pass_py(text: str) -> str:
-    cands = [m.group(2) for m in _CC_CRE.finditer(text)]
-    for cand in cands:
-        if luhn_valid_py(cand.replace(" ", "").replace("-", "")):
-            text = text.replace(cand, CC_TAG)
+    for run in [m.group(2) for m in _CC_CRE.finditer(text)]:
+        for win in _cc_windows_py(run):
+            text = text.replace(win, CC_TAG)
     return text
 
 

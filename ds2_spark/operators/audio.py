@@ -1355,6 +1355,23 @@ AUDIO_VAD_SCHEMA = (
 )
 
 
+def _vad_prep(raw: list, frame_samples: int) -> tuple:
+    """Whole-frame truncation shared by both VAD operators: NULL
+    payloads become b'', trailing partial frames (and any odd trailing
+    byte) are dropped. Returns (trunc list, nframes int64 array) in
+    row order — the exact inputs `_vad_spans` expects, derived in ONE
+    place so a truncation-semantics change cannot silently split the
+    two operators' 'stats columns bit-equal by construction' claim."""
+    fb = 2 * frame_samples
+    trunc = [
+        b"" if b is None else bytes(b[: (len(b) // fb) * fb]) for b in raw
+    ]
+    nframes = np.fromiter(
+        (len(b) // fb for b in trunc), dtype=np.int64, count=len(trunc)
+    )
+    return trunc, nframes
+
+
 def _vad_spans(
     trunc: list,
     nframes: np.ndarray,
@@ -1486,17 +1503,7 @@ def audio_vad_segments(
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fs = frame_samples
         for pdf in batches:
-            nrows = len(pdf)
-            raw = list(pdf["bytes"])
-            trunc = [
-                b""
-                if b is None
-                else bytes(b[: (len(b) // (2 * fs)) * 2 * fs])
-                for b in raw
-            ]
-            nframes = np.fromiter(
-                (len(b) // (2 * fs) for b in trunc), dtype=np.int64, count=nrows
-            )
+            trunc, nframes = _vad_prep(list(pdf["bytes"]), fs)
             kown, seg, s, z, span, vf, esum = _vad_spans(
                 trunc, nframes, fs, energy_threshold, max_gap_frames,
                 min_frames,
@@ -1561,15 +1568,7 @@ def audio_segment_extract(
         fs = frame_samples
         fb = 2 * fs
         for pdf in batches:
-            nrows = len(pdf)
-            raw = list(pdf["bytes"])
-            trunc = [
-                b"" if b is None else bytes(b[: (len(b) // fb) * fb])
-                for b in raw
-            ]
-            nframes = np.fromiter(
-                (len(b) // fb for b in trunc), dtype=np.int64, count=nrows
-            )
+            trunc, nframes = _vad_prep(list(pdf["bytes"]), fs)
             kown, seg, s, z, span, vf, esum = _vad_spans(
                 trunc, nframes, fs, energy_threshold, max_gap_frames,
                 min_frames,

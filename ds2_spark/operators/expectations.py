@@ -101,12 +101,18 @@ def check_contract(
     """
     if not rules and not unique:
         raise ValueError("check_contract: no rules given")
-    names = [n for n, _ in rules]
+    names = [n for n, _ in rules] + [f"unique:{c}" for c in unique]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {names}")
     aggs = [F.count(F.lit(1)).alias("__n")]
+    # coalesce: sum() over an EMPTY batch is NULL — an empty batch has
+    # zero violations, and a NULL here would make `pass` NULL (a gate
+    # filtering `NOT pass` silently drops the row — neither accept nor
+    # refuse)
     aggs += [
-        F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).alias(f"__v{i}")
+        F.coalesce(
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).alias(f"__v{i}")
         for i, (_, pred) in enumerate(rules)
     ]
     cd = F.approx_count_distinct if approx else F.count_distinct
@@ -121,9 +127,15 @@ def check_contract(
     for i, (name, _) in enumerate(rules):
         pairs += [F.lit(name), F.col(f"__v{i}").cast("long")]
     for j, col in enumerate(unique):
+        # greatest(0, ...): approx_count_distinct may OVERestimate the
+        # distinct count above the non-null count, which would report
+        # negative violations and a spurious pass=False on a clean key
         pairs += [
             F.lit(f"unique:{col}"),
-            (F.col(f"__k{j}") - F.col(f"__d{j}")).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col(f"__k{j}") - F.col(f"__d{j}")).cast("long"),
+            ),
         ]
     n_pairs = len(rules) + len(unique)
     return (

@@ -119,3 +119,41 @@ def test_approx_mode_runs(spark):
     # is only that the mode runs and keeps the schema
     assert out[0]["rule"] == "unique:k"
     assert out[0]["violations"] >= 0
+
+
+def test_empty_batch_reports_zero_not_null(spark):
+    # sum() over zero rows is NULL in Spark; a NULL violations/pass row
+    # is neither accepted nor refused by a `NOT pass` gate filter
+    df = spark.createDataFrame([], "k int, v int")
+    out = check_contract(
+        df,
+        rules=[rule_not_null("k_not_null", "k")],
+        unique=["k"],
+    ).collect()
+    by_rule = {r["rule"]: r for r in out}
+    for name in ("k_not_null", "unique:k"):
+        assert by_rule[name]["violations"] == 0, name
+        assert by_rule[name]["pass"] is True, name
+        assert by_rule[name]["n_rows"] == 0, name
+
+
+def test_unique_violations_never_negative(spark):
+    # approx_count_distinct may overestimate above the non-null count;
+    # the unique rule clamps at 0 instead of reporting negative
+    # duplicates / spurious pass=False
+    df = spark.createDataFrame([(i,) for i in range(5000)], "k int")
+    out = check_contract(df, unique=["k"], approx=True).collect()
+    assert out[0]["violations"] >= 0
+    exact = check_contract(df, unique=["k"]).collect()
+    assert exact[0]["violations"] == 0 and exact[0]["pass"] is True
+
+
+def test_duplicate_unique_rule_name_refused(spark):
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        check_contract(_df(spark), unique=["k", "k"])
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        check_contract(
+            _df(spark),
+            rules=[("unique:k", F.col("k").isNull())],
+            unique=["k"],
+        )

@@ -28,12 +28,26 @@ CASES = [
     # regex would redact)
     "invoice 1234567812345678 attached",
     "tracking 9400-1000-0000-0000 code",
-    # 20+ digit runs are never candidates
+    # contiguous 20+ digit tokens are tested only as a whole (token
+    # alignment) — never redacted
     "serial 12345678901234567890 ok",
-    # adjacent cards, single space: pass 1 takes the first, pass 2 the
-    # second (fixed point)
+    # adjacent cards, single space: both are token-aligned windows of
+    # one maximal run
     "pair 4532015112830366 4111111111111111 end",
     "triple 4532015112830366 4111111111111111 4222222222222 end",
+    # card adjacent to a small digit token (CVV-style) — the greedy
+    # single-candidate scan leaked these; token-aligned windows redact
+    # the card and leave the neighbor
+    "card 4111111111111111 123 end",
+    "card 4111111111111111 12 end",
+    "amt 99 4111111111111111 end",
+    "4222222222222 123456 end",
+    "1234 4111 1111 1111 1111 end",
+    "4111 1111 1111 1111 123 end",
+    # a >39-digit run splits at token boundaries during extraction;
+    # the card token still becomes its own candidate run (scan restarts
+    # at the delimiter before it)
+    "mega 11111111111111111111 22222222222222222222 4111111111111111 ok",
     # card at string start / end (the ^ / $ delimiter alternatives)
     "4532015112830366 leads",
     "trails 4532015112830366",
@@ -45,7 +59,7 @@ CASES = [
     "",
 ]
 
-EXPECTED_TAGS = [1, 1, 1, 1, 0, 0, 0, 2, 3, 1, 1, 0, 0, 0, 0]
+EXPECTED_TAGS = [1, 1, 1, 1, 0, 0, 0, 2, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0]
 
 
 def test_luhn_unit_vectors():
