@@ -3748,6 +3748,120 @@ def q_luhn_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.url_parts) — the first
+    exact-dedup key of a web-scale corpus: case folds, default-port
+    and fragment stripping, credential-userinfo removal (flagged),
+    tracking-param removal + bytewise param sort, www folding,
+    registrable-domain extraction (PSL-approximate: last-2, or last-3
+    behind a known second-level suffix like co.uk). Pure JVM string
+    ops (whole-stage codegen, no UDF); the oracle replays the
+    IDENTICAL spec via url_parts_sql — one module emits both engines'
+    expressions, and the synthesized inputs cover valid, garbage-port,
+    bad-scheme and non-URL rows so the NULL-on-invalid contract is
+    exercised, not just the happy path."""
+    from .functions.urls import url_parts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 8
+    sid = F.col("doc_id").cast("string")
+    raw = (
+        # case + www + default port + tracking + fragment, all at once
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), sid,
+            F.lit(".COM:80/A/B?b=2&utm_source=x&a=1#f")))
+        # userinfo stripped + flagged; co.uk registrable domain
+        .when(m == 1, F.concat(
+            F.lit("https://user:pw@news"), sid,
+            F.lit(".co.uk/item?utm_campaign=z&id="), sid))
+        # no path -> '/'
+        .when(m == 2, F.concat(F.lit("https://example"), sid, F.lit(".com")))
+        # non-default port kept; duplicate param names sort bytewise;
+        # trailing '&' drops its empty param
+        .when(m == 3, F.concat(
+            F.lit("http://shop"), sid, F.lit(".example.com:8080/p?z=1&z=0&")))
+        # non-http scheme -> invalid
+        .when(m == 4, F.concat(F.lit("ftp://files"), sid, F.lit(".com/x")))
+        # garbage port -> invalid (must not silently vanish)
+        .when(m == 5, F.concat(F.lit("http://host"), sid, F.lit(":80a/x")))
+        # http on :443 is NOT default -> port kept; deep co.uk host
+        .when(m == 6, F.concat(
+            F.lit("http://a.b"), sid, F.lit(".co.uk:443/x?gclid=a&keep="),
+            sid))
+        # no scheme at all -> invalid
+        .otherwise(F.concat(F.lit("plain text "), sid))
+    )
+    p = url_parts(F.col("raw"))
+    return (
+        docs.withColumn("raw", raw)
+        .select(
+            "doc_id",
+            p["valid"].alias("valid"),
+            p["scheme"].alias("scheme"),
+            p["host"].alias("host"),
+            p["port"].alias("port"),
+            p["path"].alias("path"),
+            p["query"].alias("query"),
+            p["domain"].alias("domain"),
+            p["had_userinfo"].alias("had_userinfo"),
+            p["canonical"].alias("canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation aggregate (functions/urls.url_domain) —
+    the production group-by that feeds domain priors and blocklist
+    filtering (C4/CCNet shape): canonicalize noisy URL variants (www,
+    case, default port, fragment, tracking params), group by
+    registrable domain, count raw URLs vs distinct canonical URLs
+    (the dedup ratio), and apply a broadcast blocklist. Three noise
+    forms of the same logical URL must collapse to ONE canonical —
+    n_canonicals counts logical pages, n_urls counts crawl rows. The
+    aggregation shuffles only (domain, canonical) — at 10^12 rows the
+    payload never moves, and domain is a low-cardinality key whose
+    skew is the classic hot-domain case (salt upstream if one domain
+    dominates; see plans/pipeline salted_scatter)."""
+    from .functions.urls import url_parts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 7).cast("string")
+    k = (F.col("doc_id") % 20).cast("string")
+    m = F.col("doc_id") % 3
+    raw = (
+        F.when(m == 0, F.concat(
+            F.lit("http://www.site"), g, F.lit(".com/p"), k,
+            F.lit("?utm_source=x")))
+        .when(m == 1, F.concat(
+            F.lit("HTTP://site"), g, F.lit(".COM:80/p"), k))
+        .otherwise(F.concat(
+            F.lit("http://site"), g, F.lit(".com/p"), k, F.lit("#frag")))
+    )
+    p = url_parts(F.col("raw"))
+    urls = docs.withColumn("raw", raw).select(
+        p["domain"].alias("domain"), p["canonical"].alias("canonical")
+    )
+    blocked = F.col("domain").isin("site0.com", "site3.com")
+    return (
+        urls.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canonical").alias("n_canonicals"),
+        )
+        .select(
+            "domain",
+            "n_urls",
+            "n_canonicals",
+            blocked.alias("blocked"),
+            F.when(blocked, F.lit(0).cast("long"))
+            .otherwise(F.col("n_urls"))
+            .alias("kept_urls"),
+        )
+        .orderBy("domain")
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (operators/expectations.check_contract)
     — the pre-ingest batch gate: every predicate rule compiles to one
@@ -3933,6 +4047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nfc_normalize": q_nfc_normalize,
         "q_sanitize": q_sanitize,
         "q_luhn_cc": q_luhn_cc,
+        "q_url_canonical": q_url_canonical,
+        "q_domain_stats": q_domain_stats,
         "q_expectations": q_expectations,
         "q_percentile_hist": q_percentile_hist,
     }
@@ -7593,6 +7709,83 @@ def _luhn_cc_oracle_sql() -> str:
 
 
 ORACLE_SQL["q_luhn_cc"] = _luhn_cc_oracle_sql()
+
+
+# URL canonicalization: url_parts_sql (same module as the Spark
+# Columns) replays the identical parse/canonicalize/domain spec in
+# DuckDB over the same in-query-synthesized hostile URLs.
+def _url_canonical_oracle_sql() -> str:
+    from .functions.urls import url_parts_sql
+
+    p = url_parts_sql("raw")
+    cols = ", ".join(
+        f"{p[k]} AS {k}"
+        for k in (
+            "valid", "scheme", "host", "port", "path", "query",
+            "domain", "had_userinfo", "canonical",
+        )
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 8 AS INT)
+          WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id AS VARCHAR)
+                      || '.COM:80/A/B?b=2&utm_source=x&a=1#f'
+          WHEN 1 THEN 'https://user:pw@news' || CAST(doc_id AS VARCHAR)
+                      || '.co.uk/item?utm_campaign=z&id='
+                      || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'https://example' || CAST(doc_id AS VARCHAR) || '.com'
+          WHEN 3 THEN 'http://shop' || CAST(doc_id AS VARCHAR)
+                      || '.example.com:8080/p?z=1&z=0&'
+          WHEN 4 THEN 'ftp://files' || CAST(doc_id AS VARCHAR) || '.com/x'
+          WHEN 5 THEN 'http://host' || CAST(doc_id AS VARCHAR) || ':80a/x'
+          WHEN 6 THEN 'http://a.b' || CAST(doc_id AS VARCHAR)
+                      || '.co.uk:443/x?gclid=a&keep='
+                      || CAST(doc_id AS VARCHAR)
+          ELSE 'plain text ' || CAST(doc_id AS VARCHAR)
+        END AS raw
+      FROM documents)
+    SELECT doc_id, {cols}
+    FROM t
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["q_url_canonical"] = _url_canonical_oracle_sql()
+
+
+def _domain_stats_oracle_sql() -> str:
+    from .functions.urls import url_parts_sql
+
+    p = url_parts_sql("raw")
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 'http://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.com/p' || CAST(doc_id % 20 AS VARCHAR)
+                      || '?utm_source=x'
+          WHEN 1 THEN 'HTTP://site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.COM:80/p' || CAST(doc_id % 20 AS VARCHAR)
+          ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.com/p' || CAST(doc_id % 20 AS VARCHAR) || '#frag'
+        END AS raw
+      FROM documents),
+    u AS (SELECT {p['domain']} AS domain, {p['canonical']} AS canonical
+          FROM t)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonicals,
+           domain IN ('site0.com', 'site3.com') AS blocked,
+           CAST(CASE WHEN domain IN ('site0.com', 'site3.com') THEN 0
+                ELSE count(*) END AS BIGINT) AS kept_urls
+    FROM u
+    GROUP BY domain
+    ORDER BY domain
+"""
+
+
+ORACLE_SQL["q_domain_stats"] = _domain_stats_oracle_sql()
 
 
 # Expectations: independent conditional-count derivation per rule (the
