@@ -153,69 +153,108 @@ def url_domain_col(col: Column | str) -> Column:
 # ----------------------------------------------------------- SQL side
 
 
+def _url_sql_defs() -> list[tuple[str, str]]:
+    """Ordered intermediate definitions, each a .format template over
+    `u` (the input expression) and earlier names. ONE spec for both
+    renderings: url_parts_sql inlines recursively (self-contained
+    expressions, used by tests); url_parts_sql_ctes emits one
+    MATERIALIZED CTE per step (linear evaluation — the inline form
+    re-evaluates shared subtrees per consumer, which goes superlinear
+    when an oracle projects many derived columns; NOTES.md #58)."""
+    sld = ", ".join(f"'{s}'" for s in _SLD_SET)
+    el = lambda i: f"list_extract({{labels}}, {i})"  # noqa: E731
+    return [
+        ("nofrag", "regexp_extract({u}, '^([^#]*)', 1)"),
+        ("scheme", f"lower(regexp_extract({{nofrag}}, '{SCHEME_RE}', 1))"),
+        ("rest", f"regexp_extract({{nofrag}}, '{SCHEME_RE}(.*)$', 2)"),
+        ("authority", "regexp_extract({rest}, '^([^/?#]*)', 1)"),
+        ("hostport", "regexp_extract({authority}, '([^@]*)$', 1)"),
+        ("had_user", "(length({authority}) != length({hostport}))"),
+        ("rawhost", "lower(regexp_extract({hostport}, '^([^:]*)', 1))"),
+        ("port0", "regexp_extract({hostport}, ':([0-9]+)$', 1)"),
+        ("host", "regexp_replace({rawhost}, '^www\\.', '')"),
+        ("host_ok",
+         f"(regexp_matches({{rawhost}}, '{HOST_OK_RE}')"
+         " AND NOT contains({rawhost}, '..') AND length({host}) > 0)"),
+        ("port_ok", "regexp_matches({hostport}, '^[^:]*(:[0-9]+)?$')"),
+        ("valid",
+         "({scheme} IN ('http', 'https') AND {host_ok} AND {port_ok})"),
+        ("dport",
+         "CASE WHEN ({scheme} = 'http' AND {port0} = '80')"
+         " OR ({scheme} = 'https' AND {port0} = '443')"
+         " OR {port0} = '' THEN '' ELSE {port0} END"),
+        ("path0", "regexp_extract({rest}, '^[^/?#]*(/[^?#]*)?', 1)"),
+        ("path", "CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"),
+        ("query0", "regexp_extract({rest}, '\\?(.*)$', 1)"),
+        ("kept",
+         "list_sort(list_filter(string_split({query0}, '&'), p -> p != ''"
+         f" AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')))"),
+        # coalesce: DuckDB array_to_string([]) is NULL, Spark
+        # array_join is ''
+        ("cquery", "coalesce(array_to_string({kept}, '&'), '')"),
+        ("labels", "list_filter(string_split({host}, '.'), x -> x != '')"),
+        ("nlab", "len({labels})"),
+        ("domain",
+         f"CASE WHEN {{nlab}} >= 3 AND length({el('{nlab}')}) = 2"
+         f" AND {el('{nlab} - 1')} IN ({sld})"
+         f" THEN concat_ws('.', {el('{nlab} - 2')}, {el('{nlab} - 1')},"
+         f" {el('{nlab}')})"
+         f" WHEN {{nlab}} >= 2 THEN concat_ws('.', {el('{nlab} - 1')},"
+         f" {el('{nlab}')})"
+         " ELSE {host} END"),
+        ("canonical",
+         "concat({scheme}, '://', {host},"
+         " CASE WHEN {dport} != '' THEN concat(':', {dport}) ELSE '' END,"
+         " {path},"
+         " CASE WHEN {cquery} != '' THEN concat('?', {cquery})"
+         " ELSE '' END)"),
+    ]
+
+
+def _url_public(env: dict) -> dict[str, str]:
+    nn = lambda c: f"CASE WHEN {env['valid']} THEN {c} END"  # noqa: E731
+    return {
+        "valid": env["valid"],
+        "scheme": nn(env["scheme"]),
+        "host": nn(env["host"]),
+        "port": nn(env["dport"]),
+        "path": nn(env["path"]),
+        "query": nn(env["cquery"]),
+        "domain": nn(env["domain"]),
+        "had_userinfo": f"({env['valid']} AND {env['had_user']})",
+        "canonical": nn(env["canonical"]),
+    }
+
+
 def url_parts_sql(expr: str) -> dict[str, str]:
     """DuckDB SQL expression strings computing the IDENTICAL derived
     values from `expr`. Each value is a self-contained expression
-    (nested, not CTE-dependent) so callers can splice any subset."""
-    nofrag = f"regexp_extract({expr}, '^([^#]*)', 1)"
-    scheme = f"lower(regexp_extract({nofrag}, '{SCHEME_RE}', 1))"
-    rest = f"regexp_extract({nofrag}, '{SCHEME_RE}(.*)$', 2)"
-    authority = f"regexp_extract({rest}, '^([^/?#]*)', 1)"
-    hostport = f"regexp_extract({authority}, '([^@]*)$', 1)"
-    had_user = f"(length({authority}) != length({hostport}))"
-    rawhost = f"lower(regexp_extract({hostport}, '^([^:]*)', 1))"
-    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
-    host = f"regexp_replace({rawhost}, '^www\\.', '')"
-    host_ok = (
-        f"(regexp_matches({rawhost}, '{HOST_OK_RE}')"
-        f" AND NOT contains({rawhost}, '..') AND length({host}) > 0)"
-    )
-    port_ok = f"regexp_matches({hostport}, '^[^:]*(:[0-9]+)?$')"
-    valid = f"({scheme} IN ('http', 'https') AND {host_ok} AND {port_ok})"
-    dport = (
-        f"CASE WHEN ({scheme} = 'http' AND {port} = '80')"
-        f" OR ({scheme} = 'https' AND {port} = '443')"
-        f" OR {port} = '' THEN '' ELSE {port} END"
-    )
-    path0 = f"regexp_extract({rest}, '^[^/?#]*(/[^?#]*)?', 1)"
-    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
-    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
-    kept = (
-        f"list_sort(list_filter(string_split({query}, '&'), p -> p != ''"
-        f" AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')))"
-    )
-    # coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
-    cquery = f"coalesce(array_to_string({kept}, '&'), '')"
-    labels = f"list_filter(string_split({host}, '.'), x -> x != '')"
-    sld = ", ".join(f"'{s}'" for s in _SLD_SET)
-    el = lambda i: f"list_extract({labels}, {i})"  # noqa: E731
-    n = f"len({labels})"
-    domain = (
-        f"CASE WHEN {n} >= 3 AND length({el(n)}) = 2"
-        f" AND {el(f'{n} - 1')} IN ({sld})"
-        f" THEN concat_ws('.', {el(f'{n} - 2')}, {el(f'{n} - 1')}, {el(n)})"
-        f" WHEN {n} >= 2 THEN concat_ws('.', {el(f'{n} - 1')}, {el(n)})"
-        f" ELSE {host} END"
-    )
-    canonical = (
-        f"concat({scheme}, '://', {host},"
-        f" CASE WHEN {dport} != '' THEN concat(':', {dport}) ELSE '' END,"
-        f" {path},"
-        f" CASE WHEN {cquery} != '' THEN concat('?', {cquery})"
-        f" ELSE '' END)"
-    )
-    nn = lambda c: f"CASE WHEN {valid} THEN {c} END"  # noqa: E731
-    return {
-        "valid": valid,
-        "scheme": nn(scheme),
-        "host": nn(host),
-        "port": nn(dport),
-        "path": nn(path),
-        "query": nn(cquery),
-        "domain": nn(domain),
-        "had_userinfo": f"({valid} AND {had_user})",
-        "canonical": nn(canonical),
-    }
+    (nested, not CTE-dependent) so callers can splice any subset —
+    for many-column projections prefer url_parts_sql_ctes."""
+    env = {"u": expr}
+    for name, tpl in _url_sql_defs():
+        env[name] = tpl.format(**env)
+    return _url_public(env)
+
+
+def url_parts_sql_ctes(src: str, expr: str = "raw") -> tuple[str, dict]:
+    """Staged rendering: returns (ctes, parts) where `ctes` is a CTE
+    chain fragment (splice after your synthesis CTE `src`) computing
+    every intermediate ONCE in MATERIALIZED steps, and `parts` maps
+    the public keys to cheap expressions over the final CTE `u_url`.
+    Same _url_sql_defs spec as the inline form."""
+    defs = _url_sql_defs()
+    env = {"u": expr, **{name: name for name, _ in defs}}
+    steps = []
+    prev = src
+    for i, (name, tpl) in enumerate(defs):
+        rel = "u_url" if i == len(defs) - 1 else f"u{i}"
+        steps.append(
+            f"{rel} AS MATERIALIZED (SELECT *, {tpl.format(**env)}"
+            f" AS {name} FROM {prev})"
+        )
+        prev = rel
+    return ",\n    ".join(steps), _url_public(env)
 
 
 # -------------------------------------------------------- Python twin

@@ -3862,6 +3862,62 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML tag strip + entity decode (functions/htmltext) — the
+    web-ingest step before any quality heuristic: script/style/comment
+    removal, tag strip, decimal/hex/named entity decode (&amp; last,
+    the non-double-decode rule), whitespace squeeze, plus the
+    text-to-markup ratio CCNet-class boilerplate filters threshold on.
+    The keep rule is integer-exact (4*n_text >= n_raw, i.e. ratio >=
+    0.25) — no float tolerance anywhere. Pure JVM (regexp_replace +
+    HOF entity folds); the oracle replays the IDENTICAL spec via
+    strip_html_sql over the same synthesized pages (real document
+    text wrapped in markup/entity/boilerplate variants, unterminated
+    script included)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 5
+    sid = F.col("doc_id").cast("string")
+    snip = F.substring(F.col("text"), 1, 120)
+    raw = (
+        F.when(m == 0, F.concat(
+            F.lit("<html><head><style>p{x}</style><title>Doc "), sid,
+            F.lit("</title></head><body><p>"), snip,
+            F.lit("</p></body></html>")))
+        # boilerplate-heavy page: low text ratio, dropped by the rule
+        .when(m == 1, F.concat(
+            F.lit("<div class='nav'><ul><li>a</li><li>b</li></ul>"
+                  "</div><script>var x=1;</script><p>"),
+            F.substring(F.col("text"), 1, 8), F.lit("</p>")))
+        .when(m == 2, F.concat(
+            snip, F.lit(" &amp; &#65; &#x42; &lt;b&gt; "), sid))
+        # unterminated script: body survives (documented regex bound)
+        .when(m == 3, F.concat(
+            F.lit("<!-- c --><b>"), snip, F.lit("</b><script>junk "), sid))
+        .otherwise(snip)
+    )
+    from .functions.htmltext import strip_html_col
+
+    # materialize text_clean ONCE (lazy localCheckpoint — the tfidf
+    # re-explode discipline): three consumers reference it (output,
+    # length, keep) and projection collapse would re-run the
+    # interpreted regex+fold chain per consumer
+    base = (
+        docs.withColumn("raw", raw)
+        .withColumn("text_clean", strip_html_col(F.col("raw")))
+        .localCheckpoint(eager=False)
+    )
+    return (
+        base.select(
+            "doc_id",
+            "text_clean",
+            F.length("raw").alias("n_chars_raw"),
+            F.length("text_clean").alias("n_chars_text"),
+            (F.length("text_clean") * 4 >= F.length("raw")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (operators/expectations.check_contract)
     — the pre-ingest batch gate: every predicate rule compiles to one
@@ -4049,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_luhn_cc": q_luhn_cc,
         "q_url_canonical": q_url_canonical,
         "q_domain_stats": q_domain_stats,
+        "q_html_extract": q_html_extract,
         "q_expectations": q_expectations,
         "q_percentile_hist": q_percentile_hist,
     }
@@ -7715,9 +7772,9 @@ ORACLE_SQL["q_luhn_cc"] = _luhn_cc_oracle_sql()
 # Columns) replays the identical parse/canonicalize/domain spec in
 # DuckDB over the same in-query-synthesized hostile URLs.
 def _url_canonical_oracle_sql() -> str:
-    from .functions.urls import url_parts_sql
+    from .functions.urls import url_parts_sql_ctes
 
-    p = url_parts_sql("raw")
+    ctes, p = url_parts_sql_ctes("t")
     cols = ", ".join(
         f"{p[k]} AS {k}"
         for k in (
@@ -7726,7 +7783,7 @@ def _url_canonical_oracle_sql() -> str:
         )
     )
     return f"""
-    WITH t AS (
+    WITH t AS MATERIALIZED (
       SELECT doc_id,
         CASE CAST(doc_id % 8 AS INT)
           WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id AS VARCHAR)
@@ -7744,9 +7801,10 @@ def _url_canonical_oracle_sql() -> str:
                       || CAST(doc_id AS VARCHAR)
           ELSE 'plain text ' || CAST(doc_id AS VARCHAR)
         END AS raw
-      FROM documents)
+      FROM documents),
+    {ctes}
     SELECT doc_id, {cols}
-    FROM t
+    FROM u_url
     ORDER BY doc_id
 """
 
@@ -7755,11 +7813,11 @@ ORACLE_SQL["q_url_canonical"] = _url_canonical_oracle_sql()
 
 
 def _domain_stats_oracle_sql() -> str:
-    from .functions.urls import url_parts_sql
+    from .functions.urls import url_parts_sql_ctes
 
-    p = url_parts_sql("raw")
+    ctes, p = url_parts_sql_ctes("t")
     return f"""
-    WITH t AS (
+    WITH t AS MATERIALIZED (
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT)
           WHEN 0 THEN 'http://www.site' || CAST(doc_id % 7 AS VARCHAR)
@@ -7771,8 +7829,9 @@ def _domain_stats_oracle_sql() -> str:
                || '.com/p' || CAST(doc_id % 20 AS VARCHAR) || '#frag'
         END AS raw
       FROM documents),
+    {ctes},
     u AS (SELECT {p['domain']} AS domain, {p['canonical']} AS canonical
-          FROM t)
+          FROM u_url)
     SELECT domain,
            CAST(count(*) AS BIGINT) AS n_urls,
            CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonicals,
@@ -7786,6 +7845,43 @@ def _domain_stats_oracle_sql() -> str:
 
 
 ORACLE_SQL["q_domain_stats"] = _domain_stats_oracle_sql()
+
+
+# HTML extraction: strip_html_sql (same module as the Spark Columns)
+# replays block-removal -> tag strip -> entity folds -> squeeze in
+# DuckDB over the same synthesized pages.
+def _html_extract_oracle_sql() -> str:
+    from .functions.htmltext import strip_html_sql
+
+    clean = strip_html_sql("raw")
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN '<html><head><style>p{{x}}</style><title>Doc '
+                      || CAST(doc_id AS VARCHAR) || '</title></head><body><p>'
+                      || substr(text, 1, 120) || '</p></body></html>'
+          WHEN 1 THEN '<div class=''nav''><ul><li>a</li><li>b</li></ul>'
+                      || '</div><script>var x=1;</script><p>'
+                      || substr(text, 1, 8) || '</p>'
+          WHEN 2 THEN substr(text, 1, 120) || ' &amp; &#65; &#x42; &lt;b&gt; '
+                      || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN '<!-- c --><b>' || substr(text, 1, 120)
+                      || '</b><script>junk ' || CAST(doc_id AS VARCHAR)
+          ELSE substr(text, 1, 120)
+        END AS raw
+      FROM documents),
+    c AS MATERIALIZED (SELECT doc_id, raw, {clean} AS text_clean FROM t)
+    SELECT doc_id, text_clean,
+           CAST(length(raw) AS INT) AS n_chars_raw,
+           CAST(length(text_clean) AS INT) AS n_chars_text,
+           length(text_clean) * 4 >= length(raw) AS keep
+    FROM c
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["q_html_extract"] = _html_extract_oracle_sql()
 
 
 # Expectations: independent conditional-count derivation per rule (the
