@@ -326,3 +326,156 @@ def decode_video_frame(b: bytes, idx: int) -> np.ndarray:
     return decode_jpeg(frames[idx])
 
 
+
+
+def _dhash_from_img(img: np.ndarray) -> "tuple[int, int] | None":
+    """64-bit difference hash of a decoded [h, w, c] uint8 image as
+    two 32-bit halves (hi = rows 0..3, lo = rows 4..7; bit 0 of each
+    half is its MSB). Exact integer pipeline:
+
+      1. luma = (299*R + 587*G + 114*B) // 1000 (weights sum to 1000,
+         so an R==G==B image keeps its exact gray values);
+      2. area-mean resize to 9 cols x 8 rows: target cell (r, c)
+         averages source block rows floor(r*H/8)..floor((r+1)*H/8)-1
+         (cols analogous), mean = sum // count — integer, no float
+         resample kernel to disagree about;
+      3. bit(r, c) = g[r][c] > g[r][c+1], row-major.
+
+    Two BIGINT halves instead of one int64: bit 63 would overflow a
+    signed 64-bit pack on the SQL side (DuckDB refuses to wrap), and
+    Hamming distance is popcount(xor) per half either way. Returns
+    None for images smaller than the 9x8 grid (no meaningful hash).
+    Anchors the reference's row-op discipline to images the same way
+    audio_fingerprint does for PCM (cited: docta has no image path;
+    this is the beyond-reference multimodal dedup family)."""
+    h, w = img.shape[0], img.shape[1]
+    if h < 8 or w < 9:
+        return None
+    px = img.astype(np.int64)
+    gray = (
+        (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+        if img.ndim == 3 and img.shape[2] >= 3
+        else px.reshape(h, w)
+    )
+    re = np.add.reduceat(gray, (np.arange(8) * h) // 8, axis=0)
+    rc = np.diff(np.append((np.arange(8) * h) // 8, h))
+    ce = np.add.reduceat(re, (np.arange(9) * w) // 9, axis=1)
+    cc = np.diff(np.append((np.arange(9) * w) // 9, w))
+    g = ce // (rc[:, None] * cc[None, :])
+    bits = (g[:, :8] > g[:, 1:9]).astype(np.int64)
+    weights = 1 << (31 - np.arange(32, dtype=np.int64))
+    flat = bits.reshape(64)
+    return int((flat[:32] * weights).sum()), int((flat[32:] * weights).sum())
+
+
+IMAGE_DHASH_SCHEMA = (
+    "media_id string, decoded_ok boolean, dhash_hi bigint, dhash_lo bigint"
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Per-image difference hash (media_id, decoded_ok, dhash_hi,
+    dhash_lo) — the perceptual-dedup key for image payloads: re-saves
+    and mild brightness shifts keep neighbor ORDER, so near-identical
+    images land within a few Hamming bits while distinct photos are
+    ~32 bits apart. Same bytes-discipline as image_features: pruned
+    scan -> mapInPandas -> small keyed output; undecodable / too-small
+    / unknown-mime rows surface decoded_ok=false with NULL hashes."""
+    pruned = media.select("media_id", "bytes", "mime")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            hi: list = [None] * n
+            lo: list = [None] * n
+            for i, (b, mime) in enumerate(zip(pdf["bytes"], pdf["mime"])):
+                dec = _IMAGE_DECODERS.get(mime)
+                if dec is None or b is None:
+                    continue
+                try:
+                    hash_ = _dhash_from_img(dec(b))
+                except (ValueError, IndexError):
+                    continue
+                if hash_ is None:
+                    continue
+                ok[i] = True
+                hi[i], lo[i] = hash_
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "decoded_ok": ok,
+                    "dhash_hi": pd.array(hi, dtype="Int64"),
+                    "dhash_lo": pd.array(lo, dtype="Int64"),
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=IMAGE_DHASH_SCHEMA)
+
+
+def image_dhash_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate image pairs (id_a, id_b, hamming) from dhash
+    rows — banded exact-match candidate generation, then Hamming
+    verify. Scale shape (the dedup.py LSH discipline): the 64-bit
+    hash splits into four 16-bit bands; by pigeonhole a pair with
+    hamming <= 3 cannot differ in all four bands, so recall is FULL
+    for max_hamming <= 3 and recall-documented above it (a pair
+    spreading 4+ differing bits across all four bands is missed —
+    the standard banded-LSH trade, same as simhash_neardup's
+    pigeonhole banding). Shuffles carry
+    (band_val, id) only; verify joins hashes back by id, never
+    payloads; all-pairs never forms."""
+    from pyspark.sql import functions as F
+
+    h = hashes.filter(F.col("decoded_ok")).select(
+        "media_id", "dhash_hi", "dhash_lo"
+    )
+    bands = h.select(
+        "media_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"),
+                         F.shiftright("dhash_hi", 16).alias("v")),
+                F.struct(F.lit(1).alias("b"),
+                         (F.col("dhash_hi") % 65536).alias("v")),
+                F.struct(F.lit(2).alias("b"),
+                         F.shiftright("dhash_lo", 16).alias("v")),
+                F.struct(F.lit(3).alias("b"),
+                         (F.col("dhash_lo") % 65536).alias("v")),
+            )
+        ).alias("band"),
+    ).select("media_id", "band.b", "band.v")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"),
+    )
+    hb = h.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"),
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

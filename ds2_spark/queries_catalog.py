@@ -3918,6 +3918,94 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synthesis for the image-dhash queries: one REAL 9x8 P6
+    PPM per document with R=G=B (luma weights sum to 1000 so the gray
+    value survives the luma step exactly). Pixels are a QUADRATIC
+    closed form p(k) = (x*x*7 + x*13) % 251 with x = pair*73 + k + 1 —
+    quadratic, not linear, because a linear gradient makes every
+    image's neighbor-comparison bits nearly identical (the first cut
+    produced ~22 accidental 'near-dups' per doc and a quadratic
+    band-bucket blowup at larger SFs; x^2 scatter makes distinct
+    pairs ~32 bits apart, the realistic operating point). x <= ~365k
+    at sf0.1 so x*x*7 < 2^63 — exact in BIGINT on both engines. Odd
+    doc_ids perturb 3 pixels (k in 0/29/58) of their even sibling's
+    image — the flipped comparison bits land in bands 0/1/3 only, so
+    band 2 always matches and planted-pair recall is exactly 1. The
+    ENGINE decodes the actual bytes (header walk + frombuffer +
+    area-mean resize identity at 9x8); the ORACLE never sees a byte —
+    it recomputes the hash from the pixel formula, so the whole
+    decode+hash kernel sits between them (the q_audio_fingerprint
+    discipline)."""
+    # repartition BEFORE synthesis: mapInPandas parallelism = input
+    # partitions, and the small documents scan is 1-2 (NOTES.md #22)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id")
+    k = F.sequence(F.lit(0), F.lit(71))
+    pair = F.col("doc_id") - (F.col("doc_id") % 2)
+
+    def _pix(i):
+        x = pair * 73 + i + 1
+        return (
+            x * x * 7 + x * 13
+            + F.when(
+                ((F.col("doc_id") % 2) == 1) & ((i % 29) == 0), F.lit(97)
+            ).otherwise(F.lit(0))
+        ) % 251
+
+    pix = F.transform(k, _pix)
+    hexpix = F.array_join(
+        F.transform(
+            pix, lambda p: F.repeat(F.lpad(F.hex(p), 2, "0"), 3)
+        ),
+        "",
+    )
+    return docs.select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit("50360A3920380A3235350A")),  # "P6\n9 8\n255\n"
+            F.unhex(hexpix),
+        ).alias("bytes"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+    )
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (operators/multimodal.image_dhash) — the
+    dedup key for image payloads: integer luma, exact area-mean
+    resize to the 9x8 dHash grid, neighbor-comparison bits packed
+    into two 32-bit halves (one signed-64 pack would overflow bit 63
+    on the SQL side). 10000 REAL P6 payloads decoded by the engine vs
+    a formula-only SQL re-derivation — the decoder and hash kernel
+    sit entirely between the two sides."""
+    from .operators.multimodal import image_dhash
+
+    media = _dhash_media(spark, sf_dir)
+    out = image_dhash(media)
+    return (
+        media.select("doc_id", "media_id")
+        .join(out, "media_id")
+        .select("doc_id", "decoded_ok", "dhash_hi", "dhash_lo")
+        .orderBy("doc_id")
+    )
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming near-dup over image dhashes
+    (operators/multimodal.image_dhash_pairs) — four 16-bit bands give
+    FULL recall at hamming <= 3 by pigeonhole (the planted pairs
+    perturb 3 pixels), ids-only shuffles, no all-pairs. The oracle
+    recomputes both hashes closed-form and replays the identical
+    band-join + popcount(xor) verify in SQL."""
+    from .operators.multimodal import image_dhash, image_dhash_pairs
+
+    media = _dhash_media(spark, sf_dir)
+    pairs = image_dhash_pairs(image_dhash(media), max_hamming=8)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (operators/expectations.check_contract)
     — the pre-ingest batch gate: every predicate rule compiles to one
@@ -4106,6 +4194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonical": q_url_canonical,
         "q_domain_stats": q_domain_stats,
         "q_html_extract": q_html_extract,
+        "q_image_dhash": q_image_dhash,
+        "q_image_neardup": q_image_neardup,
         "q_expectations": q_expectations,
         "q_percentile_hist": q_percentile_hist,
     }
@@ -7882,6 +7972,69 @@ def _html_extract_oracle_sql() -> str:
 
 
 ORACLE_SQL["q_html_extract"] = _html_extract_oracle_sql()
+
+
+# Image dhash: the oracle recomputes both 32-bit halves from the
+# closed-form pixel synthesis — it never touches a byte; the engine
+# decodes REAL P6 payloads, so header walk + frombuffer + area-mean
+# resize + luma + bit-pack all sit between the two sides.
+def _dhash_oracle_ctes() -> str:
+    def p(k: str) -> str:
+        x = f"((doc_id - doc_id % 2) * 73 + ({k}) + 1)"
+        return (
+            f"({x} * {x} * 7 + {x} * 13"
+            f" + CASE WHEN doc_id % 2 = 1 AND ({k}) % 29 = 0"
+            f" THEN 97 ELSE 0 END) % 251"
+        )
+
+    def half(b0: int) -> str:
+        k1 = f"((b + {b0}) // 8) * 9 + (b + {b0}) % 8"
+        return (
+            f"CAST(list_sum(list_transform(generate_series(0, 31),"
+            f" b -> CASE WHEN {p(k1)} > {p(k1 + ' + 1')}"
+            f" THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END))"
+            f" AS BIGINT)"
+        )
+
+    return f"""
+    h AS MATERIALIZED (
+      SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+             {half(0)} AS dhash_hi,
+             {half(32)} AS dhash_lo
+      FROM documents)"""
+
+
+ORACLE_SQL["q_image_dhash"] = f"""
+    WITH {_dhash_oracle_ctes()}
+    SELECT doc_id, true AS decoded_ok, dhash_hi, dhash_lo
+    FROM h
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["q_image_neardup"] = f"""
+    WITH {_dhash_oracle_ctes()},
+    bands AS MATERIALIZED (
+      SELECT media_id, 0 AS bi, dhash_hi // 65536 AS bv FROM h
+      UNION ALL SELECT media_id, 1, dhash_hi % 65536 FROM h
+      UNION ALL SELECT media_id, 2, dhash_lo // 65536 FROM h
+      UNION ALL SELECT media_id, 3, dhash_lo % 65536 FROM h),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id),
+    v AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(ha.dhash_hi, hb.dhash_hi))
+                  + bit_count(xor(ha.dhash_lo, hb.dhash_lo)) AS INT)
+               AS hamming
+      FROM cand
+      JOIN h ha ON ha.media_id = cand.id_a
+      JOIN h hb ON hb.media_id = cand.id_b)
+    SELECT id_a, id_b, hamming
+    FROM v
+    WHERE hamming <= 8
+    ORDER BY id_a, id_b
+"""
 
 
 # Expectations: independent conditional-count derivation per rule (the
