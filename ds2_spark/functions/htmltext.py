@@ -47,7 +47,8 @@ COMMENT_RE = r"(?s)<!--.*?-->"
 TAG_RE = r"(?s)<[^>]*>"
 DEC_ENT_RE = r"&#([0-9]{1,7});"
 HEX_ENT_RE = r"&#[xX]([0-9A-Fa-f]{1,6});"
-WS_RUN = r"[ \t\n\x0b\f\r]+"
+# canonical ASCII-whitespace run (single source: functions/text.py)
+from .text import WS_SPLIT as WS_RUN  # noqa: E402
 # decode order matters: &amp; LAST (html5 non-double-decode rule)
 NAMED_ENTITIES = (
     ("&nbsp;", " "),

@@ -61,6 +61,28 @@ TRACKING_PARAM_RE = (
 _SLD_SET = ("co", "com", "net", "org", "ac", "gov", "edu")
 DEFAULT_PORTS = (("http", "80"), ("https", "443"))
 
+# Whitespace/control rejection — the one-spec load-bearer for every
+# $-anchored regex in this module: Java's `$` matches BEFORE a final
+# line terminator (\n \r \x0b \f \x85 \u2028 \u2029) while RE2's and
+# Python's match end-of-text only, so 'http://example.com\n' would
+# parse valid-with-stripped-\n in Spark and invalid in DuckDB. RFC
+# 3986 forbids literal whitespace/controls in URLs anyway, so `valid`
+# rejects any such char up front — after the gate, the three engines'
+# `$` semantics coincide on every string that still matters. The
+# class is generated per engine from ONE codepoint list (RE2 needs
+# \x{hhhh} for >0x7f, Java/Python take \uhhhh).
+_REJECT_CPS = tuple(range(0x00, 0x21)) + (0x7F, 0x85, 0x2028, 0x2029)
+REJECT_CLASS_JAVA = (
+    "[" + "".join(f"\\u{c:04x}" for c in _REJECT_CPS) + "]"
+)
+REJECT_CLASS_RE2 = (
+    "["
+    + "".join(
+        f"\\x{{{c:04x}}}" if c > 0x7F else f"\\x{c:02x}" for c in _REJECT_CPS
+    )
+    + "]"
+)
+
 
 # --------------------------------------------------------- Spark side
 
@@ -89,7 +111,8 @@ def url_parts(col: Column | str) -> dict[str, Column]:
     # a non-numeric port suffix ("host:80a") must invalidate the row,
     # not silently vanish from the canonical form
     port_ok = hostport.rlike(r"^[^:]*(:[0-9]+)?$")
-    valid = scheme.isin("http", "https") & host_ok & port_ok
+    ws_free = ~u.rlike(REJECT_CLASS_JAVA)
+    valid = scheme.isin("http", "https") & host_ok & port_ok & ws_free
     dport = F.when(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
@@ -177,8 +200,13 @@ def _url_sql_defs() -> list[tuple[str, str]]:
          f"(regexp_matches({{rawhost}}, '{HOST_OK_RE}')"
          " AND NOT contains({rawhost}, '..') AND length({host}) > 0)"),
         ("port_ok", "regexp_matches({hostport}, '^[^:]*(:[0-9]+)?$')"),
+        ("ws_free",
+         "(NOT regexp_matches({u}, '"
+         + REJECT_CLASS_RE2.replace("{", "{{").replace("}", "}}")
+         + "'))"),
         ("valid",
-         "({scheme} IN ('http', 'https') AND {host_ok} AND {port_ok})"),
+         "({scheme} IN ('http', 'https') AND {host_ok} AND {port_ok}"
+         " AND {ws_free})"),
         ("dport",
          "CASE WHEN ({scheme} = 'http' AND {port0} = '80')"
          " OR ({scheme} = 'https' AND {port0} = '443')"
@@ -262,6 +290,9 @@ def url_parts_sql_ctes(src: str, expr: str = "raw") -> tuple[str, dict]:
 _SCHEME_CRE = re.compile(SCHEME_RE)
 _HOST_OK_CRE = re.compile(HOST_OK_RE)
 _TRACKING_CRE = re.compile(TRACKING_PARAM_RE)
+_REJECT_CRE = re.compile(
+    "[" + re.escape("".join(chr(c) for c in _REJECT_CPS)) + "]"
+)
 
 
 def url_parts_py(url: "str | None") -> "dict | None":
@@ -287,7 +318,8 @@ def url_parts_py(url: "str | None") -> "dict | None":
         and len(host) > 0
     )
     port_ok = bool(re.match(r"^[^:]*(:[0-9]+)?$", hostport))
-    valid = scheme in ("http", "https") and host_ok and port_ok
+    ws_free = not _REJECT_CRE.search(url)
+    valid = scheme in ("http", "https") and host_ok and port_ok and ws_free
     invalid = {k: None for k in (
         "scheme", "host", "port", "path", "query", "domain",
         "had_userinfo", "canonical",

@@ -427,8 +427,14 @@ def image_dhash_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
     payloads; all-pairs never forms."""
     from pyspark.sql import functions as F
 
-    h = hashes.filter(F.col("decoded_ok")).select(
-        "media_id", "dhash_hi", "dhash_lo"
+    # lazy localCheckpoint: h feeds FOUR plan subtrees (bands a/b and
+    # both verify-join sides) and upstream is usually the mapInPandas
+    # decode+hash kernel — without a cut Spark re-runs that kernel
+    # per subtree (the q_html_extract / NOTES #84(d) discipline)
+    h = (
+        hashes.filter(F.col("decoded_ok"))
+        .select("media_id", "dhash_hi", "dhash_lo")
+        .localCheckpoint(eager=False)
     )
     bands = h.select(
         "media_id",

@@ -3963,7 +3963,9 @@ def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("media_id"),
+        # width 12 (not 6): lpad TRUNCATES longer strings, so a 6-wide
+        # pad would collide media_ids at doc_id >= 10^6
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("media_id"),
         F.concat(
             F.unhex(F.lit("50360A3920380A3235350A")),  # "P6\n9 8\n255\n"
             F.unhex(hexpix),
@@ -7998,7 +8000,7 @@ def _dhash_oracle_ctes() -> str:
 
     return f"""
     h AS MATERIALIZED (
-      SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+      SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS media_id,
              {half(0)} AS dhash_hi,
              {half(32)} AS dhash_lo
       FROM documents)"""

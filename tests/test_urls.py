@@ -55,6 +55,17 @@ CASES = [
     # bare host, single label
     "http://localhost:9000/x",
     "",
+    # whitespace/control rejection: Java's $ matches BEFORE a final
+    # line terminator while RE2's and Python's match end-of-text, so
+    # an unchomped crawl line would otherwise parse valid in Spark
+    # and invalid in DuckDB — the ws gate makes all three refuse
+    "http://example.com\n",
+    "http://example.com:8080\n",
+    "http://example.com/p?a=1\n",
+    "http://h/p\nq",
+    "http://exam ple.com/",
+    "http://example.com/ ",
+    "\thttp://example.com/",
 ]
 
 
