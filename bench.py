@@ -108,6 +108,12 @@ HEADLINE = [
     "q_corpus_build",
     "q_lm_kn",
     "q_nfc_normalize",
+    "q_url_canonical",
+    "q_domain_stats",
+    "q_html_extract",
+    "q_image_dhash",
+    "q_image_neardup",
+    "q_quality_probe",
     "flagship",
 ]
 

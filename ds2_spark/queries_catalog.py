@@ -4008,6 +4008,50 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRAINED linear quality probe (operators/probe) —
+    the trained-classifier gate real corpora use alongside hand
+    rules: 8 full-batch GD steps, each ONE map-side-combined Spark
+    aggregate whose per-row gradient contributions are
+    integer-quantized before summing (floor(x*r*1e6 + 0.5) as
+    BIGINT), so the whole weight trajectory is partitioning-
+    independent and bit-exactly replayable. The oracle re-runs the
+    ENTIRE training — 8 unrolled CTE rounds cross-joining the 1-row
+    weight table — plus inference, in DuckDB: every float op is a
+    fixed left-fold on exactly-agreed operands, so engine and oracle
+    scores match on hash, not tolerance. Labels are a deterministic
+    linear rule over small integer features (separable: the probe
+    reaches ~94% train accuracy by step 8, and `keep` splits the
+    corpus non-vacuously)."""
+    from .operators.probe import probe_score_col, train_linear_probe
+
+    feats = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.lit(1).alias("b"),
+            (F.length("text") % 7).alias("f1"),
+            (F.col("doc_id") % 5).alias("f2"),
+        )
+        .withColumn(
+            "y",
+            F.when(F.col("f1") + F.col("f2") > 5, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        # 8 training scans + the output scan reuse one materialization
+        .localCheckpoint(eager=False)
+    )
+    cols = ["b", "f1", "f2"]
+    w = train_linear_probe(feats, cols, "y", steps=8, lr=0.02)
+    score = probe_score_col(cols, w)
+    return feats.select(
+        "doc_id", "f1", "f2", "y",
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (operators/expectations.check_contract)
     — the pre-ingest batch gate: every predicate rule compiles to one
@@ -4198,6 +4242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_extract": q_html_extract,
         "q_image_dhash": q_image_dhash,
         "q_image_neardup": q_image_neardup,
+        "q_quality_probe": q_quality_probe,
         "q_expectations": q_expectations,
         "q_percentile_hist": q_percentile_hist,
     }
@@ -8012,6 +8057,60 @@ ORACLE_SQL["q_image_dhash"] = f"""
     FROM h
     ORDER BY doc_id
 """
+
+# Quality probe: the oracle re-runs the ENTIRE 8-step training as
+# unrolled CTE rounds (the q_bpe_train discipline) — integer-quantized
+# gradients make each round's sums exact, and every float update is a
+# fixed op sequence on exactly-agreed operands, so the final weights
+# (and therefore scores) are bit-identical without any tolerance.
+def _quality_probe_oracle_sql(steps: int = 8, lr: float = 0.02) -> str:
+    feats = ["b", "f1", "f2"]
+
+    def dot(wrel: str) -> str:
+        acc = f"({feats[0]} * {wrel}.w0)"
+        for j, c in enumerate(feats[1:], 1):
+            acc = f"({acc} + {c} * {wrel}.w{j})"
+        return acc
+
+    ctes = [
+        "t AS MATERIALIZED (SELECT doc_id, 1 AS b, length(text) % 7 AS f1,"
+        " doc_id % 5 AS f2,"
+        " CASE WHEN (length(text) % 7) + (doc_id % 5) > 5 THEN 1 ELSE 0 END"
+        " AS y FROM documents)",
+        "nn AS (SELECT count(*) AS n FROM t)",
+        "w0t AS (SELECT CAST(0.0 AS DOUBLE) AS w0,"
+        " CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2)",
+    ]
+    prev = "w0t"
+    for s in range(1, steps + 1):
+        g_cols = ", ".join(
+            f"CAST(sum(CAST(floor({c} * ({dot(prev)} - y) * 1000000.0"
+            f" + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j, c in enumerate(feats)
+        )
+        ctes.append(
+            f"g{s} AS MATERIALIZED (SELECT {g_cols} FROM t, {prev})"
+        )
+        w_cols = ", ".join(
+            f"{prev}.w{j} - {lr!r} * (g{s}.g{j} / (1000000 * nn.n))"
+            f" AS w{j}"
+            for j in range(len(feats))
+        )
+        ctes.append(f"w{s}t AS (SELECT {w_cols} FROM g{s}, {prev}, nn)")
+        prev = f"w{s}t"
+    score = dot(prev)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id, f1, f2, y, {score} AS score, {score} >= 0.5 AS keep
+    FROM t, {prev}
+    ORDER BY doc_id
+"""
+    )
+
+
+ORACLE_SQL["q_quality_probe"] = _quality_probe_oracle_sql()
 
 ORACLE_SQL["q_image_neardup"] = f"""
     WITH {_dhash_oracle_ctes()},
