@@ -657,3 +657,49 @@ def run_filter_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def run_web_ingest_stream_once(
+    spark: SparkSession,
+    docs_dir: str,
+    query_name: str = "web_ingest",
+) -> DataFrame:
+    """Incremental twin of the web-ingest ladder: URL canonicalization
+    (functions/urls) + HTML extraction (functions/htmltext) over a
+    micro-batched (doc_id, url, html) file stream — newly-crawled
+    pages get their dedup key (canonical URL), registrable domain, and
+    visible text as they land, identical to the batch plan because
+    every step is a stateless pure-JVM projection (regexp chains +
+    bounded HOF entity folds; no watermark, no state store). This is
+    the production shape: canonicalize/strip at INGEST so every
+    downstream consumer (exact dedup, domain stats, quality filters)
+    reads one agreed form."""
+    from pyspark.sql import functions as F
+
+    from ..functions.htmltext import strip_html_col
+    from ..functions.urls import url_parts
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string, html string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(docs_dir)
+    )
+    p = url_parts("url")
+    out = stream.select(
+        "doc_id",
+        p["valid"].alias("url_valid"),
+        p["canonical"].alias("canonical"),
+        p["domain"].alias("domain"),
+        strip_html_col("html").alias("text_clean"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -711,3 +711,62 @@ def test_bpe_encode_stream_matches_batch(spark, tmp_path):
         for r in bpe_encode(spark.read.parquet(docs_dir), merges).collect()
     }
     assert stream_out == batch_out and len(stream_out) == 120
+
+
+def test_web_ingest_stream_matches_batch(spark, tmp_path):
+    """URL canonicalization + HTML extraction are identical under
+    Structured Streaming: both are stateless pure-JVM projections, so
+    the micro-batched ingest ladder equals the batch plan row for row
+    (incl. invalid-URL NULL handling and entity-fold edge cases)."""
+    from pyspark.sql import functions as F
+
+    from ds2_spark.functions.htmltext import strip_html_col
+    from ds2_spark.functions.urls import url_parts
+    from ds2_spark.streaming.events import run_web_ingest_stream_once
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(90)
+    m = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    docs = base.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("HTTP://WWW.S"), sid,
+                                F.lit(".COM:80/p?utm_source=x&a=1#f")))
+        .when(m == 1, F.concat(F.lit("https://u:p@h"), sid, F.lit(".co.uk/")))
+        .when(m == 2, F.concat(F.lit("not a url "), sid))
+        .otherwise(F.concat(F.lit("http://bad"), sid, F.lit(":9x/"))).alias("url"),
+        F.when(m == 0, F.concat(F.lit("<p>Doc "), sid,
+                                F.lit(" &amp; more</p><script>junk()</script>")))
+        .otherwise(F.concat(F.lit("<b>"), F.col("text").substr(1, 60),
+                            F.lit("</b> &#65;"))).alias("html"),
+    )
+    docs_dir = str(tmp_path / "web_stream")
+    docs.repartition(5).write.mode("overwrite").parquet(docs_dir)
+
+    stream_out = {
+        r["doc_id"]: (r["url_valid"], r["canonical"], r["domain"],
+                      r["text_clean"])
+        for r in run_web_ingest_stream_once(
+            spark, docs_dir, "web_ingest_test"
+        ).collect()
+    }
+    p = url_parts("url")
+    batch_out = {
+        r["doc_id"]: (r["url_valid"], r["canonical"], r["domain"],
+                      r["text_clean"])
+        for r in spark.read.parquet(docs_dir).select(
+            "doc_id",
+            p["valid"].alias("url_valid"),
+            p["canonical"].alias("canonical"),
+            p["domain"].alias("domain"),
+            strip_html_col("html").alias("text_clean"),
+        ).collect()
+    }
+    assert stream_out == batch_out and len(stream_out) == 90
+    # the ladder is non-vacuous in this fixture: valid and invalid
+    # URLs both present, entity decode actually fired
+    valids = [v[0] for v in stream_out.values()]
+    assert any(valids) and not all(valids)
+    assert any("&" not in (v[3] or "") and "A" in (v[3] or "")
+               for v in stream_out.values())
