@@ -109,12 +109,70 @@ AUDITED = [
     "q_corpus_build",
     "q_lm_kn",
     "q_percentile_hist",
+    "q_url_canonical",
+    "q_domain_stats",
+    "q_html_extract",
+    "q_image_dhash",
+    "q_image_neardup",
+    "q_quality_probe",
     "flagship",
 ]
 
 # hand-maintained strategy notes rendered under the matching query's
 # plan — measured facts that the plan dump alone can't show
 STRATEGY_NOTES = {
+    "q_url_canonical": """\
+**URL canonicalization shape:** nine derived columns over one pruned
+scan, every expression a pure-JVM regexp/string chain (codegen) plus
+bounded HOFs for param sort — no UDF, no shuffle except the output
+sort. The nested expression tree recomputes shared subtrees per output
+column; that is acceptable at projection cost (string ops) but the
+ORACLE side goes superlinear, hence url_parts_sql_ctes stages every
+intermediate exactly once in MATERIALIZED steps (6.5s -> 0.03s at
+sf0.01). At 10^12 rows this projection pipelines inside the scan stage
+with zero exchanges; the canonical column then becomes the exact-dedup
+shuffle key downstream.""",
+    "q_domain_stats": """\
+**Domain aggregate shape:** canonicalize-then-groupBy(domain) —
+shuffle carries (domain, canonical) only, never page payloads.
+count_distinct(canonical) plans as the standard two-phase
+partial_count + Expand; domain is a low-cardinality key whose hot-head
+(a dominant CDN/host) is the classic salted-agg case at scale
+(plans/pipeline.salted_scatter); the broadcast blocklist is an isin
+literal, no join at all.""",
+    "q_html_extract": """\
+**HTML extraction shape:** the interpreted regex+entity-fold chain is
+referenced by THREE consumers (text, length, keep), so the query cuts
+with a lazy localCheckpoint — CollapseProject would otherwise inline
+the chain per consumer (measured 1.79s -> 1.2s cold at sf0.01; same
+fix as the tfidf re-explode trap). The oracle's CTE is AS MATERIALIZED
+for the identical reason on the DuckDB side (6.1s -> 0.7s).""",
+    "q_image_dhash": """\
+**Image dhash shape:** pruned (media_id, bytes, mime) -> ONE
+mapInPandas decode+hash -> small keyed output; bytes never enter a
+shuffle. The synthesized media frame is repartitioned to
+defaultParallelism BEFORE the mapInPandas (NOTES #22: the 1-partition
+documents scan ran the decode serial — 1.82s -> 1.4s warm sf0.1, and
+the real win is at scale where partitions ~ cores).""",
+    "q_image_neardup": """\
+**Banded Hamming near-dup shape:** the hash frame is lazily
+localCheckpointed because FOUR plan subtrees consume it (bands a/b +
+both verify-join sides) and upstream is the decode kernel — without
+the cut Spark re-ran the mapInPandas per subtree (2.3s -> 1.3s at
+sf0.01). Candidate generation is an ids-only band self-join (16-bit
+exact-match buckets); verify joins the two 32-bit halves back by id
+and filters popcount(xor) — no all-pairs anywhere.""",
+    "q_quality_probe": """\
+**Trained probe shape:** 8 training steps = 8 map-side-combined
+aggregates over the localCheckpointed feature frame, each reducing to
+d=3 BIGINT gradient sums — the shuffle is d scalars per partition,
+nothing else moves. The integer quantization (floor(x*r*1e6+0.5)
+summed as BIGINT) is what makes the distributed sum order-free, so
+the weight trajectory is bit-identical at any partitioning — the
+DuckDB oracle re-runs the whole training as unrolled CTE rounds and
+matches on hash. At 10^12 rows: subsample upstream
+(stratified_sample is shuffle-free) — full-batch GD is k full scans
+by design.""",
     "q_percentile_hist": """\
 **Histogram-percentile decomposition (operators/percentile.py):** the
 first aggregate is groupBy(group, value).count() — partial_count on the
