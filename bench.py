@@ -114,6 +114,7 @@ HEADLINE = [
     "q_image_dhash",
     "q_image_neardup",
     "q_quality_probe",
+    "q_wav_wrap",
     "flagship",
 ]
 

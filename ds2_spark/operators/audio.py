@@ -2040,3 +2040,91 @@ def audio_compress_dynamics(
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_COMPRESS_SCHEMA)
+
+
+def encode_wav_pcm16(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """int linear samples -> mono PCM16 RIFF/WAVE bytes (the exact
+    inverse of decode_wav_int's format-1 path: 44-byte canonical
+    header + little-endian samples, values clipped to int16). The
+    header is fully determined by (n_samples, sr_hz), so a SQL oracle
+    can predict total size (44 + 2n) and the decoded content without
+    parsing anything."""
+    if sr_hz <= 0:
+        raise ValueError("sr_hz must be positive")
+    data = np.clip(pcm, -32768, 32767).astype("<i2").tobytes()
+    n = len(data)
+    hdr = (
+        b"RIFF"
+        + (36 + n).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")       # PCM
+        + (1).to_bytes(2, "little")       # mono
+        + sr_hz.to_bytes(4, "little")
+        + (sr_hz * 2).to_bytes(4, "little")   # byte rate
+        + (2).to_bytes(2, "little")       # block align
+        + (16).to_bytes(2, "little")      # bits
+        + b"data"
+        + n.to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def audio_wrap_wav(clips: DataFrame) -> DataFrame:
+    """Container-normalization sink stage: decode every decodable clip
+    through the integer-exact registry and re-wrap it as mono PCM16
+    RIFF/WAV (codec tag 'wav') — the standard interchange form a
+    downstream consumer that only speaks WAV expects. Inverse pair
+    with decode_wav_int: wrap-then-decode is the identity on PCM16
+    content (pytest-pinned), and a wrapped corpus round-trips through
+    audio_codec_energy bit-exactly. Same narrow shape as
+    audio_transcode: pruned scan -> mapInPandas -> sink, bytes never
+    shuffle, undecodable rows pass through with NULL bytes and their
+    ORIGINAL codec tag (quarantine routing). Expects sr_hz on the
+    input frame (the clips-table contract column)."""
+    pruned = clips.select("clip_id", "bytes", "codec", "sr_hz")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codecs = pdf["codec"].tolist()
+            payloads = pdf["bytes"].tolist()
+            srs = pdf["sr_hz"].tolist()
+            aidx = [i for i, c in enumerate(codecs) if c == "adpcm_ima"]
+            adpcm = (
+                dict(zip(aidx, adpcm_decode_batch([payloads[i] for i in aidx])))
+                if aidx else {}
+            )
+            out_bytes: list = []
+            out_codec: list[str] = []
+            nsamp = np.zeros(len(pdf), dtype=np.int64)
+            for i, (b, codec) in enumerate(zip(payloads, codecs)):
+                pcm = None
+                if i in adpcm:
+                    pcm = adpcm[i]
+                else:
+                    dec = _INT_DECODERS.get(codec)
+                    w = codec_sample_width(codec)
+                    if dec is not None and b is not None and len(b) >= w \
+                            and len(b) % w == 0:
+                        try:
+                            pcm = dec(b)
+                        except ValueError:
+                            pcm = None
+                sr = srs[i]
+                if pcm is None or sr is None or sr <= 0:
+                    out_bytes.append(None)
+                    out_codec.append(codec)
+                else:
+                    out_bytes.append(encode_wav_pcm16(pcm, int(sr)))
+                    out_codec.append("wav")
+                    nsamp[i] = len(pcm)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "bytes": out_bytes,
+                    "codec": out_codec,
+                    "n_samples": nsamp,
+                }
+            )
+
+    return pruned.mapInPandas(_op, schema=AUDIO_TRANSCODE_SCHEMA)

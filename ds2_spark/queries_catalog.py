@@ -4052,6 +4052,50 @@ def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_wav_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-normalization SINK (operators/audio.audio_wrap_wav) —
+    the inverse of the WAV scan path: raw PCM16 clips re-wrapped as
+    canonical mono RIFF/WAV, then decoded BACK through
+    audio_codec_energy's 'wav' path, so header synthesis, the 44-byte
+    canonical layout, and parse_wav_header/decode_wav_int all sit
+    between the closed-form synthesis and the closed-form oracle.
+    Quarantine routing live: every 11th payload is NULL and every
+    13th is tagged with an unregistered codec — both pass through
+    with NULL bytes + ORIGINAL codec tag and refuse downstream."""
+    from .operators.audio import audio_codec_energy, audio_wrap_wav
+
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
+    e = F.col("event_id")
+    n = (e % 9 + 20).cast("int")
+    synth = _synth_pcm16_hex(n, lambda i: (e * 31 + i * 1717) % 65401 - 32700)
+    payload = F.when(e % 11 == 0, F.lit(None).cast("binary")).otherwise(synth)
+    codec = F.when(e % 13 == 0, F.lit("opus")).otherwise(F.lit("pcm_s16le"))
+    clips = ev.select(
+        e.cast("string").alias("clip_id"),
+        payload.alias("bytes"),
+        codec.alias("codec"),
+        F.lit(16000).alias("sr_hz"),
+    )
+    w = audio_wrap_wav(clips)
+    en = audio_codec_energy(w)
+    return (
+        w.select("clip_id", "codec", F.length("bytes").alias("n_bytes"))
+        .join(en, "clip_id")
+        .select(
+            F.col("clip_id").cast("long").alias("clip_id"),
+            "codec",
+            "n_bytes",
+            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            "n_samples",
+            "abs_energy",
+            "max_abs",
+        )
+        .orderBy("clip_id")
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (operators/expectations.check_contract)
     — the pre-ingest batch gate: every predicate rule compiles to one
@@ -4243,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_dhash": q_image_dhash,
         "q_image_neardup": q_image_neardup,
         "q_quality_probe": q_quality_probe,
+        "q_wav_wrap": q_wav_wrap,
         "q_expectations": q_expectations,
         "q_percentile_hist": q_percentile_hist,
     }
@@ -8111,6 +8156,37 @@ def _quality_probe_oracle_sql(steps: int = 8, lr: float = 0.02) -> str:
 
 
 ORACLE_SQL["q_quality_probe"] = _quality_probe_oracle_sql()
+
+# WAV wrap: the oracle re-derives byte counts (44-byte canonical
+# header + 2n) and decoded energies from the closed-form sample
+# formula — the engine's encode_wav_pcm16 -> parse_wav_header ->
+# decode_wav_int round-trip sits entirely between.
+ORACLE_SQL["q_wav_wrap"] = """
+    WITH t AS MATERIALIZED (
+      SELECT event_id,
+             CAST(event_id % 9 + 20 AS INT) AS n,
+             (event_id % 11 = 0) AS null_payload,
+             (event_id % 13 = 0) AS bad_codec
+      FROM events),
+    d AS (
+      SELECT event_id, n,
+             NOT (null_payload OR bad_codec) AS ok,
+             CASE WHEN NOT (null_payload OR bad_codec) THEN 'wav'
+                  WHEN bad_codec THEN 'opus'
+                  ELSE 'pcm_s16le' END AS codec,
+             list_transform(generate_series(0, n - 1),
+               i -> abs((event_id * 31 + i * 1717) % 65401 - 32700)) AS a
+      FROM t)
+    SELECT event_id AS clip_id, codec,
+           CASE WHEN ok THEN 44 + 2 * n END AS n_bytes,
+           CAST(ok AS INT) AS decoded_ok,
+           CAST(CASE WHEN ok THEN n ELSE 0 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN ok THEN list_sum(a) ELSE 0 END AS BIGINT)
+             AS abs_energy,
+           CAST(CASE WHEN ok THEN list_max(a) ELSE 0 END AS INT) AS max_abs
+    FROM d
+    ORDER BY clip_id
+"""
 
 ORACLE_SQL["q_image_neardup"] = f"""
     WITH {_dhash_oracle_ctes()},

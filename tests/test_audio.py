@@ -1513,3 +1513,67 @@ def test_audio_compress_dynamics_content(spark):
         threshold=thr, ratio=1,
     ).collect()[0]
     assert bytes(ident["bytes"]) == rows[0][1]
+
+
+def test_encode_wav_roundtrip_exact():
+    import numpy as np
+
+    from ds2_spark.operators.audio import (
+        decode_wav_int,
+        encode_wav_pcm16,
+        parse_wav_header,
+    )
+
+    rng = np.random.RandomState(5)
+    pcm = rng.randint(-32768, 32768, size=977).astype(np.int32)
+    b = encode_wav_pcm16(pcm, 8000)
+    h = parse_wav_header(b)
+    assert (h["audio_format"], h["channels"], h["sr_hz"], h["bits"]) == (
+        1, 1, 8000, 16,
+    )
+    assert len(b) == 44 + 2 * 977 and h["data_len"] == 2 * 977
+    assert (decode_wav_int(b) == pcm).all()
+    # out-of-range values clip, not wrap
+    clipped = encode_wav_pcm16(np.array([40000, -40000]), 16000)
+    assert list(decode_wav_int(clipped)) == [32767, -32768]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sr_hz"):
+        encode_wav_pcm16(pcm, 0)
+
+
+def test_audio_wrap_wav_quarantine_and_codecs(spark):
+    import numpy as np
+
+    from ds2_spark.operators.audio import (
+        audio_wrap_wav,
+        decode_wav_int,
+        decode_ulaw_int,
+        encode_ulaw_int,
+    )
+
+    pcm = np.arange(-50, 50, dtype=np.int32) * 100
+    rows = [
+        ("pcm", bytes(pcm.astype("<i2").tobytes()), "pcm_s16le", 16000),
+        ("ulaw", bytes(encode_ulaw_int(pcm).tobytes()), "pcm_ulaw", 8000),
+        ("null", None, "pcm_s16le", 16000),
+        ("unknown", b"\x00\x01", "opus", 16000),
+        ("badsr", bytes(pcm.astype("<i2").tobytes()), "pcm_s16le", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    out = {r["clip_id"]: r for r in audio_wrap_wav(df).collect()}
+    assert out["pcm"]["codec"] == "wav"
+    assert (decode_wav_int(bytes(out["pcm"]["bytes"])) == pcm).all()
+    # G.711 input decodes through its table then wraps as PCM16
+    assert out["ulaw"]["codec"] == "wav"
+    expect = decode_ulaw_int(bytes(encode_ulaw_int(pcm).tobytes()))
+    assert (decode_wav_int(bytes(out["ulaw"]["bytes"])) == expect).all()
+    # quarantine: NULL payload / unknown codec / bad sr keep ORIGINAL
+    # codec tag with NULL bytes
+    for cid, codec in (("null", "pcm_s16le"), ("unknown", "opus"),
+                       ("badsr", "pcm_s16le")):
+        assert out[cid]["codec"] == codec, cid
+        assert out[cid]["bytes"] is None, cid
+        assert out[cid]["n_samples"] == 0, cid
