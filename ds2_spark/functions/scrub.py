@@ -159,8 +159,11 @@ _COMPILED = [
 ]
 
 
-def scrub_py(text: str) -> str:
-    """Python twin for oracles/fixtures."""
+def scrub_py(text: "str | None") -> "str | None":
+    """Python twin for oracles/fixtures. NULL passes through, same as
+    the JVM/SQL chains (regexp_replace is NULL-preserving)."""
+    if text is None:
+        return None
     for cre, rep in _COMPILED:
         text = cre.sub(rep, text)
     return text
