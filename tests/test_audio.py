@@ -1577,3 +1577,107 @@ def test_audio_wrap_wav_quarantine_and_codecs(spark):
         assert out[cid]["codec"] == codec, cid
         assert out[cid]["bytes"] is None, cid
         assert out[cid]["n_samples"] == 0, cid
+
+
+def _mel_twin(n_mels, n_fft, sr):
+    # independent loop-built mel filterbank (no np.linspace reuse
+    # beyond the mel points; explicit per-bin triangles)
+    import math
+
+    import numpy as np
+
+    def mel(f):
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def imel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    top = mel(sr / 2.0)
+    pts = [imel(top * k / (n_mels + 1)) for k in range(n_mels + 2)]
+    nb = n_fft // 2 + 1
+    freqs = [k * sr / n_fft for k in range(nb)]
+    fb = np.zeros((n_mels, nb))
+    for m in range(n_mels):
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        for k, f in enumerate(freqs):
+            if lo < f < hi:
+                fb[m, k] = min((f - lo) / (c - lo), (hi - f) / (hi - c))
+            elif f == c:
+                fb[m, k] = 1.0
+    return fb
+
+
+def test_mel_filterbank_matches_loop_twin():
+    import numpy as np
+
+    from ds2_spark.operators.audio import mel_filterbank
+
+    for n_mels, n_fft, sr in [(16, 400, 16000), (8, 256, 8000)]:
+        got = mel_filterbank(n_mels, n_fft, sr)
+        exp = _mel_twin(n_mels, n_fft, sr)
+        assert np.allclose(got, exp, atol=1e-9), (n_mels, n_fft, sr)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mel"):
+        mel_filterbank(0, 400, 16000)
+
+
+def test_audio_logmel_band_energy(spark):
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_logmel
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+
+    def tone(hz):
+        return bytes(
+            (12000 * np.sin(2 * np.pi * hz * t)).astype("<i2").tobytes()
+        )
+
+    rows = [
+        ("low", tone(200), sr, "pcm_s16le"),
+        ("high", tone(6000), sr, "pcm_s16le"),
+        ("null", None, sr, "pcm_s16le"),
+        ("short", b"\x01\x00" * 10, sr, "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    out = {r["clip_id"]: r for r in audio_logmel(df, n_mels=16).collect()}
+    lo, hi = out["low"], out["high"]
+    assert lo["decoded_ok"] and hi["decoded_ok"]
+    assert lo["n_frames"] == hi["n_frames"] > 90
+    # a 200 Hz tone peaks in a LOWER mel band than a 6 kHz tone
+    assert int(np.argmax(lo["logmel"])) < int(np.argmax(hi["logmel"]))
+    # refusals
+    assert out["null"]["decoded_ok"] is False and out["null"]["logmel"] is None
+    assert out["short"]["decoded_ok"] is False
+
+
+def test_audio_logmel_matches_numpy_replay(spark):
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_logmel, mel_filterbank
+
+    sr, frame, hop, n_mels = 8000, 256, 128, 8
+    rng = np.random.RandomState(3)
+    pcm = rng.randint(-20000, 20000, size=4000)
+    b = bytes(pcm.astype("<i2").tobytes())
+    df = spark.createDataFrame(
+        [("x", b, sr, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    got = audio_logmel(df, n_mels=n_mels, frame=frame, hop=hop).collect()[0]
+    # independent replay: explicit frame loop, per-frame rFFT
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
+    fb = mel_filterbank(n_mels, frame, sr)
+    acc = []
+    x = pcm.astype(np.float64) / 32767.0  # matches _decode_pcm16's scale
+    for s in range(0, len(x) - frame + 1, hop):
+        spec = np.abs(np.fft.rfft(x[s : s + frame] * hann)) ** 2
+        acc.append(np.log10(np.maximum(fb @ spec, 1e-10)))
+    exp = np.mean(acc, axis=0)
+    assert got["n_frames"] == len(acc)
+    assert np.allclose(np.array(got["logmel"], dtype=np.float64), exp,
+                       atol=1e-5)
