@@ -665,19 +665,32 @@ AUDIO_TRANSCODE_SCHEMA = (
 )
 
 
-def audio_transcode(clips: DataFrame, to_codec: str) -> DataFrame:
+def audio_transcode(
+    clips: DataFrame, to_codec: str, allow_lossy: bool = False
+) -> DataFrame:
     """Re-encode every decodable clip to `to_codec` (pcm_s16le /
-    pcm_ulaw / pcm_alaw): decode through the integer-exact registry,
-    encode with the standard segmented G.711 encoders (or PCM16
-    clip-and-pack). Corpus normalization for mixed-codec tables —
-    bytes stay within the partition (narrow plan: pruned scan ->
-    mapInPandas -> sink; no shuffle ever sees a payload). Undecodable
-    rows pass through with NULL bytes and codec unchanged, so a
-    downstream writer can route refusals to a quarantine path."""
-    if to_codec not in _INT_ENCODERS:
+    pcm_ulaw / pcm_alaw; with allow_lossy=True also adpcm_ima, 4:1):
+    decode through the integer-exact registry, encode with the
+    standard segmented G.711 encoders (or PCM16 clip-and-pack, or the
+    batch-lockstep IMA quantizer). Corpus normalization for
+    mixed-codec tables — bytes stay within the partition (narrow
+    plan: pruned scan -> mapInPandas -> sink; no shuffle ever sees a
+    payload). Undecodable rows pass through with NULL bytes and codec
+    unchanged, so a downstream writer can route refusals to a
+    quarantine path. ADPCM is LOSSY (SNR-grade round-trip, not
+    bit-equality) and therefore a loud opt-in — an exactness-assuming
+    caller must not get a lossy codec by typo."""
+    if to_codec == "adpcm_ima":
+        if not allow_lossy:
+            raise ValueError(
+                "adpcm_ima is LOSSY — pass allow_lossy=True to opt in"
+            )
+        enc = None  # batch path below
+    elif to_codec not in _INT_ENCODERS:
         raise ValueError(f"no integer encoder for codec {to_codec!r}")
+    else:
+        enc = _INT_ENCODERS[to_codec]
     pruned = clips.select("clip_id", "bytes", "codec")
-    enc = _INT_ENCODERS[to_codec]
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -707,10 +720,27 @@ def audio_transcode(clips: DataFrame, to_codec: str) -> DataFrame:
                 if pcm is None:
                     out_bytes.append(None)
                     out_codec.append(codec)
+                elif enc is None:
+                    # adpcm target: collect for the batch-lockstep
+                    # encoder after the decode loop
+                    out_bytes.append(pcm)  # placeholder, replaced below
+                    out_codec.append(to_codec)
+                    nsamp[i] = len(pcm)
                 else:
                     out_bytes.append(enc(pcm))
                     out_codec.append(to_codec)
                     nsamp[i] = len(pcm)
+            if enc is None:
+                todo = [
+                    j for j, v in enumerate(out_bytes)
+                    if v is not None and not isinstance(v, bytes)
+                ]
+                encoded = adpcm_encode_batch([out_bytes[j] for j in todo])
+                for j, eb in zip(todo, encoded):
+                    out_bytes[j] = eb
+                    if eb is None:  # unencodable (<2 samples)
+                        out_codec[j] = codecs[j]
+                        nsamp[j] = 0
             yield pd.DataFrame(
                 {
                     "clip_id": pdf["clip_id"],
@@ -2229,3 +2259,82 @@ def audio_logmel(
             )
 
     return pruned.mapInPandas(_op, schema=AUDIO_LOGMEL_SCHEMA)
+
+
+def adpcm_encode_batch(
+    pcms: "list[np.ndarray | None]",
+) -> "list[bytes | None]":
+    """Encode a BATCH of int linear-sample arrays to IMA ADPCM
+    (4 bits/sample, 4:1 vs PCM16), vectorized across clips exactly
+    like adpcm_decode_batch: one pass over sample index t updates
+    [n_clips]-wide predictor/step-index vectors. The quantizer is the
+    standard successive compare-subtract (bits 4/2/1 against step,
+    step>>1, step>>2) and the encoder tracks the DECODER's
+    reconstruction (same delta arithmetic, same clipping), so error
+    never accumulates beyond one step's quantization floor. LOSSY by
+    nature — round-tripping satisfies an SNR invariant (pytest pins
+    >= 30 dB on band-limited signals), never bit-equality. Header:
+    initial predictor = first sample (first nibble encodes zero
+    diff), initial step index 0. Odd sample counts drop the last
+    sample (nibbles pack two per byte) — documented truncation, same
+    whole-unit discipline as frame truncation elsewhere. None in ->
+    None out; empty/1-sample arrays -> None (nothing encodable)."""
+    m = len(pcms)
+    lens = np.zeros(m, dtype=np.int64)
+    ok = np.zeros(m, dtype=bool)
+    for i, x in enumerate(pcms):
+        if x is None or len(x) < 2:
+            continue
+        ok[i] = True
+        lens[i] = (len(x) // 2) * 2
+    max_n = int(lens.max()) if m else 0
+    if max_n == 0:
+        return [None] * m
+    xs = np.zeros((m, max_n), dtype=np.int32)
+    for i, x in enumerate(pcms):
+        if ok[i]:
+            xs[i, : lens[i]] = np.clip(
+                np.asarray(x[: lens[i]], dtype=np.int64), -32768, 32767
+            )
+    pred = xs[:, 0].copy()
+    idx = np.zeros(m, dtype=np.int32)
+    first = np.where(ok, pred, 0).astype(np.int32)
+    nibs = np.zeros((m, max_n), dtype=np.uint8)
+    for t in range(max_n):
+        step = IMA_STEP_TABLE[idx]
+        diff = xs[:, t] - pred
+        sign = diff < 0
+        ad = np.abs(diff)
+        b4 = ad >= step
+        ad = ad - np.where(b4, step, 0)
+        h = step >> 1
+        b2 = ad >= h
+        ad = ad - np.where(b2, h, 0)
+        q = step >> 2
+        b1 = ad >= q
+        nib = (
+            np.where(sign, 8, 0)
+            + np.where(b4, 4, 0)
+            + np.where(b2, 2, 0)
+            + np.where(b1, 1, 0)
+        ).astype(np.int32)
+        # reconstruct exactly as the decoder will
+        delta = (
+            (step >> 3)
+            + np.where(b4, step, 0)
+            + np.where(b2, step >> 1, 0)
+            + np.where(b1, step >> 2, 0)
+        )
+        pred = np.where(sign, pred - delta, pred + delta)
+        pred = np.clip(pred, -32768, 32767)
+        idx = np.clip(idx + IMA_INDEX_TABLE[nib], 0, 88)
+        nibs[:, t] = nib
+    packed = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).astype(np.uint8)
+    out: "list[bytes | None]" = []
+    for i in range(m):
+        if not ok[i]:
+            out.append(None)
+            continue
+        hdr = int(first[i]).to_bytes(2, "little", signed=True) + b"\x00\x00"
+        out.append(hdr + packed[i, : lens[i] // 2].tobytes())
+    return out

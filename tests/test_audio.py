@@ -1681,3 +1681,80 @@ def test_audio_logmel_matches_numpy_replay(spark):
     assert got["n_frames"] == len(acc)
     assert np.allclose(np.array(got["logmel"], dtype=np.float64), exp,
                        atol=1e-5)
+
+
+def test_adpcm_encode_roundtrip_snr():
+    import numpy as np
+
+    from ds2_spark.operators.audio import (
+        adpcm_decode_batch,
+        adpcm_encode_batch,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (12000 * np.sin(2 * np.pi * 200 * t)).astype(np.int32)
+    enc = adpcm_encode_batch([x])[0]
+    assert len(enc) == 4 + len(x) // 2  # 4:1 vs PCM16 + header
+    dec = adpcm_decode_batch([enc])[0]
+    n = min(len(x), len(dec))
+    err = x[:n].astype(np.float64) - dec[:n]
+    snr = 10 * np.log10((x[:n].astype(np.float64) ** 2).sum() / (err**2).sum())
+    assert snr >= 30.0, snr  # band-limited round-trip invariant
+    # encoder tracks the decoder's reconstruction: error bounded per
+    # sample by the local step (no drift) — check last-quarter SNR too
+    tail = slice(3 * n // 4, n)
+    snr_tail = 10 * np.log10(
+        (x[tail].astype(np.float64) ** 2).sum()
+        / (err[tail] ** 2).sum()
+    )
+    assert snr_tail >= 30.0, snr_tail
+
+
+def test_adpcm_encode_batch_lockstep_independence():
+    import numpy as np
+
+    from ds2_spark.operators.audio import adpcm_encode_batch
+
+    rng = np.random.RandomState(9)
+    clips = [
+        (6000 * np.sin(2 * np.pi * 300 * np.arange(nn) / 8000)).astype(int)
+        for nn in (100, 37, 2)
+    ]
+    together = adpcm_encode_batch(clips + [None, np.array([5])])
+    alone = [adpcm_encode_batch([c])[0] for c in clips]
+    assert together[:3] == alone  # batch lockstep == per-clip
+    assert together[3] is None and together[4] is None
+    # odd length truncates to even, never shifts neighbours
+    assert len(together[1]) == 4 + 36 // 2
+
+
+def test_audio_transcode_adpcm_lossy_optin(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from ds2_spark.operators.audio import (
+        audio_codec_energy,
+        audio_transcode,
+    )
+
+    t = np.arange(4000) / 8000
+    pcm = (9000 * np.sin(2 * np.pi * 250 * t)).astype(np.int32)
+    df = spark.createDataFrame(
+        [("a", bytes(pcm.astype("<i2").tobytes()), "pcm_s16le"),
+         ("bad", None, "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    )
+    with _pytest.raises(ValueError, match="LOSSY"):
+        audio_transcode(df, "adpcm_ima")
+    out = {r["clip_id"]: r
+           for r in audio_transcode(df, "adpcm_ima", allow_lossy=True).collect()}
+    assert out["a"]["codec"] == "adpcm_ima"
+    assert len(out["a"]["bytes"]) == 4 + len(pcm) // 2
+    assert out["bad"]["bytes"] is None and out["bad"]["codec"] == "pcm_s16le"
+    # the transcoded corpus decodes through the registry path
+    en = {r["clip_id"]: r for r in audio_codec_energy(
+        audio_transcode(df, "adpcm_ima", allow_lossy=True)
+    ).collect()}
+    assert en["a"]["decoded_ok"] and en["a"]["n_samples"] == len(pcm)
+    assert not en["bad"]["decoded_ok"]
