@@ -586,6 +586,35 @@ _INT_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
 }
 
 
+def _decode_int_batch(payloads: list, codecs: list) -> list:
+    """One integer decode pass for a whole Arrow batch: the stateful
+    ADPCM codec decodes across-clips in lockstep, every other codec
+    through the per-clip integer registry; rows that cannot decode
+    (unknown codec, NULL/short/misaligned payload, codec error) come
+    back None. The single home of the quarantine rules — three
+    operators consumed drifting copies of this block before."""
+    aidx = [i for i, c in enumerate(codecs) if c == "adpcm_ima"]
+    adpcm = (
+        dict(zip(aidx, adpcm_decode_batch([payloads[i] for i in aidx])))
+        if aidx else {}
+    )
+    out: list = []
+    for i, (b, codec) in enumerate(zip(payloads, codecs)):
+        if i in adpcm:
+            out.append(adpcm[i])
+            continue
+        dec = _INT_DECODERS.get(codec)
+        w = codec_sample_width(codec)
+        if dec is None or b is None or len(b) < w or len(b) % w:
+            out.append(None)
+            continue
+        try:
+            out.append(dec(b))
+        except ValueError:
+            out.append(None)
+    return out
+
+
 def audio_codec_energy(clips: DataFrame) -> DataFrame:
     """Integer-exact per-clip energy over the DECODED linear samples
     for integer-native codecs (PCM16, G.711 mu-law/A-law):
@@ -610,27 +639,9 @@ def audio_codec_energy(clips: DataFrame) -> DataFrame:
             mx = np.zeros(n, dtype=np.int32)
             codecs = pdf["codec"].tolist()
             payloads = pdf["bytes"].tolist()
-            # stateful codec: decode the whole batch in one
-            # across-clips vectorized pass (see adpcm_decode_batch)
-            aidx = [i for i, c in enumerate(codecs) if c == "adpcm_ima"]
-            adpcm = (
-                dict(zip(aidx, adpcm_decode_batch([payloads[i] for i in aidx])))
-                if aidx else {}
-            )
-            for i, (b, codec) in enumerate(zip(payloads, codecs)):
-                if i in adpcm:
-                    pcm = adpcm[i]
-                    if pcm is None:
-                        continue
-                else:
-                    dec = _INT_DECODERS.get(codec)
-                    w = codec_sample_width(codec)
-                    if dec is None or b is None or len(b) < w or len(b) % w:
-                        continue
-                    try:
-                        pcm = dec(b)
-                    except ValueError:
-                        continue
+            for i, pcm in enumerate(_decode_int_batch(payloads, codecs)):
+                if pcm is None:
+                    continue
                 ok[i] = True
                 nsamp[i] = len(pcm)
                 a = np.abs(pcm, dtype=np.int64)
@@ -696,36 +707,23 @@ def audio_transcode(
         for pdf in batches:
             codecs = pdf["codec"].tolist()
             payloads = pdf["bytes"].tolist()
-            aidx = [i for i, c in enumerate(codecs) if c == "adpcm_ima"]
-            adpcm = (
-                dict(zip(aidx, adpcm_decode_batch([payloads[i] for i in aidx])))
-                if aidx else {}
-            )
             out_bytes: list[bytes | None] = []
             out_codec: list[str] = []
             nsamp = np.zeros(len(pdf), dtype=np.int64)
-            for i, (b, codec) in enumerate(zip(payloads, codecs)):
-                pcm = None
-                if i in adpcm:
-                    pcm = adpcm[i]
-                else:
-                    dec = _INT_DECODERS.get(codec)
-                    w = codec_sample_width(codec)
-                    if dec is not None and b is not None and len(b) >= w \
-                            and len(b) % w == 0:
-                        try:
-                            pcm = dec(b)
-                        except ValueError:
-                            pcm = None
+            for i, pcm in enumerate(_decode_int_batch(payloads, codecs)):
+                codec = codecs[i]
                 if pcm is None:
                     out_bytes.append(None)
                     out_codec.append(codec)
                 elif enc is None:
                     # adpcm target: collect for the batch-lockstep
-                    # encoder after the decode loop
+                    # encoder after the decode loop; the encoder
+                    # truncates odd lengths to even (nibbles pack two
+                    # per byte), so report the EVEN count — n_samples
+                    # must equal what the payload decodes back to
                     out_bytes.append(pcm)  # placeholder, replaced below
                     out_codec.append(to_codec)
-                    nsamp[i] = len(pcm)
+                    nsamp[i] = (len(pcm) // 2) * 2
                 else:
                     out_bytes.append(enc(pcm))
                     out_codec.append(to_codec)
@@ -2119,31 +2117,17 @@ def audio_wrap_wav(clips: DataFrame) -> DataFrame:
             codecs = pdf["codec"].tolist()
             payloads = pdf["bytes"].tolist()
             srs = pdf["sr_hz"].tolist()
-            aidx = [i for i, c in enumerate(codecs) if c == "adpcm_ima"]
-            adpcm = (
-                dict(zip(aidx, adpcm_decode_batch([payloads[i] for i in aidx])))
-                if aidx else {}
-            )
             out_bytes: list = []
             out_codec: list[str] = []
             nsamp = np.zeros(len(pdf), dtype=np.int64)
-            for i, (b, codec) in enumerate(zip(payloads, codecs)):
-                pcm = None
-                if i in adpcm:
-                    pcm = adpcm[i]
-                else:
-                    dec = _INT_DECODERS.get(codec)
-                    w = codec_sample_width(codec)
-                    if dec is not None and b is not None and len(b) >= w \
-                            and len(b) % w == 0:
-                        try:
-                            pcm = dec(b)
-                        except ValueError:
-                            pcm = None
+            for i, pcm in enumerate(_decode_int_batch(payloads, codecs)):
                 sr = srs[i]
-                if pcm is None or sr is None or sr <= 0:
+                # sr != sr: Arrow delivers a NULL int as NaN, which
+                # slips past `is None` and `<= 0` — int(NaN) would
+                # kill the task instead of quarantining the row
+                if pcm is None or sr is None or sr != sr or sr <= 0:
                     out_bytes.append(None)
-                    out_codec.append(codec)
+                    out_codec.append(codecs[i])
                 else:
                     out_bytes.append(encode_wav_pcm16(pcm, int(sr)))
                     out_codec.append("wav")
@@ -2231,7 +2215,9 @@ def audio_logmel(
                 zip(pdf["bytes"], pdf["sr_hz"], pdf["codec"])
             ):
                 dec = decoders.get(codec)
-                if dec is None or b is None or sr is None or sr <= 0:
+                # sr != sr: NULL ints arrive as NaN through Arrow
+                if dec is None or b is None or sr is None or sr != sr \
+                        or sr <= 0:
                     continue
                 try:
                     pcm = dec(b).astype(np.float64)

@@ -4078,7 +4078,10 @@ def q_wav_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         codec.alias("codec"),
         F.lit(16000).alias("sr_hz"),
     )
-    w = audio_wrap_wav(clips)
+    # lazy localCheckpoint: TWO consumers (length projection + the
+    # decode-back energy pass) would otherwise each re-run the
+    # decode+WAV-encode kernel (the q_image_neardup discipline)
+    w = audio_wrap_wav(clips).localCheckpoint(eager=False)
     en = audio_codec_energy(w)
     return (
         w.select("clip_id", "codec", F.length("bytes").alias("n_bytes"))

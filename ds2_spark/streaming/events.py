@@ -674,8 +674,6 @@ def run_web_ingest_stream_once(
     the production shape: canonicalize/strip at INGEST so every
     downstream consumer (exact dedup, domain stats, quality filters)
     reads one agreed form."""
-    from pyspark.sql import functions as F
-
     from ..functions.htmltext import strip_html_col
     from ..functions.urls import url_parts
 

@@ -1758,3 +1758,40 @@ def test_audio_transcode_adpcm_lossy_optin(spark):
     ).collect()}
     assert en["a"]["decoded_ok"] and en["a"]["n_samples"] == len(pcm)
     assert not en["bad"]["decoded_ok"]
+
+
+def test_wrap_and_logmel_null_sr_quarantines(spark):
+    # Arrow delivers NULL ints as NaN — int(NaN) must not kill the task
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_logmel, audio_wrap_wav
+
+    pcm = bytes((np.arange(600) % 100).astype("<i2").tobytes())
+    df = spark.createDataFrame(
+        [("ok", pcm, 16000, "pcm_s16le"), ("nullsr", pcm, None, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    w = {r["clip_id"]: r for r in audio_wrap_wav(df).collect()}
+    assert w["ok"]["codec"] == "wav"
+    assert w["nullsr"]["bytes"] is None and w["nullsr"]["codec"] == "pcm_s16le"
+    m = {r["clip_id"]: r for r in audio_logmel(df, frame=256, hop=128).collect()}
+    assert m["ok"]["decoded_ok"] is True
+    assert m["nullsr"]["decoded_ok"] is False
+
+
+def test_transcode_adpcm_odd_length_reports_even_count(spark):
+    import numpy as np
+
+    from ds2_spark.operators.audio import audio_codec_energy, audio_transcode
+
+    pcm = (np.arange(37) * 100).astype(np.int32)  # odd sample count
+    df = spark.createDataFrame(
+        [("x", bytes(pcm.astype("<i2").tobytes()), "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    )
+    tc = audio_transcode(df, "adpcm_ima", allow_lossy=True)
+    row = tc.collect()[0]
+    assert row["n_samples"] == 36  # truncated-to-even, not the input 37
+    assert len(row["bytes"]) == 4 + 36 // 2
+    en = audio_codec_energy(tc).collect()[0]
+    assert en["n_samples"] == 36  # payload round-trips to the REPORTED count

@@ -115,6 +115,7 @@ AUDITED = [
     "q_image_dhash",
     "q_image_neardup",
     "q_quality_probe",
+    "q_wav_wrap",
     "flagship",
 ]
 
@@ -162,6 +163,15 @@ the cut Spark re-ran the mapInPandas per subtree (2.3s -> 1.3s at
 sf0.01). Candidate generation is an ids-only band self-join (16-bit
 exact-match buckets); verify joins the two 32-bit halves back by id
 and filters popcount(xor) — no all-pairs anywhere.""",
+    "q_wav_wrap": """\
+**WAV wrap shape:** pruned scan -> ONE bytes-in/bytes-out mapInPandas
+(decode through the shared _decode_int_batch quarantine rules, wrap
+as canonical 44-byte-header WAV) -> lazy localCheckpoint, because TWO
+consumers (the length projection and the decode-back energy pass)
+would otherwise each re-run the kernel. NaN-safe sr guard: Arrow
+delivers NULL ints as NaN, which slips past `is None`/`<= 0` — the
+`sr != sr` test routes such rows to quarantine instead of killing
+the task.""",
     "q_quality_probe": """\
 **Trained probe shape:** 8 training steps = 8 map-side-combined
 aggregates over the localCheckpointed feature frame, each reducing to
