@@ -115,6 +115,7 @@ HEADLINE = [
     "q_image_neardup",
     "q_quality_probe",
     "q_wav_wrap",
+    "q_datacard",
     "flagship",
 ]
 

@@ -4099,6 +4099,42 @@ def q_wav_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card report — the per-(lang, source) datasheet a corpus
+    release ships (HuggingFace dataset-card / Datasheets-for-Datasets
+    shape): document counts, exact-dedup ratio (distinct md5(text) vs
+    rows), token and char mass as exact integer sums, chars-per-token
+    as ONE division of those sums, and the median length (Spark
+    percentile() == DuckDB quantile_cont, the NOTES #7 recipe). One
+    map-side-combined aggregate over a pruned scan; the md5 distinct
+    rides the same two-phase plan. At 10^12 rows this is the
+    release-gate summary job — group count is |langs| x |sources|
+    (bounded), so the shuffle carries cell aggregates, not rows.
+    Tokenization uses the repo-wide explicit ASCII WS class (non-empty
+    pieces — engines disagree on trailing empties otherwise)."""
+    from .functions.text import WS_SPLIT
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.col("text"), WS_SPLIT), lambda x: x != F.lit(""))
+    )
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+            F.sum(n_tok.cast("long")).alias("total_tokens"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.col("total_chars") / F.col("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (operators/expectations.check_contract)
     — the pre-ingest batch gate: every predicate rule compiles to one
@@ -4291,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_neardup": q_image_neardup,
         "q_quality_probe": q_quality_probe,
         "q_wav_wrap": q_wav_wrap,
+        "q_datacard": q_datacard,
         "q_expectations": q_expectations,
         "q_percentile_hist": q_percentile_hist,
     }
@@ -8159,6 +8196,25 @@ def _quality_probe_oracle_sql(steps: int = 8, lr: float = 0.02) -> str:
 
 
 ORACLE_SQL["q_quality_probe"] = _quality_probe_oracle_sql()
+
+ORACLE_SQL["q_datacard"] = f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           CAST(sum(len(list_filter(
+             regexp_split_to_array(text, '{WS_SPLIT}'),
+             p -> p != ''))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           CAST(sum(length(text)) AS BIGINT)
+             / CAST(sum(len(list_filter(
+                 regexp_split_to_array(text, '{WS_SPLIT}'),
+                 p -> p != ''))) AS BIGINT) AS chars_per_token
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+"""
+
 
 # WAV wrap: the oracle re-derives byte counts (44-byte canonical
 # header + 2n) and decoded energies from the closed-form sample
