@@ -116,6 +116,7 @@ AUDITED = [
     "q_image_neardup",
     "q_quality_probe",
     "q_wav_wrap",
+    "q_datacard",
     "flagship",
 ]
 
