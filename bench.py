@@ -116,6 +116,7 @@ HEADLINE = [
     "q_quality_probe",
     "q_wav_wrap",
     "q_datacard",
+    "q_script_mix",
     "flagship",
 ]
 

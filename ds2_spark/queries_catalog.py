@@ -4135,6 +4135,49 @@ def q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRIPT_SAMPLES = {
+    0: "pure latin text with plenty of letter mass here ",
+    1: "\u0447\u0438\u0441\u0442\u043e \u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 \u0431\u0435\u0437 \u043f\u0440\u0438\u043c\u0435\u0441\u0435\u0439 ",
+    2: "\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3068\u6f22\u5b57\u304b\u306a\u6df7\u5408\u884c ",
+    3: "\u0646\u0635 \u0639\u0631\u0628\u064a \u062e\u0627\u0644\u0635 \u0644\u0644\u0627\u062e\u062a\u0628\u0627\u0631 \u0647\u0646\u0627 ",
+    # mixed-script spoof: latin AND cyrillic both >= 20% of letters
+    4: "sp00f \u0447\u0435\u0440\u0435\u0434\u043e\u0432\u0430\u043d\u0438\u0435 latin and \u043a\u0438\u0440 mixed words here ",
+    5: "1234567890 -- 98765 !!! ",
+}
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix profile (functions/scripts) — the UTS #39
+    mixed-script quality signal: per-doc codepoint counts for
+    latin/cyrillic/cjk/arabic/digit via the exact length-diff trick
+    (no extraction, pure JVM regexp_replace) and an integer-exact
+    mixed-script flag (>= 2 scripts each holding >= 20% of letter
+    mass). The oracle replays the IDENTICAL counts with RE2-flavored
+    classes generated from the same range list; the synthesized texts
+    are \\u-escape-built (the q_sanitize discipline) so a file-level
+    normalizer can't neuter the test."""
+    from .functions.scripts import script_count_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    sid = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.when(m == 0, F.lit(_SCRIPT_SAMPLES[0]))
+        .when(m == 1, F.lit(_SCRIPT_SAMPLES[1]))
+        .when(m == 2, F.lit(_SCRIPT_SAMPLES[2]))
+        .when(m == 3, F.lit(_SCRIPT_SAMPLES[3]))
+        .when(m == 4, F.lit(_SCRIPT_SAMPLES[4]))
+        .otherwise(F.lit(_SCRIPT_SAMPLES[5])),
+        sid,
+    )
+    cols = script_count_cols(F.col("raw"))
+    return (
+        docs.withColumn("raw", raw)
+        .select("doc_id", *[v.alias(k) for k, v in cols.items()])
+        .orderBy("doc_id")
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (operators/expectations.check_contract)
     — the pre-ingest batch gate: every predicate rule compiles to one
@@ -4328,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_probe": q_quality_probe,
         "q_wav_wrap": q_wav_wrap,
         "q_datacard": q_datacard,
+        "q_script_mix": q_script_mix,
         "q_expectations": q_expectations,
         "q_percentile_hist": q_percentile_hist,
     }
@@ -8214,6 +8258,50 @@ ORACLE_SQL["q_datacard"] = f"""
     GROUP BY lang, source
     ORDER BY lang, source
 """
+
+
+# Script mix: script_count_sql (same module as the Spark Columns,
+# RE2-flavored classes generated from the same range list) over the
+# same chr()-composed synthesis.
+def _script_mix_oracle_sql() -> str:
+    from .functions.scripts import script_count_sql
+
+    def sql_str(s: str) -> str:
+        parts: list[str] = []
+        buf = ""
+        for ch in s:
+            if ord(ch) < 128:
+                buf += ch
+            else:
+                if buf:
+                    parts.append("'" + buf.replace("'", "''") + "'")
+                    buf = ""
+                parts.append(f"chr({ord(ch)})")
+        if buf:
+            parts.append("'" + buf.replace("'", "''") + "'")
+        return " || ".join(parts) if parts else "''"
+
+    cases = "".join(
+        f"          WHEN {k} THEN {sql_str(v)}\n"
+        for k, v in _SCRIPT_SAMPLES.items()
+        if k < 5
+    )
+    p = script_count_sql("raw")
+    cols = ", ".join(f"{v} AS {k}" for k, v in p.items())
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id,
+        (CASE CAST(doc_id % 6 AS INT)
+{cases}          ELSE {sql_str(_SCRIPT_SAMPLES[5])}
+        END) || CAST(doc_id AS VARCHAR) AS raw
+      FROM documents)
+    SELECT doc_id, {cols}
+    FROM t
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["q_script_mix"] = _script_mix_oracle_sql()
 
 
 # WAV wrap: the oracle re-derives byte counts (44-byte canonical
