@@ -117,6 +117,7 @@ AUDITED = [
     "q_quality_probe",
     "q_wav_wrap",
     "q_datacard",
+    "q_script_mix",
     "flagship",
 ]
 
