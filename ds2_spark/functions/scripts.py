@@ -21,7 +21,8 @@ Scripts (deliberately coarse, 4 + digits + other):
   cjk       Han 4E00-9FFF, kana 3040-30FF, Hangul AC00-D7A3
   arabic    0600-06FF + supplement 0750-077F
   digit     ASCII 0-9
-  other     everything else non-space (derived: n_chars - spaces - sum)
+  space     the ASCII whitespace set (text.WS_SPLIT's class)
+  other     derived: n_chars - n_space - sum(script counts)
 
 The mixed-script flag is integer-exact: two scripts each holding
 >= 20% of letter mass (5*count >= letters) — no float thresholds.
@@ -35,11 +36,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
-    "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F), (0x1E00, 0x1EFF)),
+    # 0xD7 (multiplication sign) and 0xF7 (division sign) are NOT
+    # letters — including them would let math symbols accrue "latin
+    # letter mass" and flag symbol-heavy non-Latin docs as mixed
+    "latin": (
+        (0x41, 0x5A), (0x61, 0x7A), (0xC0, 0xD6), (0xD8, 0xF6),
+        (0xF8, 0x24F), (0x1E00, 0x1EFF),
+    ),
     "cyrillic": ((0x400, 0x4FF), (0x500, 0x52F)),
     "cjk": ((0x4E00, 0x9FFF), (0x3040, 0x30FF), (0xAC00, 0xD7A3)),
     "arabic": ((0x600, 0x6FF), (0x750, 0x77F)),
     "digit": ((0x30, 0x39),),
+    # ASCII whitespace (the WS_SPLIT character set) so `other` is
+    # derivable: n_chars - n_space - sum of the script counts
+    "space": ((0x09, 0x0D), (0x20, 0x20)),
 }
 
 
@@ -76,7 +86,7 @@ def script_count_cols(col: Column | str) -> dict[str, Column]:
         for k in ("latin", "cyrillic", "cjk", "arabic")
     )
     return {
-        "n_chars": F.length(c),
+        "n_chars": F.length(c).cast("int"),
         **counts,
         "n_letters": letters.cast("int"),
         # >= 2 scripts each at >= 20% of letter mass, and enough
@@ -107,7 +117,9 @@ def script_count_sql(expr: str) -> dict[str, str]:
         for k in ("latin", "cyrillic", "cjk", "arabic")
     ) + ")"
     return {
-        "n_chars": f"length({expr})",
+        # CAST: Spark length() is INT, DuckDB length() is BIGINT —
+        # the one place the types would silently misalign
+        "n_chars": f"CAST(length({expr}) AS INT)",
         **counts,
         "n_letters": f"CAST({letters} AS INT)",
         "is_mixed": (

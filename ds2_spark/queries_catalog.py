@@ -4159,17 +4159,15 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.scripts import script_count_cols
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    m = F.col("doc_id") % 6
+    # modulus and branch list both derive from the dict so adding a
+    # sample cannot desync the query from its oracle
+    m = F.col("doc_id") % len(_SCRIPT_SAMPLES)
     sid = F.col("doc_id").cast("string")
-    raw = F.concat(
-        F.when(m == 0, F.lit(_SCRIPT_SAMPLES[0]))
-        .when(m == 1, F.lit(_SCRIPT_SAMPLES[1]))
-        .when(m == 2, F.lit(_SCRIPT_SAMPLES[2]))
-        .when(m == 3, F.lit(_SCRIPT_SAMPLES[3]))
-        .when(m == 4, F.lit(_SCRIPT_SAMPLES[4]))
-        .otherwise(F.lit(_SCRIPT_SAMPLES[5])),
-        sid,
-    )
+    keys = sorted(_SCRIPT_SAMPLES)
+    sel = F.when(m == keys[0], F.lit(_SCRIPT_SAMPLES[keys[0]]))
+    for k in keys[1:-1]:
+        sel = sel.when(m == k, F.lit(_SCRIPT_SAMPLES[k]))
+    raw = F.concat(sel.otherwise(F.lit(_SCRIPT_SAMPLES[keys[-1]])), sid)
     cols = script_count_cols(F.col("raw"))
     return (
         docs.withColumn("raw", raw)
@@ -8281,22 +8279,41 @@ def _script_mix_oracle_sql() -> str:
             parts.append("'" + buf.replace("'", "''") + "'")
         return " || ".join(parts) if parts else "''"
 
+    keys = sorted(_SCRIPT_SAMPLES)
     cases = "".join(
-        f"          WHEN {k} THEN {sql_str(v)}\n"
-        for k, v in _SCRIPT_SAMPLES.items()
-        if k < 5
+        f"          WHEN {k} THEN {sql_str(_SCRIPT_SAMPLES[k])}\n"
+        for k in keys[:-1]
     )
     p = script_count_sql("raw")
-    cols = ", ".join(f"{v} AS {k}" for k, v in p.items())
+    # stage the 6 count columns ONCE, then derive n_letters/is_mixed
+    # from the ALIASES — the standalone expressions re-embed every
+    # regexp_replace per consumer (~33 evaluations/row instead of 6)
+    count_keys = [
+        k for k in p
+        if k.startswith("n_") and k not in ("n_letters", "n_chars")
+    ]
+    count_cols = ", ".join(f"{p[k]} AS {k}" for k in count_keys)
+    letters = "(n_latin + n_cyrillic + n_cjk + n_arabic)"
+    major = "(" + " + ".join(
+        f"CASE WHEN n_{s} * 5 >= {letters} THEN 1 ELSE 0 END"
+        for s in ("latin", "cyrillic", "cjk", "arabic")
+    ) + ")"
     return f"""
     WITH t AS MATERIALIZED (
       SELECT doc_id,
-        (CASE CAST(doc_id % 6 AS INT)
-{cases}          ELSE {sql_str(_SCRIPT_SAMPLES[5])}
+        (CASE CAST(doc_id % {len(_SCRIPT_SAMPLES)} AS INT)
+{cases}          ELSE {sql_str(_SCRIPT_SAMPLES[keys[-1]])}
         END) || CAST(doc_id AS VARCHAR) AS raw
-      FROM documents)
-    SELECT doc_id, {cols}
-    FROM t
+      FROM documents),
+    c AS MATERIALIZED (
+      SELECT doc_id, raw, CAST(length(raw) AS INT) AS n_chars,
+             {count_cols}
+      FROM t)
+    SELECT doc_id, n_chars, {", ".join(count_keys)},
+           CAST({letters} AS INT) AS n_letters,
+           CASE WHEN raw IS NOT NULL
+                THEN ({letters} >= 20 AND {major} >= 2) END AS is_mixed
+    FROM c
     ORDER BY doc_id
 """
 

@@ -36,7 +36,7 @@ CASES = [
 
 KEYS = [
     "n_chars", "n_latin", "n_cyrillic", "n_cjk", "n_arabic", "n_digit",
-    "n_letters", "is_mixed",
+    "n_space", "n_letters", "is_mixed",
 ]
 
 
@@ -88,3 +88,11 @@ def test_semantics():
     digits = script_counts_py(CASES[7])
     assert digits["n_digit"] == 10 and digits["n_letters"] == 0
     assert digits["is_mixed"] is False
+    # `other` is derivable now that spaces are counted
+    assert digits["n_chars"] - digits["n_space"] - sum(
+        digits[f"n_{k}"] for k in ("latin", "cyrillic", "cjk", "arabic",
+                                   "digit")
+    ) == len("--- !!!".replace(" ", ""))
+    # multiplication/division signs are NOT latin letter mass
+    times = script_counts_py("\u00d7 \u00f7 " * 20 + "\u0447\u0438\u0441\u0442\u043e" * 5)
+    assert times["n_latin"] == 0 and times["is_mixed"] is False
