@@ -233,23 +233,73 @@ def lsh_neardup_pairs(
     Recall is probabilistic (1-(1-(1-θ/π)^P)^T per pair) — pinned vs
     the brute-force twin in tests/test_dedup_similarity.py. Passing
     integer `planes` + `quantize_scale` makes bucket keys bit-exact
-    across engines (see quantized_plane_matrix)."""
+    across engines (see quantized_plane_matrix).
+
+    Candidate generation is a per-bucket tiled-GEMM PREFILTER
+    (guide §3.2 shape — cheap bound first, exact verify after): each
+    bucket group computes pairwise cosines in float64 NumPy and emits
+    only id pairs with raw sim >= threshold - 1e-6; the exact verify
+    below then recomputes sim per surviving pair with the declared
+    kernel (`arrow` einsum or the SQL-exact `hof` fold) and applies
+    round(.,6) >= threshold. The 1e-6 margin dwarfs f64 summation
+    error (~1e-12 at dim 64), so the final output is IDENTICAL to
+    verifying every bucket-colliding pair — but the distinct/join/
+    verify stages downstream see ~the hit set, not O(bucket^2) rows
+    (at sf1.0: 0.5M candidate rows instead of 19.6M). The bucket-size
+    cap moves inside the group (same drop-the-bucket semantics as the
+    former window filter, one less shuffle)."""
     if planes is None:
         planes = np.concatenate(
             [_plane_matrix(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
         )
     keys = lsh_bucket_keys_udf(planes, n_tables, n_planes, quantize_scale=quantize_scale)
     keyed = emb.select(
-        F.col(id_col).alias("id"), F.explode(keys(F.col(vec_col))).alias("bkey")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(keys(F.col(vec_col))).alias("bkey"),
     )
-    bsz = F.count("*").over(Window.partitionBy("bkey"))
-    keyed = keyed.withColumn("_bsz", bsz).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    id_t = emb.schema[id_col].dataType.simpleString()
+    prefilter = float(threshold) - 1e-6
+    cap = max_bucket
+    tile = 1536  # 1536^2 float64 sims = 18MB per tile (NOTES #1 bound)
+
+    def _bucket_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pdf["id"][:0], "id_b": pdf["id"][:0]})
+        m = len(pdf)
+        if m < 2 or m > cap:  # oversized bucket dropped, as before
+            return empty
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        v = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        v /= np.maximum(
+            np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+        )
+        outs_a, outs_b = [], []
+        for bi in range(0, m, tile):
+            ai = v[bi : bi + tile]
+            for bj in range(bi, m, tile):
+                s = ai @ v[bj : bj + tile].T
+                if bi == bj:
+                    # keep strictly-upper positions only (i < j, ids
+                    # sorted, so id_a < id_b exactly like the former
+                    # a.id < b.id join filter)
+                    s[np.tril_indices_from(s)] = -2.0
+                hit_i, hit_j = np.nonzero(s >= prefilter)
+                if len(hit_i):
+                    outs_a.append(ids[hit_i + bi])
+                    outs_b.append(ids[hit_j + bj])
+        if not outs_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(outs_a),
+                "id_b": np.concatenate(outs_b),
+            }
+        )
+
     cand = (
-        a.join(b, "bkey")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        keyed.groupBy("bkey")
+        .applyInPandas(_bucket_hits, schema=f"id_a {id_t}, id_b {id_t}")
         .distinct()
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

@@ -94,7 +94,13 @@ def dedup_spans(
     full original token join when nothing was removed). NULL text
     passes through as NULL tokens/text with zero span counts —
     hostile rows neither crash nor silently drop."""
-    g = gram_positions(docs, id_col, text_col, k)
+    # the gram index feeds TWO consumers (dup census + span marks);
+    # Catalyst does not dedupe common subplans, so materialize it once
+    # (lazy localCheckpoint — the containment_pairs/BM25 discipline)
+    # instead of re-exploding + re-hashing the corpus per branch
+    g = gram_positions(docs, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
 
     # duplicated keys with their keep-first owner: ids-only shuffle.
     dup = (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1079,6 +1080,54 @@ def _synth_pcm16_hex(n, sample):
     return F.to_binary(hexstr, F.lit("hex"))
 
 
+def _synth_payload_np(fn):
+    """Arrow-vectorized synthesis twin (guide §4.2): the closed-form
+    per-sample payload formula runs as ONE NumPy broadcast per Arrow
+    batch instead of n interpreted-HOF expression evaluations per row
+    (`_synth_pcm16_hex` stays as the documented SQL-expression form;
+    this produces BIT-IDENTICAL bytes — the oracle SQL is unchanged).
+
+    `fn(ev, i)` receives the batch's event ids as an int64 column
+    vector (k, 1) and sample indices as an int64 row vector
+    (1, max_n) and returns the sample matrix. Only nonneg dividends
+    may feed `%` (np.mod and Spark % agree there; every synthesis
+    formula in this catalog qualifies). int16-LE truncation via
+    astype('<i2') equals `_le16_hex`'s +65536 encoding for any value
+    the formulas produce. Returns a (event_id, n) -> bytes pandas_udf;
+    rows where fn returns None (via `null_every`) yield SQL NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(e: pd.Series, n: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        ev = e.to_numpy(dtype=np.int64)
+        nv = n.to_numpy(dtype=np.int64)
+        mx = int(nv.max()) if len(nv) else 0
+        i = np.arange(max(mx, 1), dtype=np.int64)
+        return pd.Series(fn(ev, i, nv), dtype=object)
+
+    return _synth
+
+
+def _pcm16_rows(vals, nv):
+    """(k, max_n) int sample matrix -> list of per-row PCM16-LE byte
+    payloads truncated to each row's sample count."""
+    le = vals.astype("<i2")
+    return [le[r, : nv[r]].tobytes() for r in range(len(nv))]
+
+
+def _sweep_payload_np(ev_, i, nv):
+    """Vectorized full-16-bit-range sweep payload shared by
+    q_g711_transcode / q_wav_wrap: v(i) = (e*31 + i*1717) % 65401
+    - 32700, NULL every 11th (same bytes as the former HOF form)."""
+    vals = (ev_[:, None] * 31 + i[None, :] * 1717) % 65401 - 32700
+    rows = _pcm16_rows(vals, nv)
+    return [None if e % 11 == 0 else b for e, b in zip(ev_.tolist(), rows)]
+
+
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-delta acoustic fingerprint + exact-dup grouping via the
     production `audio_fingerprint` operator (integer-exact: abs-sums
@@ -1096,12 +1145,18 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     n = (F.col("event_id") % 40 + 12).cast("int")
-    synth = _synth_pcm16_hex(
-        n, lambda i: (F.col("event_id") * 31 + i * 17) % 201 - 100
-    )
-    payload = F.when(
-        F.col("event_id") % 11 == 0, F.lit(None).cast("binary")
-    ).otherwise(synth)
+
+    # vectorized synthesis twin of the oracle formula (guide §4.2):
+    # v(i) = (e*31 + i*17) % 201 - 100, NULL every 11th — one NumPy
+    # broadcast per Arrow batch, bit-identical bytes to the HOF form
+    def _fp_payload(ev_, i, nv):
+        vals = (ev_[:, None] * 31 + i[None, :] * 17) % 201 - 100
+        rows = _pcm16_rows(vals, nv)
+        return [
+            None if e % 11 == 0 else b for e, b in zip(ev_.tolist(), rows)
+        ]
+
+    payload = _synth_payload_np(_fp_payload)(F.col("event_id"), n)
     clips = ev.select(
         F.col("event_id").cast("string").alias("clip_id"),
         payload.alias("bytes"),
@@ -1446,8 +1501,7 @@ def q_g711_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = F.col("event_id")
     n = (e % 9 + 20).cast("int")
-    synth = _synth_pcm16_hex(n, lambda i: (e * 31 + i * 1717) % 65401 - 32700)
-    payload = F.when(e % 11 == 0, F.lit(None).cast("binary")).otherwise(synth)
+    payload = _synth_payload_np(_sweep_payload_np)(e, n)
     clips = ev.select(
         e.cast("string").alias("clip_id"),
         payload.alias("bytes"),
@@ -1459,6 +1513,9 @@ def q_g711_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         audio_transcode(clips.where(F.col("par") == 1).drop("par"), "pcm_alaw")
     )
+    # `tc` feeds TWO consumers (codec projection + energy re-decode);
+    # materialize once (NOTES #41 common-subplan rule)
+    tc = tc.localCheckpoint(eager=False)
     en = audio_codec_energy(tc)
     return (
         tc.select("clip_id", "codec")
@@ -1498,20 +1555,37 @@ def q_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sr = F.when(e % 2 == 0, F.lit(4000)).otherwise(F.lit(6000))
     n = (e % 301 + 300).cast("int")
     is_u = e % 3 == 0
-    pcm_sample = lambda i: (e * 31 + i * 1717) % 65401 - 32700
-    ubyte = lambda j: (e * 37 + j * 101 + (j * j) % 251) % 256
-    uhex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda j: F.lpad(F.hex(ubyte(j).cast("bigint")), 2, "0"),
-        ),
-        "",
-    )
-    payload = (
-        F.when(e % 17 == 0, F.lit(None).cast("binary"))
-        .when(is_u, F.to_binary(uhex, F.lit("hex")))
-        .otherwise(_synth_pcm16_hex(n, pcm_sample))
-    )
+
+    # vectorized synthesis twin (guide §4.2; bytes bit-identical to
+    # the former HOF form): mu-law rows u(j) = (e*37 + j*101 +
+    # (j*j)%251) % 256, PCM rows v(i) = (e*31 + i*1717) % 65401 -
+    # 32700, NULL every 17th — one NumPy broadcast per Arrow batch
+    def _chunk_payload(ev_, i, nv):
+        upick = ev_ % 3 == 0
+        out = [None] * len(ev_)
+        if upick.any():
+            import numpy as np
+
+            iu = np.flatnonzero(upick)
+            u = (
+                ev_[iu, None] * 37 + i[None, :] * 101 + (i[None, :] ** 2) % 251
+            ) % 256
+            ub = u.astype(np.uint8)
+            for k, r in enumerate(iu.tolist()):
+                out[r] = ub[k, : nv[r]].tobytes()
+        if (~upick).any():
+            import numpy as np
+
+            ip = np.flatnonzero(~upick)
+            v = (ev_[ip, None] * 31 + i[None, :] * 1717) % 65401 - 32700
+            le = v.astype("<i2")
+            for k, r in enumerate(ip.tolist()):
+                out[r] = le[k, : nv[r]].tobytes()
+        return [
+            None if e_ % 17 == 0 else b for e_, b in zip(ev_.tolist(), out)
+        ]
+
+    payload = _synth_payload_np(_chunk_payload)(e, n)
     codec = (
         F.when(e % 13 == 0, F.lit("adpcm_ima"))
         .when(is_u, F.lit("pcm_ulaw"))
@@ -1808,7 +1882,12 @@ def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_binary(hexstr, F.lit("hex"))
     )
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
-    trimmed = audio_trim(clips, frame_samples=fs, energy_threshold=400)
+    # TWO consumers (stats projection + content re-decode) — without
+    # materialization the synthesis + trim kernel runs twice (NOTES
+    # #41 common-subplan rule, same as q_audio_master)
+    trimmed = audio_trim(
+        clips, frame_samples=fs, energy_threshold=400
+    ).localCheckpoint(eager=False)
     recheck = audio_codec_energy(
         trimmed.select(
             "clip_id", "bytes", F.lit("pcm_s16le").alias("codec")
@@ -1879,7 +1958,10 @@ def q_audio_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_binary(hexstr, F.lit("hex"))
     )
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
-    normed = audio_gain_normalize(clips, target_peak=24000)
+    # TWO consumers — materialize once (NOTES #41, as in q_audio_master)
+    normed = audio_gain_normalize(clips, target_peak=24000).localCheckpoint(
+        eager=False
+    )
     recheck = audio_codec_energy(
         normed.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
     ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
@@ -2541,7 +2623,8 @@ def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_binary(hexstr, F.lit("hex"))
     )
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
-    mono = audio_downmix(clips, channels=2)
+    # TWO consumers — materialize once (NOTES #41, as in q_audio_master)
+    mono = audio_downmix(clips, channels=2).localCheckpoint(eager=False)
     recheck = audio_codec_energy(
         mono.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
     ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
@@ -2735,7 +2818,10 @@ def q_audio_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_binary(hexstr, F.lit("hex"))
     )
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
-    comp = audio_compress_dynamics(clips, threshold=8000, ratio=4)
+    # TWO consumers — materialize once (NOTES #41, as in q_audio_master)
+    comp = audio_compress_dynamics(
+        clips, threshold=8000, ratio=4
+    ).localCheckpoint(eager=False)
     recheck = audio_codec_energy(
         comp.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
     ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
@@ -4069,8 +4155,7 @@ def q_wav_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = F.col("event_id")
     n = (e % 9 + 20).cast("int")
-    synth = _synth_pcm16_hex(n, lambda i: (e * 31 + i * 1717) % 65401 - 32700)
-    payload = F.when(e % 11 == 0, F.lit(None).cast("binary")).otherwise(synth)
+    payload = _synth_payload_np(_sweep_payload_np)(e, n)
     codec = F.when(e % 13 == 0, F.lit("opus")).otherwise(F.lit("pcm_s16le"))
     clips = ev.select(
         e.cast("string").alias("clip_id"),
