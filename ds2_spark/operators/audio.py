@@ -639,14 +639,87 @@ def audio_codec_energy(clips: DataFrame) -> DataFrame:
             mx = np.zeros(n, dtype=np.int32)
             codecs = pdf["codec"].tolist()
             payloads = pdf["bytes"].tolist()
-            for i, pcm in enumerate(_decode_int_batch(payloads, codecs)):
-                if pcm is None:
+            # batch fast path for the trivially-concatenable integer
+            # codecs (guide §4.2): ONE frombuffer/LUT gather + ONE
+            # np.add/maximum.reduceat over the joined buffer replaces
+            # four NumPy calls per row. Alignment/NULL refusal rules
+            # are _decode_int_batch's, verbatim; everything else
+            # (adpcm lockstep, wav/flac header parse, unknown codecs)
+            # falls through to the original per-row path below.
+            fast: dict[str, list[int]] = {
+                "pcm_s16le": [], "pcm_ulaw": [], "pcm_alaw": [],
+            }
+            slow_idx: list[int] = []
+            for i, (b, c) in enumerate(zip(payloads, codecs)):
+                lst = fast.get(c)
+                if lst is None:
+                    slow_idx.append(i)
                     continue
-                ok[i] = True
-                nsamp[i] = len(pcm)
-                a = np.abs(pcm, dtype=np.int64)
-                energy[i] = int(a.sum())
-                mx[i] = int(a.max()) if len(a) else 0
+                w = 2 if c == "pcm_s16le" else 1
+                if b is None or len(b) < w or len(b) % w:
+                    continue  # refuse: ok stays False, metrics zero
+                lst.append(i)
+            for c, idxs in fast.items():
+                if not idxs:
+                    continue
+                blob = b"".join(payloads[i] for i in idxs)
+                if c == "pcm_s16le":
+                    x = np.abs(np.frombuffer(blob, dtype="<i2").astype(np.int64))
+                    lens = np.fromiter(
+                        (len(payloads[i]) >> 1 for i in idxs),
+                        dtype=np.int64, count=len(idxs),
+                    )
+                else:
+                    lut = ULAW2LIN if c == "pcm_ulaw" else ALAW2LIN
+                    x = np.abs(
+                        lut[np.frombuffer(blob, dtype=np.uint8)].astype(np.int64)
+                    )
+                    lens = np.fromiter(
+                        (len(payloads[i]) for i in idxs),
+                        dtype=np.int64, count=len(idxs),
+                    )
+                starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                ii = np.asarray(idxs)
+                ok[ii] = True
+                nsamp[ii] = lens
+                energy[ii] = np.add.reduceat(x, starts)
+                mx[ii] = np.maximum.reduceat(x, starts)
+            if slow_idx:
+                # unit of work is the unique (codec, payload) — the
+                # bpe_encode unique-word-memo discipline applied to
+                # decode: duplicated payloads (exact-dup corpora, or
+                # synthesized fixtures) decode once per batch, and the
+                # expensive decoders (flac bitstream, wav parse) are
+                # exactly the ones that benefit
+                memo: dict = {}
+                u_payloads: list = []
+                u_codecs: list = []
+                order: list[int] = []
+                for i in slow_idx:
+                    kk = (codecs[i], payloads[i])
+                    j = memo.get(kk)
+                    if j is None:
+                        j = memo[kk] = len(u_payloads)
+                        u_payloads.append(payloads[i])
+                        u_codecs.append(codecs[i])
+                    order.append(j)
+                stats: list = []
+                for pcm in _decode_int_batch(u_payloads, u_codecs):
+                    if pcm is None:
+                        stats.append(None)
+                    else:
+                        a = np.abs(pcm, dtype=np.int64)
+                        stats.append((
+                            len(pcm),
+                            int(a.sum()),
+                            int(a.max()) if len(a) else 0,
+                        ))
+                for i, j in zip(slow_idx, order):
+                    s = stats[j]
+                    if s is None:
+                        continue
+                    ok[i] = True
+                    nsamp[i], energy[i], mx[i] = s
             yield pd.DataFrame(
                 {
                     "clip_id": pdf["clip_id"],
@@ -725,9 +798,40 @@ def audio_transcode(
                     out_codec.append(to_codec)
                     nsamp[i] = (len(pcm) // 2) * 2
                 else:
-                    out_bytes.append(enc(pcm))
+                    # placeholder; the elementwise G.711/PCM encoders
+                    # run ONCE over the batch concatenation below
+                    # (guide §4.2) — identical codes, no per-row call
+                    out_bytes.append(pcm)
                     out_codec.append(to_codec)
                     nsamp[i] = len(pcm)
+            if enc is not None:
+                todo = [
+                    j for j, v in enumerate(out_bytes)
+                    if v is not None and not isinstance(v, bytes)
+                ]
+                if todo:
+                    arrs = [out_bytes[j] for j in todo]
+                    lens = np.fromiter(
+                        (len(a) for a in arrs), dtype=np.int64,
+                        count=len(arrs),
+                    )
+                    if to_codec == "pcm_s16le":
+                        flat = (
+                            np.clip(np.concatenate(arrs), -32768, 32767)
+                            .astype("<i2")
+                        )
+                        width = 2
+                    else:
+                        ef = (
+                            encode_ulaw_int if to_codec == "pcm_ulaw"
+                            else encode_alaw_int
+                        )
+                        flat = ef(np.concatenate(arrs))
+                        width = 1
+                    blob = flat.tobytes()
+                    offs = np.concatenate(([0], np.cumsum(lens))) * width
+                    for k, j in enumerate(todo):
+                        out_bytes[j] = blob[offs[k]: offs[k + 1]]
             if enc is None:
                 todo = [
                     j for j, v in enumerate(out_bytes)

@@ -44,19 +44,29 @@ def ngram_keys(
 ) -> DataFrame:
     """(id, key) for every distinct word n-gram of every document.
     sequence(1, m) with m < 1 would descend (Spark picks step -1), so
-    short docs get an explicit empty array."""
+    short docs get an explicit empty array.
+
+    Dedup happens MAP-SIDE via array_distinct on the gram array (all
+    of one doc's grams live in that one array, and ids differ across
+    docs, so rows are globally unique with no shuffle) — the former
+    post-explode `.distinct()` paid a full (id, key) exchange for the
+    same result (guide §2.4: remove shuffles outright). Dedup is by
+    gram STRING rather than by 64-bit key: indistinguishable unless
+    one doc holds two different n-grams with colliding md5 prefixes
+    (and arguably the more faithful reading of "distinct n-grams")."""
     grams = F.when(
         F.size(F.col("_w")) >= n,
-        F.expr(
-            f"transform(sequence(1, size(_w) - {n - 1}), "
-            f"i -> array_join(slice(_w, i, {n}), ' '))"
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(_w) - {n - 1}), "
+                f"i -> array_join(slice(_w, i, {n}), ' '))"
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
         .select(F.col(id_col), F.explode(grams).alias("_g"))
         .select(F.col(id_col), F.substring(F.md5("_g"), 1, 16).alias("key"))
-        .distinct()
     )
 
 
@@ -226,11 +236,20 @@ def bloom_contamination_report(
         .distinct()
     )
     doc_keys = ngram_keys(docs, id_col, text_col, n)
-    probe = doc_keys.select(
-        id_col,
-        "key",
-        F.explode(_bloom_positions(F.col("key"), k, m_bits)).alias("pos"),
-        F.size(_bloom_positions(F.col("key"), k, m_bits)).alias("npos"),
+    # one md5 + k conv evaluations per gram: the positions array is a
+    # materialized column below the Generate, so explode and size()
+    # both read it instead of each re-deriving it (the former select
+    # computed _bloom_positions twice per gram)
+    probe = (
+        doc_keys.withColumn(
+            "_pos", _bloom_positions(F.col("key"), k, m_bits)
+        )
+        .select(
+            id_col,
+            "key",
+            F.explode("_pos").alias("pos"),
+            F.size("_pos").alias("npos"),
+        )
     )
     flagged = (
         probe.join(F.broadcast(bloom), "pos")

@@ -249,6 +249,12 @@ def simhash_banded_pairs(
     cluster, the standard LSH-dedup trade)."""
     n_bands = max_dist + 1
     width = bits // n_bands
+    # the signature subplan feeds every band branch of the union (and
+    # both self-join sides); upstream cost — simhash agg, or the whole
+    # synthesis+decode+fingerprint chain for audio_neardup_pairs — is
+    # NOT deduped by Catalyst across union branches, so materialize
+    # the small (id, simhash) table once (NOTES #41)
+    sig = sig.localCheckpoint(eager=False)
     parts = []
     for bnd in range(n_bands):
         lo = bnd * width
@@ -274,22 +280,23 @@ def simhash_banded_pairs(
         ).drop("_bsz")
     a = keyed.alias("a")
     b = keyed.alias("b")
+    # exact popcount verify BEFORE the distinct (guide §2.3 — filter
+    # before the exchange): hamming is a pure function of the pair, so
+    # filter-then-distinct equals the former distinct-then-filter, but
+    # the distinct's shuffle now carries only TRUE pairs (<= one row
+    # per band that found them), not every bucket-colliding candidate
     cand = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_dist)
         .distinct()
     )
-    xor = F.expr("sh_a ^ sh_b")
-    return (
-        cand.select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
-        .filter(F.col("hamming") <= max_dist)
-    )
+    return cand
 
 
 def hamming_pairs(sig: DataFrame, max_dist: int = 3) -> DataFrame:

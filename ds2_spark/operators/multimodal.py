@@ -436,8 +436,17 @@ def image_dhash_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select("media_id", "dhash_hi", "dhash_lo")
         .localCheckpoint(eager=False)
     )
+    # the 64-bit hash rides the band rows (two longs — still ids+keys,
+    # never payloads), so the exact popcount verify runs IN the band
+    # join and the distinct's shuffle carries only TRUE pairs (guide
+    # §2.3, same shape as dedup.simhash_banded_pairs): hamming is a
+    # pure function of the pair, so filter-then-distinct equals the
+    # former distinct -> re-join hashes -> filter, minus two joins
+    # and a full-candidate exchange
     bands = h.select(
         "media_id",
+        "dhash_hi",
+        "dhash_lo",
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("b"),
@@ -450,9 +459,13 @@ def image_dhash_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
                          (F.col("dhash_lo") % 65536).alias("v")),
             )
         ).alias("band"),
-    ).select("media_id", "band.b", "band.v")
+    ).select("media_id", "dhash_hi", "dhash_lo", "band.b", "band.v")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    ham = (
+        F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
+        + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
+    )
+    return (
         a.join(
             b,
             (F.col("a.b") == F.col("b.b"))
@@ -462,26 +475,8 @@ def image_dhash_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    ha = h.select(
-        F.col("media_id").alias("id_a"),
-        F.col("dhash_hi").alias("hi_a"),
-        F.col("dhash_lo").alias("lo_a"),
-    )
-    hb = h.select(
-        F.col("media_id").alias("id_b"),
-        F.col("dhash_hi").alias("hi_b"),
-        F.col("dhash_lo").alias("lo_b"),
-    )
-    ham = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    )
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -63,18 +63,24 @@ def gram_positions(
     """(id, pos, key): every k-token window with its 64-bit md5
     prefix key. Docs shorter than k tokens emit nothing (guarded —
     sequence(1, m) descends for m < 1, NOTES #37)."""
+    # md5 lives OUTSIDE the transform lambda: expressions inside
+    # higher-order functions are interpreted, post-explode projections
+    # are whole-stage codegen (NOTES #8) — same (id, pos, key) output
     grams = F.when(
         F.size("_w") >= k,
         F.expr(
             f"transform(sequence(1, size(_w) - {k - 1}), "
-            f"i -> struct(i as pos, substring(md5("
-            f"array_join(slice(_w, i, {k}), ' ')), 1, 16) as key))"
+            f"i -> struct(i as pos, array_join(slice(_w, i, {k}), ' ') as g))"
         ),
-    ).otherwise(F.expr("array()").cast("array<struct<pos:int,key:string>>"))
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,g:string>>"))
     return (
         _tokens(df, id_col, text_col)
         .select(F.col(id_col), F.explode(grams).alias("_g"))
-        .select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.key").alias("key"))
+        .select(
+            id_col,
+            F.col("_g.pos").alias("pos"),
+            F.substring(F.md5("_g.g"), 1, 16).alias("key"),
+        )
     )
 
 
@@ -103,13 +109,16 @@ def dedup_spans(
     )
 
     # duplicated keys with their keep-first owner: ids-only shuffle.
+    # ">= 2 distinct ids" is exactly "min(id) != max(id)" — min/max
+    # are plain map-side-combining aggregates where count_distinct
+    # pays an Expand + second shuffle for the same boolean
     dup = (
         g.groupBy("key")
         .agg(
             F.min(id_col).alias("_owner"),
-            F.count_distinct(id_col).alias("_nd"),
+            F.max(id_col).alias("_mx"),
         )
-        .filter(F.col("_nd") >= 2)
+        .filter(F.col("_owner") != F.col("_mx"))
         .select("key", "_owner")
     )
 

@@ -49,6 +49,20 @@ def _cents(col):
     return F.round(col * 100).cast("long")
 
 
+
+def _td(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` spread across all slots: the parquet file is a
+    single row group (unsplittable), so any heavy NARROW pipeline
+    over it — gram explodes, simhash aggregation partials, BPE/LM
+    mapInPandas kernels — would otherwise run on the scan's 1-2
+    partitions (the events-synthesis idiom, applied to docs; guide
+    §2.5 input skew). Queries whose first post-scan op is already an
+    exchange keep the plain `_t` scan."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
 # --------------------------------------------------------------- queries
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,7 +498,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: band bucket-join + exact bit_count verify — no cross join)."""
     from .operators.dedup import simhash64, simhash_banded_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     sig = simhash64(docs, id_col="doc_id", text_col="text")
     return (
         simhash_banded_pairs(sig, max_dist=3)
@@ -1128,6 +1142,29 @@ def _sweep_payload_np(ev_, i, nv):
     return [None if e % 11 == 0 else b for e, b in zip(ev_.tolist(), rows)]
 
 
+def _frame_pair_rows(a_mat, b_mat, reps, nf, tail_cnt=None):
+    """Frame-constant PCM16-LE rows: frame f of row r is the 2-sample
+    pair (a_mat[r,f], b_mat[r,f]) repeated `reps` times; rows truncate
+    to nf[r] frames; optional per-row tail of value-2 samples ("0200"
+    hex, the odd-tail convention). Bit-identical to the per-frame
+    _le16_hex HOF forms (int16-LE truncation == +65536 encoding)."""
+    import numpy as np
+
+    k, nfm = a_mat.shape
+    pair = np.stack([a_mat, b_mat], axis=2)
+    flat = (
+        np.tile(pair, (1, 1, reps)).reshape(k, nfm * 2 * reps).astype("<i2")
+    )
+    spf = 2 * reps  # samples per frame
+    out = []
+    for r in range(k):
+        b = flat[r, : nf[r] * spf].tobytes()
+        if tail_cnt is not None and tail_cnt[r]:
+            b += b"\x02\x00" * int(tail_cnt[r])
+        out.append(b)
+    return out
+
+
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-delta acoustic fingerprint + exact-dup grouping via the
     production `audio_fingerprint` operator (integer-exact: abs-sums
@@ -1208,17 +1245,22 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encoding and silently diverge from the closed-form oracle at
     # large SFs). 100 variants per group is far more than any SF's
     # group population, so the planted structure is unchanged.
-    def _sample(i):
-        h = g * 8191 + i
+    # vectorized synthesis twin (guide §4.2; same bytes as the HOF
+    # form of this formula — all dividends nonneg, int64-safe:
+    # h*h <= (4001*8191+491)^2 ~ 1.1e15 < 2^63)
+    def _nd_payload(ev_, i, nv):
+        g_ = ev_ % 4001
+        var_ = (ev_ // 4001) % 100
+        h = g_[:, None] * 8191 + i[None, :]
         a = (h * h) % 2147483648
-        return (a * 31 + h) % 2147483648 % 201 - 100 + F.when(
-            i == 0, 40 * (var % 100)
-        ).otherwise(F.lit(0))
+        vals = (a * 31 + h) % 2147483648 % 201 - 100
+        vals[:, 0] += 40 * var_
+        rows = _pcm16_rows(vals, nv)
+        return [
+            None if e_ % 11 == 0 else b for e_, b in zip(ev_.tolist(), rows)
+        ]
 
-    synth = _synth_pcm16_hex(n, _sample)
-    payload = F.when(
-        F.col("event_id") % 11 == 0, F.lit(None).cast("binary")
-    ).otherwise(synth)
+    payload = _synth_payload_np(_nd_payload)(F.col("event_id"), n)
     clips = ev.select(
         F.lpad(F.col("event_id").cast("string"), 7, "0").alias("clip_id"),
         payload.alias("bytes"),
@@ -1257,31 +1299,22 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("event_id")
     nf = (e % 29 + 12).cast("int")  # 12..40 whole frames
 
-    # Frame t's samples alternate +amp_t,-amp_t (fs/2 pairs), and
-    # amp_t takes only two values — so each frame's PCM16-LE hex is
-    # one of two CONSTANTS, computed here in Python instead of per
-    # sample in interpreted HOF (8x fewer expression evaluations than
-    # the generic _synth_pcm16_hex; same bytes, same oracle formula
-    # E_t = 8*amp_t).
-    def _frame_hex(amp: int) -> str:
-        pos, neg = amp, (65536 - amp) % 65536
-        le = lambda u: f"{u:04x}"[2:] + f"{u:04x}"[:2]
-        return (le(pos) + le(neg)) * (fs // 2)
+    # vectorized synthesis twin (guide §4.2; same bytes as the
+    # per-frame when-chain HOF form): amp_t = 90 when
+    # (e*13 + t*t) % 11 < 5 else 2, frame = [amp,-amp]*4, value-2
+    # tail of e%5 samples, NULL every 13th
+    def _vad_payload(ev_, t, nv):
+        import numpy as np
 
-    frame = lambda t: F.when(
-        (e * 13 + t * t) % 11 < 5, F.lit(_frame_hex(90))
-    ).otherwise(F.lit(_frame_hex(2)))
-    hexstr = F.concat(
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), nf - 1), frame), ""
-        ),
-        # tail samples (< 1 frame, value irrelevant): exercise the
-        # operator's whole-frame truncation path
-        F.repeat(F.lit("0200"), (e % 5).cast("int")),
-    )
-    payload = F.when(e % 13 == 0, F.lit(None).cast("binary")).otherwise(
-        F.to_binary(hexstr, F.lit("hex"))
-    )
+        amp = np.where(
+            (ev_[:, None] * 13 + t[None, :] ** 2) % 11 < 5, 90, 2
+        )
+        rows = _frame_pair_rows(amp, -amp, fs // 2, nv, tail_cnt=ev_ % 5)
+        return [
+            None if e_ % 13 == 0 else b for e_, b in zip(ev_.tolist(), rows)
+        ]
+
+    payload = _synth_payload_np(_vad_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
     out = audio_vad_segments(
         clips, frame_samples=fs, energy_threshold=400,
@@ -1860,27 +1893,27 @@ def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("event_id")
     nf = (e % 23 + 10).cast("int")  # 10..32 whole frames
 
-    def _frame_hex(amp: int) -> str:
-        pos, neg = amp, (65536 - amp) % 65536
-        le = lambda u: f"{u:04x}"[2:] + f"{u:04x}"[:2]
-        return (le(pos) + le(neg)) * (fs // 2)
+    # vectorized synthesis twin (guide §4.2; same bytes as the
+    # per-frame when-chain HOF form): voiced amp 90 inside the
+    # planted [e%4, nf - e%3) span when (e*13 + t*t)%11 < 8 and the
+    # clip is not all-silent (e%19), else 2; value-2 tail of e%5
+    # samples; NULL every 17th
+    def _trim_payload(ev_, t, nv):
+        import numpy as np
 
-    frame_of = lambda t: F.when(
-        (e % 19 != 0)
-        & (t >= e % 4)
-        & (t < nf - e % 3)
-        & ((e * 13 + t * t) % 11 < 8),
-        F.lit(_frame_hex(90)),
-    ).otherwise(F.lit(_frame_hex(2)))
-    hexstr = F.concat(
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), nf - 1), frame_of), ""
-        ),
-        F.repeat(F.lit("0200"), (e % 5).cast("int")),
-    )
-    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
-        F.to_binary(hexstr, F.lit("hex"))
-    )
+        voiced = (
+            (ev_[:, None] % 19 != 0)
+            & (t[None, :] >= (ev_ % 4)[:, None])
+            & (t[None, :] < (nv - ev_ % 3)[:, None])
+            & ((ev_[:, None] * 13 + t[None, :] ** 2) % 11 < 8)
+        )
+        amp = np.where(voiced, 90, 2)
+        rows = _frame_pair_rows(amp, -amp, fs // 2, nv, tail_cnt=ev_ % 5)
+        return [
+            None if e_ % 17 == 0 else b for e_, b in zip(ev_.tolist(), rows)
+        ]
+
+    payload = _synth_payload_np(_trim_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
     # TWO consumers (stats projection + content re-decode) — without
     # materialization the synthesis + trim kernel runs twice (NOTES
@@ -1934,29 +1967,21 @@ def q_audio_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("event_id")
     nf = (e % 11 + 4).cast("int")  # 4..14 whole frames
 
-    def _le16(v):
-        u = F.when(v < 0, v + 65536).otherwise(v)
-        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
-        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+    # vectorized synthesis twin (guide §4.2; same bytes as the
+    # per-frame _le16 HOF form): amp_f = (e*31 + f*17) % 29000 + 1
+    # (0 for every 19th, digital silence), frame = [amp,-amp]*4,
+    # NULL every 17th
+    def _gain_payload(ev_, f, nv):
+        import numpy as np
 
-    def _amp(f):
-        return F.when(e % 19 == 0, F.lit(0)).otherwise(
-            (e * 31 + f * 17) % 29000 + 1
-        )
+        amp = (ev_[:, None] * 31 + f[None, :] * 17) % 29000 + 1
+        amp[ev_ % 19 == 0, :] = 0
+        rows = _frame_pair_rows(amp, -amp, fs // 2, nv)
+        return [
+            None if e_ % 17 == 0 else b for e_, b in zip(ev_.tolist(), rows)
+        ]
 
-    frame_of = lambda f: F.concat(
-        _le16(_amp(f)), _le16(-_amp(f))
-    )  # 2 samples; repeated fs//2 times below
-    hexstr = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), nf - 1),
-            lambda f: F.repeat(frame_of(f), fs // 2),
-        ),
-        "",
-    )
-    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
-        F.to_binary(hexstr, F.lit("hex"))
-    )
+    payload = _synth_payload_np(_gain_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
     # TWO consumers — materialize once (NOTES #41, as in q_audio_master)
     normed = audio_gain_normalize(clips, target_peak=24000).localCheckpoint(
@@ -2178,7 +2203,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_banded_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     sig = simhash64(docs, id_col="doc_id", text_col="text")
     pairs = simhash_banded_pairs(sig, max_dist=3)
     comp = connected_components(
@@ -2407,7 +2432,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     portability, deterministic (score desc, term asc) ranking."""
     from .operators.tfidf import tfidf_top_terms
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
 
 
@@ -2421,7 +2446,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode never shuffles; the report is ids-only."""
     from .operators.decontam import contamination_report
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     return contamination_report(docs, bench, n=5).orderBy("doc_id")
 
@@ -2436,7 +2461,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-k membership test, and the per-doc flag counts exactly."""
     from .operators.decontam import bloom_contamination_report
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     out = bloom_contamination_report(docs, bench, n=5, k=3, m_bits=65536)
     return out.select(
@@ -2605,23 +2630,19 @@ def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("event_id")
     nf = (e % 9 + 3).cast("int")  # 3..11 frame-groups
 
-    def _le16(v):
-        u = F.when(v < 0, v + 65536).otherwise(v)
-        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
-        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+    # vectorized synthesis twin (guide §4.2; same bytes as the
+    # per-frame _le16 HOF form): group f interleaves [L,R]*8 with
+    # L = (e*31 + f*17) % 3001 - 1500, R = (e*7 + f*13) % 2001 - 1000,
+    # NULL every 17th
+    def _mix_payload(ev_, f, nv):
+        lamp = (ev_[:, None] * 31 + f[None, :] * 17) % 3001 - 1500
+        ramp = (ev_[:, None] * 7 + f[None, :] * 13) % 2001 - 1000
+        rows = _frame_pair_rows(lamp, ramp, fs, nv)
+        return [
+            None if e_ % 17 == 0 else b for e_, b in zip(ev_.tolist(), rows)
+        ]
 
-    lamp = lambda f: (e * 31 + f * 17) % 3001 - 1500
-    ramp = lambda f: (e * 7 + f * 13) % 2001 - 1000
-    hexstr = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), nf - 1),
-            lambda f: F.repeat(F.concat(_le16(lamp(f)), _le16(ramp(f))), fs),
-        ),
-        "",
-    )
-    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
-        F.to_binary(hexstr, F.lit("hex"))
-    )
+    payload = _synth_payload_np(_mix_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
     # TWO consumers — materialize once (NOTES #41, as in q_audio_master)
     mono = audio_downmix(clips, channels=2).localCheckpoint(eager=False)
@@ -2801,22 +2822,17 @@ def q_audio_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("event_id")
     nf = (e % 11 + 4).cast("int")
 
-    def _le16(v):
-        u = F.when(v < 0, v + 65536).otherwise(v)
-        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
-        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+    # vectorized synthesis twin (guide §4.2; same bytes as the
+    # per-frame _le16 HOF form): amp_f = (e*31 + f*17) % 29000 + 1,
+    # frame = [amp,-amp]*4, NULL every 17th
+    def _drc_payload(ev_, f, nv):
+        amp = (ev_[:, None] * 31 + f[None, :] * 17) % 29000 + 1
+        rows = _frame_pair_rows(amp, -amp, fs // 2, nv)
+        return [
+            None if e_ % 17 == 0 else b for e_, b in zip(ev_.tolist(), rows)
+        ]
 
-    amp = lambda f: (e * 31 + f * 17) % 29000 + 1
-    hexstr = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), nf - 1),
-            lambda f: F.repeat(F.concat(_le16(amp(f)), _le16(-amp(f))), fs // 2),
-        ),
-        "",
-    )
-    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
-        F.to_binary(hexstr, F.lit("hex"))
-    )
+    payload = _synth_payload_np(_drc_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
     # TWO consumers — materialize once (NOTES #41, as in q_audio_master)
     comp = audio_compress_dynamics(
@@ -2865,24 +2881,19 @@ def q_audio_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("event_id")
     nf = (e % 9 + 3).cast("int")
 
-    def _le16(v):
-        u = F.when(v < 0, v + 65536).otherwise(v)
-        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
-        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+    # vectorized synthesis twin (guide §4.2; same bytes as the
+    # per-frame _le16 HOF form) — wider amps than q_audio_downmix so
+    # the knee (8000) engages: L = (e*131 + f*37) % 30001 - 15000,
+    # R = (e*17 + f*29) % 20001 - 10000, [L,R]*8, NULL every 17th
+    def _master_payload(ev_, f, nv):
+        lamp = (ev_[:, None] * 131 + f[None, :] * 37) % 30001 - 15000
+        ramp = (ev_[:, None] * 17 + f[None, :] * 29) % 20001 - 10000
+        rows = _frame_pair_rows(lamp, ramp, fs, nv)
+        return [
+            None if e_ % 17 == 0 else b for e_, b in zip(ev_.tolist(), rows)
+        ]
 
-    # wider amps than q_audio_downmix so the knee (8000) engages
-    lamp = lambda f: (e * 131 + f * 37) % 30001 - 15000
-    ramp = lambda f: (e * 17 + f * 29) % 20001 - 10000
-    hexstr = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), nf - 1),
-            lambda f: F.repeat(F.concat(_le16(lamp(f)), _le16(ramp(f))), fs),
-        ),
-        "",
-    )
-    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
-        F.to_binary(hexstr, F.lit("hex"))
-    )
+    payload = _synth_payload_np(_master_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
     mono = audio_downmix(clips, channels=2).select("clip_id", "bytes")
     comp = audio_compress_dynamics(mono, threshold=8000, ratio=4).select(
@@ -3283,7 +3294,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     of every document."""
     from .operators.bpe import bpe_encode, train_bpe
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     merges = train_bpe(
         docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
     )
@@ -3303,7 +3314,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import bpe_encode, train_bpe
     from .operators.sampling import token_budget_plan
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     merges = train_bpe(
         docs, n_merges=_BPE_N_MERGES, max_words=_BPE_MAX_WORDS
     )
@@ -3363,7 +3374,7 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import hash_bucket, token_budget_plan
     from .operators.spandedup import dedup_spans
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _td(spark, sf_dir).select("doc_id", "text", "source")
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     corpus = docs.filter(F.col("doc_id") % 37 != 0)
 
@@ -3592,7 +3603,7 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split assignment itself is cross-checked end to end."""
     from .operators.dedup import cluster_split, simhash64, simhash_banded_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     sig = simhash64(docs, id_col="doc_id", text_col="text")
     pairs = simhash_banded_pairs(sig, max_dist=3)
     return (
@@ -3618,6 +3629,10 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout round-trip CHANGES NOTHING about the answer: synthesize ->
     bucketed write -> catalog read -> co-located join -> aggregate
     must equal DuckDB's plain join over the same closed-form input."""
+    import atexit
+    import shutil
+    import uuid
+
     from .sources.bucketed import colocated_join, write_bucketed
 
     ev = _t(spark, sf_dir, "events")
@@ -3632,15 +3647,25 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", (F.col("user_id") % 7).alias("seg")
         )
     )
-    write_bucketed(
-        facts, "q_bj_facts", "/tmp/ds2_q_bucketed/facts", "user_id", 8,
-        sort_col="user_id",
-    )
-    write_bucketed(
-        dims, "q_bj_dims", "/tmp/ds2_q_bucketed/dims", "user_id", 8,
-        sort_col="user_id",
-    )
-    j = colocated_join(spark, "q_bj_facts", "q_bj_dims", ["user_id"])
+    # hermetic per-invocation layout: unique temp dir + table names so
+    # concurrent contract runs (or a driver running queries in
+    # parallel) never collide on path or metastore name; the catalog
+    # entries are dropped as soon as the join plan is ANALYZED (the
+    # resolved relation executes fine without them), and the data dir
+    # is removed at interpreter exit — no residue in /tmp or the
+    # warehouse after a run
+    tag = uuid.uuid4().hex[:12]
+    base = f"/tmp/ds2_q_bucketed_{tag}"
+    tf, td = f"q_bj_facts_{tag}", f"q_bj_dims_{tag}"
+    write_bucketed(facts, tf, f"{base}/facts", "user_id", 8,
+                   sort_col="user_id")
+    write_bucketed(dims, td, f"{base}/dims", "user_id", 8,
+                   sort_col="user_id")
+    j = colocated_join(spark, tf, td, ["user_id"])
+    _ = j.schema  # force analysis before the catalog entries go away
+    spark.sql(f"DROP TABLE IF EXISTS {tf}")
+    spark.sql(f"DROP TABLE IF EXISTS {td}")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     return (
         j.groupBy("user_id", "seg")
         .agg(
@@ -3696,7 +3721,7 @@ def q_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized."""
     from .operators.lm import kn_word_trigrams
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     return kn_word_trigrams(docs, discount=0.75, top_n=50)
 
 

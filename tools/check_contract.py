@@ -39,8 +39,20 @@ def normalize(df):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --json-out FILE: additionally emit a machine-readable record in
+    # the driver's CORRECTNESS schema ({query: {rows_match,
+    # schema_match, hash_match, spark_rows, oracle_rows, err}}) so a
+    # full 122-query run is diffable against the driver's sampled
+    # artifact (rows-only queries report hash_match true when nonempty,
+    # matching the driver's rows-only convention).
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json-out" in argv:
+        i = argv.index("--json-out")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     # bind the flagship oracle's literal VALUES generation to the SF
     # under test (it defaults to sf0.01, the driver's gate SF); the
@@ -59,36 +71,54 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": False, "schema_match": False,
+            "hash_match": False, "spark_rows": None,
+            "oracle_rows": None, "err": None,
+        }
+        record[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {e}")
+            rec["err"] = f"spark error: {e}"
             continue
         el = time.time() - t0
+        rec["spark_rows"] = len(sdf)
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {el:.1f}s)")
             if len(sdf) == 0:
                 failures.append((name, "0 rows in rows-only query"))
+                rec["err"] = "0 rows in rows-only query"
+            else:
+                rec["rows_match"] = rec["schema_match"] = True
+                rec["hash_match"] = True
             continue
         try:
             ddf = duck.sql(oracles[name]).df()
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb error: {e}"
             continue
+        rec["oracle_rows"] = len(ddf)
+        rec["rows_match"] = len(sdf) == len(ddf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
         problems = []
-        if len(sdf) != len(ddf):
+        if not rec["rows_match"]:
             problems.append(f"rowcount {len(sdf)} != {len(ddf)}")
-        if sorted(sdf.columns) != sorted(ddf.columns):
+        if not rec["schema_match"]:
             problems.append(f"schema {sorted(sdf.columns)} != {sorted(ddf.columns)}")
         if not problems:
             rs, rd = normalize(sdf), normalize(ddf)
-            if rs != rd:
+            rec["hash_match"] = rs == rd
+            if not rec["hash_match"]:
                 diff = [
                     (a, b) for a, b in zip(rs, rd) if a != b
                 ][:3]
@@ -98,6 +128,12 @@ def main() -> int:
             print(f"FAIL {name}: {problems}")
         else:
             print(f"ok   {name}: {len(sdf)} rows match ({el:.1f}s)")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"wrote {json_out}")
     print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
     return 1 if failures else 0
 
