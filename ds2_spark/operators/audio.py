@@ -615,7 +615,9 @@ def _decode_int_batch(payloads: list, codecs: list) -> list:
     return out
 
 
-def audio_codec_energy(clips: DataFrame) -> DataFrame:
+def audio_codec_energy(
+    clips: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Integer-exact per-clip energy over the DECODED linear samples
     for integer-native codecs (PCM16, G.711 mu-law/A-law):
     (clip_id, decoded_ok, n_samples, abs_energy=sum|x|, max_abs).
@@ -627,8 +629,18 @@ def audio_codec_energy(clips: DataFrame) -> DataFrame:
     decoding a compressed payload as raw samples yields garbage that
     LOOKS valid. Decode itself is one LUT gather / frombuffer per
     clip; sums accumulate in int64 (max |x| 32767 -> overflow needs
-    ~2.8e14 samples per clip, far past any real payload)."""
-    pruned = clips.select("clip_id", "bytes", "codec")
+    ~2.8e14 samples per clip, far past any real payload).
+
+    `passthrough` names small scalar columns carried through the
+    Arrow pass unchanged (the audio_fingerprint discipline): a
+    bytes-out stage composing into this re-decode can then run as ONE
+    mapInPandas instead of re-aligning its own output with an
+    item-keyed self-join — keep payload-sized columns out of it."""
+    pruned = clips.select("clip_id", "bytes", "codec", *passthrough)
+    pass_fields = [pruned.schema[c] for c in passthrough]
+    out_schema = AUDIO_ENERGY_SCHEMA + "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in pass_fields
+    )
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -720,17 +732,18 @@ def audio_codec_energy(clips: DataFrame) -> DataFrame:
                         continue
                     ok[i] = True
                     nsamp[i], energy[i], mx[i] = s
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "decoded_ok": ok,
-                    "n_samples": nsamp,
-                    "abs_energy": energy,
-                    "max_abs": mx,
-                }
-            )
+            cols = {
+                "clip_id": pdf["clip_id"],
+                "decoded_ok": ok,
+                "n_samples": nsamp,
+                "abs_energy": energy,
+                "max_abs": mx,
+            }
+            for c in passthrough:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
-    return pruned.mapInPandas(_op, schema=AUDIO_ENERGY_SCHEMA)
+    return pruned.mapInPandas(_op, schema=out_schema)
 
 
 # target codec -> int32 linear samples -> bytes. Only integer-exact

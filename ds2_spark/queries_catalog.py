@@ -1142,12 +1142,12 @@ def _sweep_payload_np(ev_, i, nv):
     return [None if e % 11 == 0 else b for e, b in zip(ev_.tolist(), rows)]
 
 
-def _frame_pair_rows(a_mat, b_mat, reps, nf, tail_cnt=None):
+def _frame_pair_rows(a_mat, b_mat, reps, nf, tail_cnt=None, tail_val=2):
     """Frame-constant PCM16-LE rows: frame f of row r is the 2-sample
     pair (a_mat[r,f], b_mat[r,f]) repeated `reps` times; rows truncate
-    to nf[r] frames; optional per-row tail of value-2 samples ("0200"
-    hex, the odd-tail convention). Bit-identical to the per-frame
-    _le16_hex HOF forms (int16-LE truncation == +65536 encoding)."""
+    to nf[r] frames; optional per-row tail of `tail_val` samples (the
+    odd-tail convention). Bit-identical to the per-frame _le16_hex
+    HOF forms (int16-LE truncation == +65536 encoding)."""
     import numpy as np
 
     k, nfm = a_mat.shape
@@ -1156,11 +1156,12 @@ def _frame_pair_rows(a_mat, b_mat, reps, nf, tail_cnt=None):
         np.tile(pair, (1, 1, reps)).reshape(k, nfm * 2 * reps).astype("<i2")
     )
     spf = 2 * reps  # samples per frame
+    tail = int(tail_val).to_bytes(2, "little")
     out = []
     for r in range(k):
         b = flat[r, : nf[r] * spf].tobytes()
         if tail_cnt is not None and tail_cnt[r]:
-            b += b"\x02\x00" * int(tail_cnt[r])
+            b += tail * int(tail_cnt[r])
         out.append(b)
     return out
 
@@ -1351,48 +1352,50 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("event_id")
     nf = (e % 31 + 10).cast("int")  # 10..40 whole frames
 
-    def _frame_hex(amp: int) -> str:
-        pos, neg = amp, (65536 - amp) % 65536
-        le = lambda u: f"{u:04x}"[2:] + f"{u:04x}"[:2]
-        return (le(pos) + le(neg)) * (fs // 2)
+    # vectorized synthesis twin (guide §4.2; same bytes as the
+    # per-frame when-chain HOF form): amp_t = 110 when
+    # (e*17 + 3t + t*t) % 13 < 6 else 3, frame = [amp,-amp]*4,
+    # value-3 tail of e%3 samples, NULL every 11th
+    def _seg_payload(ev_, t, nv):
+        import numpy as np
 
-    frame = lambda t: F.when(
-        (e * 17 + 3 * t + t * t) % 13 < 6, F.lit(_frame_hex(110))
-    ).otherwise(F.lit(_frame_hex(3)))
-    hexstr = F.concat(
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), nf - 1), frame), ""
-        ),
-        F.repeat(F.lit("0300"), (e % 3).cast("int")),
-    )
-    payload = F.when(e % 11 == 0, F.lit(None).cast("binary")).otherwise(
-        F.to_binary(hexstr, F.lit("hex"))
-    )
+        amp = np.where(
+            (ev_[:, None] * 17 + 3 * t[None, :] + t[None, :] ** 2) % 13 < 6,
+            110, 3,
+        )
+        rows = _frame_pair_rows(
+            amp, -amp, fs // 2, nv, tail_cnt=ev_ % 3, tail_val=3
+        )
+        return [
+            None if e_ % 11 == 0 else b for e_, b in zip(ev_.tolist(), rows)
+        ]
+
+    payload = _synth_payload_np(_seg_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
     segs = audio_segment_extract(
         clips, frame_samples=fs, energy_threshold=500,
         max_gap_frames=2, min_frames=2,
     )
-    recheck = audio_codec_energy(
+    # per-segment stats ride the content re-decode as passthrough
+    # columns (ONE mapInPandas pass, no seg-keyed self-join)
+    en = audio_codec_energy(
         segs.select(
-            F.concat_ws("#", "clip_id", "seg_id").alias("clip_id"),
-            "bytes",
-            F.lit("pcm_s16le").alias("codec"),
-        )
-    ).select(
-        F.col("clip_id").alias("seg_key"),
-        F.col("abs_energy").alias("recheck_energy"),
-        F.col("n_samples").alias("recheck_samples"),
+            "clip_id", "bytes", F.lit("pcm_s16le").alias("codec"),
+            "seg_id", "start_frame", "end_frame", "n_frames",
+            "voiced_frames", "energy_sum",
+        ),
+        passthrough=(
+            "seg_id", "start_frame", "end_frame", "n_frames",
+            "voiced_frames", "energy_sum",
+        ),
     )
     return (
-        segs.drop("bytes")
-        .withColumn("seg_key", F.concat_ws("#", "clip_id", "seg_id"))
-        .join(recheck, "seg_key")
-        .select(
+        en.select(
             F.col("clip_id").cast("long").alias("clip_id"),
             "seg_id", "start_frame", "end_frame", "n_frames",
-            "voiced_frames", "energy_sum", "recheck_energy",
-            "recheck_samples",
+            "voiced_frames", "energy_sum",
+            F.col("abs_energy").alias("recheck_energy"),
+            F.col("n_samples").alias("recheck_samples"),
         )
         .orderBy("clip_id", "seg_id")
     )
@@ -1421,17 +1424,23 @@ def q_g711_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = F.col("event_id")
     n = (e % 11 + 30).cast("int")
-    byte = lambda j: (e * 37 + j * 101 + (j * j) % 251) % 256
-    hexstr = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda j: F.lpad(F.hex(byte(j).cast("bigint")), 2, "0"),
-        ),
-        "",
-    )
-    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
-        F.to_binary(hexstr, F.lit("hex"))
-    )
+
+    # vectorized synthesis twin (guide §4.2; same bytes as the
+    # per-byte HOF form): byte_j = (e*37 + j*101 + (j*j)%251) % 256,
+    # NULL every 17th
+    def _g711_payload(ev_, j, nv):
+        import numpy as np
+
+        u = (
+            ev_[:, None] * 37 + j[None, :] * 101 + (j[None, :] ** 2) % 251
+        ) % 256
+        ub = u.astype(np.uint8)
+        return [
+            None if e_ % 17 == 0 else ub[r, : nv[r]].tobytes()
+            for r, e_ in enumerate(ev_.tolist())
+        ]
+
+    payload = _synth_payload_np(_g711_payload)(e, n)
     codec = (
         F.when(e % 13 == 0, F.lit("flac"))
         .when(e % 2 == 0, F.lit("pcm_ulaw"))
@@ -1476,29 +1485,34 @@ def q_adpcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (e % 13 + 8).cast("int")  # data bytes -> 16..40 samples
     pred0 = (e * 37) % 1024 - 512
     idx0 = e % 89
-    nib = lambda t: (e + t * 5 + t * t) % 16
-    byte = lambda k: nib(2 * k) + nib(2 * k + 1) * 16
+    # vectorized synthesis twin (guide §4.2; same bytes as the
+    # per-byte HOF form): 4-byte header (pred0 int16-LE, idx0, 0x00)
+    # + data byte k = nib(2k) + 16*nib(2k+1) with
+    # nib(t) = (e + 5t + t*t) % 16; NULL every 17th, sub-header
+    # 2-byte truncation every 19th
+    def _adpcm_payload(ev_, k, nv):
+        import numpy as np
 
-    def _le16(v):
-        u = F.when(v < 0, v + 65536).otherwise(v)
-        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
-        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+        t0, t1 = 2 * k[None, :], 2 * k[None, :] + 1
+        lo = (ev_[:, None] + 5 * t0 + t0 * t0) % 16
+        hi = (ev_[:, None] + 5 * t1 + t1 * t1) % 16
+        data = (lo + 16 * hi).astype(np.uint8)
+        p0 = ((ev_ * 37) % 1024 - 512).astype("<i2")
+        i0 = (ev_ % 89).astype(np.uint8)
+        out = []
+        for r, e_ in enumerate(ev_.tolist()):
+            if e_ % 17 == 0:
+                out.append(None)
+            elif e_ % 19 == 0:
+                out.append(b"\x00\x00")
+            else:
+                out.append(
+                    p0[r].tobytes() + bytes([i0[r], 0])
+                    + data[r, : nv[r]].tobytes()
+                )
+        return out
 
-    hdr = F.concat(
-        _le16(pred0), F.lpad(F.hex(idx0.cast("bigint")), 2, "0"), F.lit("00")
-    )
-    datahex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), d - 1),
-            lambda k: F.lpad(F.hex(byte(k).cast("bigint")), 2, "0"),
-        ),
-        "",
-    )
-    payload = (
-        F.when(e % 17 == 0, F.lit(None).cast("binary"))
-        .when(e % 19 == 0, F.to_binary(F.lit("0000"), F.lit("hex")))
-        .otherwise(F.to_binary(F.concat(hdr, datahex), F.lit("hex")))
-    )
+    payload = _synth_payload_np(_adpcm_payload)(e, d)
     clips = ev.select(
         e.cast("string").alias("clip_id"),
         payload.alias("bytes"),
@@ -1546,16 +1560,19 @@ def q_g711_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         audio_transcode(clips.where(F.col("par") == 1).drop("par"), "pcm_alaw")
     )
-    # `tc` feeds TWO consumers (codec projection + energy re-decode);
-    # materialize once (NOTES #41 common-subplan rule)
-    tc = tc.localCheckpoint(eager=False)
-    en = audio_codec_energy(tc)
+    # the transcoded codec tag rides the energy re-decode as a
+    # passthrough column (ONE mapInPandas chain, no item-keyed
+    # self-join and no checkpoint — `tc` has one consumer)
+    en = audio_codec_energy(
+        tc.select(
+            "clip_id", "bytes", "codec", F.col("codec").alias("_codec")
+        ),
+        passthrough=("_codec",),
+    )
     return (
-        tc.select("clip_id", "codec")
-        .join(en, "clip_id")
-        .select(
+        en.select(
             F.col("clip_id").cast("long").alias("clip_id"),
-            "codec",
+            F.col("_codec").alias("codec"),
             F.col("decoded_ok").cast("int").alias("decoded_ok"),
             "n_samples",
             "abs_energy",
@@ -1630,31 +1647,19 @@ def q_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sr.alias("sr_hz"),
         codec.alias("codec"),
     )
-    # the chunk frame feeds TWO consumers (metadata + decode); without
-    # materialization Catalyst re-synthesizes the payloads per branch
-    # (the BM25 re-explode trap, NOTES.md #41) — lazy localCheckpoint
-    # computes the chunks once
-    ch = audio_chunk(clips, chunk_ms=50, overlap_ms=25).localCheckpoint(
-        eager=False
-    )
+    # chunk metadata rides the energy re-decode as passthrough columns
+    # (ONE mapInPandas pass; the former shape re-aligned the chunk
+    # frame with itself via a concat-keyed self-join — two shuffles of
+    # every chunk row — behind a localCheckpoint)
+    ch = audio_chunk(clips, chunk_ms=50, overlap_ms=25)
     en = audio_codec_energy(
-        ch.select(
-            F.concat_ws("#", "clip_id", "chunk_id").alias("clip_id"),
-            "bytes",
-            "codec",
-        )
-    )
-    meta = ch.select(
-        F.concat_ws("#", "clip_id", "chunk_id").alias("k"),
-        F.col("clip_id").cast("long").alias("clip_id"),
-        "chunk_id",
-        "start_ms",
-        "dur_ms",
+        ch.select("clip_id", "bytes", "codec", "chunk_id", "start_ms",
+                  "dur_ms"),
+        passthrough=("chunk_id", "start_ms", "dur_ms"),
     )
     return (
-        meta.join(en.withColumnRenamed("clip_id", "k"), "k")
-        .select(
-            "clip_id",
+        en.select(
+            F.col("clip_id").cast("long").alias("clip_id"),
             "chunk_id",
             F.coalesce("start_ms", F.lit(-1)).alias("start_ms"),
             F.coalesce("dur_ms", F.lit(-1)).alias("dur_ms"),
@@ -1915,23 +1920,28 @@ def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = _synth_payload_np(_trim_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
-    # TWO consumers (stats projection + content re-decode) — without
-    # materialization the synthesis + trim kernel runs twice (NOTES
-    # #41 common-subplan rule, same as q_audio_master)
-    trimmed = audio_trim(
-        clips, frame_samples=fs, energy_threshold=400
-    ).localCheckpoint(eager=False)
-    recheck = audio_codec_energy(
+    # trim stats ride the content re-decode as passthrough columns
+    # (ONE mapInPandas pass — the former shape re-aligned the trim
+    # output with itself via an item-keyed self-join behind a
+    # localCheckpoint); decoded_ok is the TRIM's flag, aliased around
+    # the energy output's own
+    trimmed = audio_trim(clips, frame_samples=fs, energy_threshold=400)
+    en = audio_codec_energy(
         trimmed.select(
-            "clip_id", "bytes", F.lit("pcm_s16le").alias("codec")
-        )
-    ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
+            "clip_id", "bytes", F.lit("pcm_s16le").alias("codec"),
+            F.col("decoded_ok").alias("_ok"), "n_frames", "first_voiced",
+            "last_voiced", "start_byte", "end_byte", "kept_samples",
+            "kept_energy",
+        ),
+        passthrough=(
+            "_ok", "n_frames", "first_voiced", "last_voiced",
+            "start_byte", "end_byte", "kept_samples", "kept_energy",
+        ),
+    )
     return (
-        trimmed.drop("bytes")
-        .join(recheck, "clip_id")
-        .select(
+        en.select(
             F.col("clip_id").cast("long").alias("clip_id"),
-            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            F.col("_ok").cast("int").alias("decoded_ok"),
             "n_frames",
             "first_voiced",
             "last_voiced",
@@ -1939,7 +1949,7 @@ def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "end_byte",
             "kept_samples",
             "kept_energy",
-            "recheck_energy",
+            F.col("abs_energy").alias("recheck_energy"),
         )
         .orderBy("clip_id")
     )
@@ -1983,24 +1993,27 @@ def q_audio_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = _synth_payload_np(_gain_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
-    # TWO consumers — materialize once (NOTES #41, as in q_audio_master)
-    normed = audio_gain_normalize(clips, target_peak=24000).localCheckpoint(
-        eager=False
+    # gain stats ride the content re-decode as passthrough columns
+    # (ONE mapInPandas pass, no item-keyed self-join / checkpoint)
+    normed = audio_gain_normalize(clips, target_peak=24000)
+    en = audio_codec_energy(
+        normed.select(
+            "clip_id", "bytes", F.lit("pcm_s16le").alias("codec"),
+            F.col("decoded_ok").alias("_ok"),
+            F.col("n_samples").alias("_ns"), "peak", "gain_ppm",
+            "out_energy",
+        ),
+        passthrough=("_ok", "_ns", "peak", "gain_ppm", "out_energy"),
     )
-    recheck = audio_codec_energy(
-        normed.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
-    ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
     return (
-        normed.drop("bytes")
-        .join(recheck, "clip_id")
-        .select(
+        en.select(
             F.col("clip_id").cast("long").alias("clip_id"),
-            F.col("decoded_ok").cast("int").alias("decoded_ok"),
-            "n_samples",
+            F.col("_ok").cast("int").alias("decoded_ok"),
+            F.col("_ns").alias("n_samples"),
             "peak",
             "gain_ppm",
             "out_energy",
-            "recheck_energy",
+            F.col("abs_energy").alias("recheck_energy"),
         )
         .orderBy("clip_id")
     )
@@ -2644,20 +2657,23 @@ def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = _synth_payload_np(_mix_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
-    # TWO consumers — materialize once (NOTES #41, as in q_audio_master)
-    mono = audio_downmix(clips, channels=2).localCheckpoint(eager=False)
-    recheck = audio_codec_energy(
-        mono.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
-    ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
+    # downmix stats ride the content re-decode as passthrough columns
+    # (ONE mapInPandas pass, no item-keyed self-join / checkpoint)
+    mono = audio_downmix(clips, channels=2)
+    en = audio_codec_energy(
+        mono.select(
+            "clip_id", "bytes", F.lit("pcm_s16le").alias("codec"),
+            F.col("decoded_ok").alias("_ok"), "n_frames", "out_energy",
+        ),
+        passthrough=("_ok", "n_frames", "out_energy"),
+    )
     return (
-        mono.drop("bytes")
-        .join(recheck, "clip_id")
-        .select(
+        en.select(
             F.col("clip_id").cast("long").alias("clip_id"),
-            F.col("decoded_ok").cast("int").alias("decoded_ok"),
+            F.col("_ok").cast("int").alias("decoded_ok"),
             "n_frames",
             "out_energy",
-            "recheck_energy",
+            F.col("abs_energy").alias("recheck_energy"),
         )
         .orderBy("clip_id")
     )
@@ -2834,23 +2850,25 @@ def q_audio_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = _synth_payload_np(_drc_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
-    # TWO consumers — materialize once (NOTES #41, as in q_audio_master)
-    comp = audio_compress_dynamics(
-        clips, threshold=8000, ratio=4
-    ).localCheckpoint(eager=False)
-    recheck = audio_codec_energy(
-        comp.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
-    ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
+    # DRC stats ride the content re-decode as passthrough columns
+    # (ONE mapInPandas pass, no item-keyed self-join / checkpoint)
+    comp = audio_compress_dynamics(clips, threshold=8000, ratio=4)
+    en = audio_codec_energy(
+        comp.select(
+            "clip_id", "bytes", F.lit("pcm_s16le").alias("codec"),
+            F.col("decoded_ok").alias("_ok"),
+            F.col("n_samples").alias("_ns"), "reduced", "out_energy",
+        ),
+        passthrough=("_ok", "_ns", "reduced", "out_energy"),
+    )
     return (
-        comp.drop("bytes")
-        .join(recheck, "clip_id")
-        .select(
+        en.select(
             F.col("clip_id").cast("long").alias("clip_id"),
-            F.col("decoded_ok").cast("int").alias("decoded_ok"),
-            "n_samples",
+            F.col("_ok").cast("int").alias("decoded_ok"),
+            F.col("_ns").alias("n_samples"),
             "reduced",
             "out_energy",
-            "recheck_energy",
+            F.col("abs_energy").alias("recheck_energy"),
         )
         .orderBy("clip_id")
     )
@@ -2863,10 +2881,9 @@ def q_audio_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages closed-form. This pins operator CHAINING through bytes
     (each stage's output bytes feed the next mapInPandas), not just
     each stage alone. Stage params: downmix ch=2, knee 8000 ratio 4,
-    target peak 24000. The normalized output is lazily
-    localCheckpoint'ed before its two consumers (stats + re-decode) so
-    the 3-stage chain materializes once (the BM25 re-explode trap,
-    NOTES.md #41)."""
+    target peak 24000. The final stage's stats ride the re-decode as
+    passthrough columns, so the 3-stage chain has exactly one
+    consumer and materializes once — no checkpoint, no self-join."""
     from .operators.audio import (
         audio_codec_energy,
         audio_compress_dynamics,
@@ -2899,23 +2916,28 @@ def q_audio_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = audio_compress_dynamics(mono, threshold=8000, ratio=4).select(
         "clip_id", "bytes"
     )
-    normed = audio_gain_normalize(comp, target_peak=24000).localCheckpoint(
-        eager=False
+    # final-stage stats ride the content re-decode as passthrough
+    # columns (ONE chain of mapInPandas stages, no item-keyed
+    # self-join and no checkpoint — the chain now has one consumer)
+    normed = audio_gain_normalize(comp, target_peak=24000)
+    en = audio_codec_energy(
+        normed.select(
+            "clip_id", "bytes", F.lit("pcm_s16le").alias("codec"),
+            F.col("decoded_ok").alias("_ok"),
+            F.col("n_samples").alias("_ns"), "peak", "gain_ppm",
+            "out_energy",
+        ),
+        passthrough=("_ok", "_ns", "peak", "gain_ppm", "out_energy"),
     )
-    recheck = audio_codec_energy(
-        normed.select("clip_id", "bytes", F.lit("pcm_s16le").alias("codec"))
-    ).select("clip_id", F.col("abs_energy").alias("recheck_energy"))
     return (
-        normed.drop("bytes")
-        .join(recheck, "clip_id")
-        .select(
+        en.select(
             F.col("clip_id").cast("long").alias("clip_id"),
-            F.col("decoded_ok").cast("int").alias("decoded_ok"),
-            "n_samples",
+            F.col("_ok").cast("int").alias("decoded_ok"),
+            F.col("_ns").alias("n_samples"),
             "peak",
             "gain_ppm",
             "out_energy",
-            "recheck_energy",
+            F.col("abs_energy").alias("recheck_energy"),
         )
         .orderBy("clip_id")
     )
@@ -4188,17 +4210,22 @@ def q_wav_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         codec.alias("codec"),
         F.lit(16000).alias("sr_hz"),
     )
-    # lazy localCheckpoint: TWO consumers (length projection + the
-    # decode-back energy pass) would otherwise each re-run the
-    # decode+WAV-encode kernel (the q_image_neardup discipline)
-    w = audio_wrap_wav(clips).localCheckpoint(eager=False)
-    en = audio_codec_energy(w)
+    # the byte-length projection rides the decode-back energy pass as
+    # passthrough columns (ONE mapInPandas chain, no item-keyed
+    # self-join and no checkpoint — the wrap kernel has one consumer)
+    w = audio_wrap_wav(clips)
+    en = audio_codec_energy(
+        w.select(
+            "clip_id", "bytes", "codec",
+            F.col("codec").alias("_codec"),
+            F.length("bytes").alias("n_bytes"),
+        ),
+        passthrough=("_codec", "n_bytes"),
+    )
     return (
-        w.select("clip_id", "codec", F.length("bytes").alias("n_bytes"))
-        .join(en, "clip_id")
-        .select(
+        en.select(
             F.col("clip_id").cast("long").alias("clip_id"),
-            "codec",
+            F.col("_codec").alias("codec"),
             "n_bytes",
             F.col("decoded_ok").cast("int").alias("decoded_ok"),
             "n_samples",
