@@ -1674,8 +1674,8 @@ def q_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIFF/WAV container parsing driver-verified: complete WAV files
-    (RIFF header, fmt chunk, data chunk) are synthesized IN SPARK SQL
-    EXPRESSIONS — format tag 1 (PCM16), 6 (A-law), 7 (mu-law) — and
+    (RIFF header, fmt chunk, data chunk) are synthesized closed-form
+    — format tag 1 (PCM16), 6 (A-law), 7 (mu-law) — and
     decoded through `parse_wav_header` + `decode_wav_int` inside
     `audio_codec_energy`. The DuckDB oracle re-derives the decoded
     samples from the content formulas alone (it never builds a
@@ -1691,60 +1691,54 @@ def q_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("event_id")
     n = (e % 21 + 40).cast("int")
 
-    def _le(v, nbytes):
-        h = F.lpad(F.hex(v.cast("bigint")), 2 * nbytes, "0")
-        return F.concat(
-            *[F.substring(h, 2 * (nbytes - 1 - i) + 1, 2)
-              for i in range(nbytes)]
-        )
+    # vectorized synthesis twin (guide §4.2; byte-identical to the
+    # former per-field/per-sample HOF form): full RIFF/WAV container —
+    # header fields little-endian, data = PCM16 sweep / G.711 byte
+    # formula / zero-filled float payload; NULL every 17th
+    def _wav_payload(ev_, i, nv):
+        import struct
 
-    is_pcm = e % 3 == 0
-    is_alaw = e % 3 == 1
-    is_float = e % 13 == 0
-    fmt = (
-        F.when(is_float, F.lit(3))
-        .when(is_pcm, F.lit(1))
-        .when(is_alaw, F.lit(6))
-        .otherwise(F.lit(7))
-    )
-    bits = F.when(is_float, F.lit(32)).when(is_pcm, F.lit(16)).otherwise(F.lit(8))
-    block = (bits / 8).cast("int")
-    dlen = n * block
-    sr = F.lit(8000)
-    hdr = F.concat(
-        F.lit("52494646"), _le(dlen + 36, 4), F.lit("57415645"),
-        F.lit("666d7420"), F.lit("10000000"),
-        _le(fmt, 2), F.lit("0100"), _le(sr, 4), _le(sr * block, 4),
-        _le(block, 2), _le(bits, 2),
-        F.lit("64617461"), _le(dlen, 4),
-    )
-    pcm_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: _le((e * 31 + i * 1717) % 65401 - 32700
-                          + F.when((e * 31 + i * 1717) % 65401 - 32700 < 0,
-                                   F.lit(65536)).otherwise(F.lit(0)), 2),
-        ),
-        "",
-    )
-    g711_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda j: F.lpad(
-                F.hex(((e * 37 + j * 101 + (j * j) % 251) % 256)
-                      .cast("bigint")), 2, "0"),
-        ),
-        "",
-    )
-    # float-format files carry zero payload bytes of the right length
-    datahex = (
-        F.when(is_float, F.repeat(F.lit("00"), dlen.cast("int")))
-        .when(is_pcm, pcm_hex)
-        .otherwise(g711_hex)
-    )
-    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
-        F.to_binary(F.concat(hdr, datahex), F.lit("hex"))
-    )
+        import numpy as np
+
+        pcm = ((ev_[:, None] * 31 + i[None, :] * 1717) % 65401 - 32700
+               ).astype("<i2")
+        g7 = (
+            (ev_[:, None] * 37 + i[None, :] * 101 + (i[None, :] ** 2) % 251)
+            % 256
+        ).astype(np.uint8)
+        out = []
+        for r, e_ in enumerate(ev_.tolist()):
+            if e_ % 17 == 0:
+                out.append(None)
+                continue
+            n_ = int(nv[r])
+            if e_ % 13 == 0:
+                fmt, bits = 3, 32
+            elif e_ % 3 == 0:
+                fmt, bits = 1, 16
+            elif e_ % 3 == 1:
+                fmt, bits = 6, 8
+            else:
+                fmt, bits = 7, 8
+            block = bits // 8
+            dlen = n_ * block
+            sr = 8000
+            hdr = (
+                b"RIFF" + struct.pack("<I", dlen + 36) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, 1, sr,
+                                        sr * block, block, bits)
+                + b"data" + struct.pack("<I", dlen)
+            )
+            if fmt == 3:
+                data = b"\x00" * dlen
+            elif fmt == 1:
+                data = pcm[r, :n_].tobytes()
+            else:
+                data = g7[r, :n_].tobytes()
+            out.append(hdr + data)
+        return out
+
+    payload = _synth_payload_np(_wav_payload)(e, n)
     clips = ev.select(
         e.cast("string").alias("clip_id"),
         payload.alias("bytes"),
@@ -2768,21 +2762,24 @@ def q_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("event_id")
     nf = (e % 13 + 6).cast("int")  # 6..18 frames
 
-    def _frame_hex(amp: int) -> str:
-        pos, neg = amp, (65536 - amp) % 65536
-        le = lambda u: f"{u:04x}"[2:] + f"{u:04x}"[:2]
-        return (le(pos) + le(neg)) * (fs // 2)
+    # vectorized synthesis twin (guide §4.2; same bytes as the
+    # per-frame when-chain HOF form): clipped frames amp 32767 when
+    # (e*7 + f*f) % 9 < 2 (clean clips every 19th), else 500;
+    # frame = [amp,-amp]*4, NULL every 17th
+    def _clip_payload(ev_, f, nv):
+        import numpy as np
 
-    frame_of = lambda f: F.when(
-        (e % 19 != 0) & ((e * 7 + f * f) % 9 < 2),
-        F.lit(_frame_hex(32767)),
-    ).otherwise(F.lit(_frame_hex(500)))
-    hexstr = F.array_join(
-        F.transform(F.sequence(F.lit(0), nf - 1), frame_of), ""
-    )
-    payload = F.when(e % 17 == 0, F.lit(None).cast("binary")).otherwise(
-        F.to_binary(hexstr, F.lit("hex"))
-    )
+        amp = np.where(
+            (ev_[:, None] % 19 != 0)
+            & ((ev_[:, None] * 7 + f[None, :] ** 2) % 9 < 2),
+            32767, 500,
+        )
+        rows = _frame_pair_rows(amp, -amp, fs // 2, nv)
+        return [
+            None if e_ % 17 == 0 else b for e_, b in zip(ev_.tolist(), rows)
+        ]
+
+    payload = _synth_payload_np(_clip_payload)(e, nf)
     clips = ev.select(e.cast("string").alias("clip_id"), payload.alias("bytes"))
     return (
         audio_clipping(clips, threshold=32760)
@@ -3411,15 +3408,14 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     nonempty = scrubbed.filter(F.col("text") != "")
-    keeper = nonempty.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("_keeper")
-    )
+    # keep-first exact dedup as ONE window over the md5 partition
+    # (guide §2.4): the former groupBy-then-self-join paid the agg
+    # exchange PLUS a join shuffle of the text rows for the same
+    # "doc_id == min(doc_id) within md5(text)" predicate
+    w_md5 = Window.partitionBy(F.md5("text"))
     s2 = (
-        nonempty.join(
-            keeper,
-            (F.md5(nonempty["text"]) == keeper["_h"])
-            & (nonempty["doc_id"] == keeper["_keeper"]),
-        )
+        nonempty.withColumn("_keeper", F.min("doc_id").over(w_md5))
+        .filter(F.col("doc_id") == F.col("_keeper"))
         .select("doc_id", "text", "source")
         .localCheckpoint(eager=False)
     )
