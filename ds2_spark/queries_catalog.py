@@ -4071,34 +4071,29 @@ def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     ).select("doc_id")
-    k = F.sequence(F.lit(0), F.lit(71))
-    pair = F.col("doc_id") - (F.col("doc_id") % 2)
+    # vectorized synthesis twin (guide §4.2; byte-identical to the
+    # former per-pixel HOF form): gray value repeated into R=G=B,
+    # "P6\n9 8\n255\n" header
+    def _ppm_payload(dv, i, nv):
+        import numpy as np
 
-    def _pix(i):
-        x = pair * 73 + i + 1
-        return (
-            x * x * 7 + x * 13
-            + F.when(
-                ((F.col("doc_id") % 2) == 1) & ((i % 29) == 0), F.lit(97)
-            ).otherwise(F.lit(0))
-        ) % 251
+        pair_ = dv - (dv % 2)
+        x = pair_[:, None] * 73 + i[None, :] + 1
+        pert = np.where(
+            (dv[:, None] % 2 == 1) & (i[None, :] % 29 == 0), 97, 0
+        )
+        p = ((x * x * 7 + x * 13 + pert) % 251).astype(np.uint8)
+        rgb = np.repeat(p, 3, axis=1)
+        hdr = b"P6\n9 8\n255\n"
+        return [hdr + rgb[r].tobytes() for r in range(len(dv))]
 
-    pix = F.transform(k, _pix)
-    hexpix = F.array_join(
-        F.transform(
-            pix, lambda p: F.repeat(F.lpad(F.hex(p), 2, "0"), 3)
-        ),
-        "",
-    )
+    synth = _synth_payload_np(_ppm_payload)(F.col("doc_id"), F.lit(72))
     return docs.select(
         "doc_id",
         # width 12 (not 6): lpad TRUNCATES longer strings, so a 6-wide
         # pad would collide media_ids at doc_id >= 10^6
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("media_id"),
-        F.concat(
-            F.unhex(F.lit("50360A3920380A3235350A")),  # "P6\n9 8\n255\n"
-            F.unhex(hexpix),
-        ).alias("bytes"),
+        synth.alias("bytes"),
         F.lit("image/x-portable-pixmap").alias("mime"),
     )
 
